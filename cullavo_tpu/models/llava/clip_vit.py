@@ -1,0 +1,125 @@
+"""CLIP ViT vision tower (ViT-L/14-336 for LLaVA-1.5) in functional JAX.
+
+Scan-over-layers with stacked params, like the LLaMA tower.  The patchify
+"conv" is expressed as reshape + matmul so the whole embedding step is one
+MXU matmul instead of a convolution (stride == kernel size makes them
+mathematically identical).
+
+Matches HF ``CLIPVisionModel`` semantics: class embedding prepended, learned
+position embeddings, pre-LayerNorm transformer with QuickGELU MLP.  LLaVA
+consumes ``hidden_states[vision_feature_layer]`` (default -2, i.e. the input
+to the last layer) with the CLS token dropped ("default" select strategy) —
+see cullavo/arch_cullavo.py:562-571 for the reference behavior.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.models.llava.config import ClipVisionConfig
+
+Params = Any
+
+
+def init_clip_vision_params(cfg: ClipVisionConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 12)
+    L, D, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    P = cfg.patch_size
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape) * (fan_in ** -0.5)).astype(dtype)
+
+    return {
+        "class_embedding": (jax.random.normal(ks[0], (D,)) * 0.02).astype(dtype),
+        # patch embedding as a [P*P*3, D] matmul weight
+        "patch_embedding": dense(ks[1], (P * P * 3, D), P * P * 3),
+        "position_embedding": (jax.random.normal(ks[2], (cfg.num_positions, D)) * 0.02).astype(dtype),
+        "pre_ln": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+        "layers": {
+            "ln1_scale": jnp.ones((L, D), dtype), "ln1_bias": jnp.zeros((L, D), dtype),
+            "q": dense(ks[3], (L, D, D), D), "q_b": jnp.zeros((L, D), dtype),
+            "k": dense(ks[4], (L, D, D), D), "k_b": jnp.zeros((L, D), dtype),
+            "v": dense(ks[5], (L, D, D), D), "v_b": jnp.zeros((L, D), dtype),
+            "o": dense(ks[6], (L, D, D), D), "o_b": jnp.zeros((L, D), dtype),
+            "ln2_scale": jnp.ones((L, D), dtype), "ln2_bias": jnp.zeros((L, D), dtype),
+            "fc1": dense(ks[7], (L, D, I), D), "fc1_b": jnp.zeros((L, I), dtype),
+            "fc2": dense(ks[8], (L, I, D), I), "fc2_b": jnp.zeros((L, D), dtype),
+        },
+        "post_ln": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+    }
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (x * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
+    """[B, 3, H, W] → [B, N, P*P*3] with channel-major layout matching a
+    conv weight reshaped as [D, 3, P, P] → [3*P*P, D]."""
+    B, C, H, W = pixel_values.shape
+    gh, gw = H // patch, W // patch
+    x = pixel_values.reshape(B, C, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)          # [B, gh, gw, C, P, P]
+    return x.reshape(B, gh * gw, C * patch * patch)
+
+
+def clip_vision_forward(
+    params: Params,
+    cfg: ClipVisionConfig,
+    pixel_values: jax.Array,    # [B, 3, H, W]
+    feature_layer: int = -2,
+) -> jax.Array:
+    """Returns hidden states after ``num_hidden_layers + feature_layer + 1``
+    encoder layers (HF's ``hidden_states[feature_layer]``), shape [B, N+1, D].
+    """
+    B = pixel_values.shape[0]
+    D, H = cfg.hidden_size, cfg.num_attention_heads
+    hd = cfg.head_dim
+    eps = cfg.layer_norm_eps
+    dtype = params["patch_embedding"].dtype
+
+    patches = patchify(pixel_values.astype(dtype), cfg.patch_size)
+    x = patches @ params["patch_embedding"]                      # [B, N, D]
+    cls = jnp.broadcast_to(params["class_embedding"], (B, 1, D))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["position_embedding"][None]
+    x = layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"], eps)
+
+    # run only up to the requested feature layer (LLaVA uses -2 → skip last)
+    n_run = cfg.num_hidden_layers + feature_layer + 1 if feature_layer < 0 else feature_layer
+    T = x.shape[1]
+
+    def layer(h, w):
+        residual = h
+        y = layer_norm(h, w["ln1_scale"], w["ln1_bias"], eps)
+        q = (y @ w["q"] + w["q_b"]).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        k = (y @ w["k"] + w["k_b"]).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        v = (y @ w["v"] + w["v_b"]).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(h.dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                          preferred_element_type=jnp.float32).astype(h.dtype)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, D)
+        h = residual + (attn @ w["o"] + w["o_b"])
+        residual = h
+        y = layer_norm(h, w["ln2_scale"], w["ln2_bias"], eps)
+        y = quick_gelu(y @ w["fc1"] + w["fc1_b"])
+        h = residual + (y @ w["fc2"] + w["fc2_b"])
+        return h, None
+
+    # static truncation of the stacked layer params to the first n_run layers
+    truncated = jax.tree.map(lambda a: a[:n_run], params["layers"])
+    x, _ = jax.lax.scan(layer, x, truncated)
+    return x

@@ -1,0 +1,210 @@
+"""LLaMA decoder in functional JAX, scan-over-layers with stacked params.
+
+TPU-first design notes:
+  * All per-layer weights are stacked along a leading layer axis and the
+    forward pass is a single ``lax.scan`` — one compiled layer body instead of
+    ``n_layers`` unrolled copies (fast compile, and FSDP sharding is one
+    PartitionSpec per stacked tensor).
+  * KV cache is a preallocated ``[L, B, KV, max_len, hd]`` buffer updated with
+    ``lax.dynamic_update_slice`` — static shapes throughout decode.
+  * Matmuls run in the requested compute dtype (bf16 on TPU → MXU), softmax
+    and normalization statistics in fp32.
+
+Capability reference: the LLaMA-2-7B tower inside HF LLaVA used by the
+reference (cullavo/arch_cullavo.py:546-677); this is a fresh implementation.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.models.llava.config import LlamaConfig
+
+Params = Any
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_llama_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 10)
+    L, D, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def dense(k, shape):
+        fan_in = shape[-2]
+        return (jax.random.normal(k, shape) * (fan_in ** -0.5)).astype(dtype)
+
+    params = {
+        "embed_tokens": (jax.random.normal(ks[0], (cfg.vocab_size, D)) * 0.02).astype(dtype),
+        "layers": {
+            "input_ln": jnp.ones((L, D), dtype),
+            "q": dense(ks[1], (L, D, H * hd)),
+            "k": dense(ks[2], (L, D, KV * hd)),
+            "v": dense(ks[3], (L, D, KV * hd)),
+            "o": dense(ks[4], (L, H * hd, D)),
+            "post_ln": jnp.ones((L, D), dtype),
+            "gate": dense(ks[5], (L, D, I)),
+            "up": dense(ks[6], (L, D, I)),
+            "down": dense(ks[7], (L, I, D)),
+        },
+        "norm": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(ks[8], (D, cfg.vocab_size))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x.astype(dtype)) * weight
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+    """cos/sin tables for rotary embedding at the given positions [B, T]."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, T, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)               # [B, T, hd]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, H, T, hd]; cos/sin: [B, T, hd].  HF rotate-half convention."""
+    cos = cos[:, None, :, :]
+    sin = sin[:, None, :, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array, bias: Optional[jax.Array]) -> jax.Array:
+    """Scaled dot-product attention, fp32 softmax.  [B, H, T, hd] layout."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=1)
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    L, KV, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    return {
+        "k": jnp.zeros((L, batch, KV, max_len, hd), dtype),
+        "v": jnp.zeros((L, batch, KV, max_len, hd), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def llama_forward(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,            # [B, T, D]
+    attention_mask: jax.Array,           # [B, S] 1/0; S = T (no cache) or max_len
+    position_ids: jax.Array,             # [B, T]
+    cache: Optional[dict] = None,
+    cache_index: Optional[jax.Array] = None,  # scalar int32: write offset
+    key_position_ids: Optional[jax.Array] = None,  # [B, S] logical pos per cache slot
+):
+    """Run the decoder stack; returns (final_hidden, new_cache).
+
+    Without a cache the attention is causal over T with key-side padding
+    masking.  With a cache, the T new tokens are written at ``cache_index``
+    and attend over the full ``max_len`` buffer gated by ``attention_mask``;
+    causality compares *logical* positions (``key_position_ids``) because
+    with right-padded prompts a cache slot's buffer index differs from its
+    token position.
+    """
+    B, T, D = inputs_embeds.shape
+    H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    n_rep = H // KV
+    compute_dtype = inputs_embeds.dtype
+
+    cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)
+
+    # additive bias [B, 1, T, S]
+    if cache is None:
+        key_pos = jnp.arange(T)[None, :]                       # [1, S]
+    elif key_position_ids is not None:
+        key_pos = key_position_ids                             # [B, S]
+    else:
+        key_pos = jnp.arange(cache["k"].shape[3])[None, :]
+    if key_pos.ndim == 1:
+        key_pos = key_pos[None, :]
+    causal = position_ids[:, :, None] >= key_pos[:, None, :]   # [B, T, S]
+    valid = attention_mask[:, None, :].astype(bool)            # [B, 1, S]
+    ok = causal & valid
+    bias = jnp.where(ok[:, None, :, :], 0.0, NEG_INF).astype(jnp.float32)
+
+    def layer(carry, scanned):
+        h = carry
+        w = scanned["w"]
+        residual = h
+        x = rms_norm(h, w["input_ln"], cfg.rms_norm_eps)
+        q = (x @ w["q"]).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        k = (x @ w["k"]).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
+        v = (x @ w["v"]).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache is None:
+            k_all, v_all = k, v
+            new_k, new_v = k, v
+        else:
+            k_buf, v_buf = scanned["k_cache"], scanned["v_cache"]
+            idx = cache_index
+            new_k = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype),
+                                                 (0, 0, idx, 0))
+            new_v = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype),
+                                                 (0, 0, idx, 0))
+            k_all = new_k.astype(compute_dtype)
+            v_all = new_v.astype(compute_dtype)
+
+        attn = sdpa(q, repeat_kv(k_all, n_rep), repeat_kv(v_all, n_rep), bias)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
+        h = residual + attn @ w["o"]
+
+        residual = h
+        x = rms_norm(h, w["post_ln"], cfg.rms_norm_eps)
+        gate = jax.nn.silu((x @ w["gate"]).astype(jnp.float32)).astype(compute_dtype)
+        h = residual + (gate * (x @ w["up"])) @ w["down"]
+        return h, {"k_cache": new_k, "v_cache": new_v} if cache is not None else None
+
+    scanned_in = {"w": params["layers"]}
+    if cache is not None:
+        scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})
+
+    final, scanned_out = jax.lax.scan(layer, inputs_embeds, scanned_in)
+    final = rms_norm(final, params["norm"], cfg.rms_norm_eps)
+    new_cache = None
+    if cache is not None:
+        new_cache = {"k": scanned_out["k_cache"], "v": scanned_out["v_cache"]}
+    return final, new_cache
+
+
+def lm_logits(params: Params, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
+    head = params["lm_head"] if "lm_head" in params else params["embed_tokens"].T
+    return jnp.einsum("btd,dv->btv", hidden, head, preferred_element_type=jnp.float32)

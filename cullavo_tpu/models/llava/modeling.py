@@ -1,0 +1,271 @@
+"""LLaVA-1.5 multimodal model: vision tower + projector + LLaMA, token merge,
+masked-CE training loss, and KV-cache greedy/sampled generation.
+
+Capability parity targets (fresh implementation, not a port):
+  * ``<image>`` token expansion into 576 patch embeddings and the prompt/label
+    bookkeeping around it — reference: HF ``_merge_input_ids_with_image_features``
+    as used by cullavo/arch_cullavo.py:577-604 and the +575 label offset at
+    arch_cullavo.py:37.
+  * shifted cross-entropy masked by attention mask — arch_cullavo.py:646-665.
+  * greedy / (temperature, top-k, top-p) sampled decode with KV cache —
+    arch_cullavo.py:355-366 generate calls.
+
+TPU-first: generation runs as one jitted ``lax.while_loop`` over a
+preallocated cache (static shapes); the merge is a vectorized scatter, not a
+per-sample Python loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.models.llava import llama
+from cullavo_tpu.models.llava.clip_vit import clip_vision_forward, init_clip_vision_params
+from cullavo_tpu.models.llava.config import LlavaConfig
+from cullavo_tpu.models.llava.llama import (init_llama_params, init_kv_cache,
+                                            llama_forward, lm_logits)
+
+Params = Any
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_llava_params(cfg: LlavaConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    Dv, Dt = cfg.vision.hidden_size, cfg.text.hidden_size
+    return {
+        "vision_tower": init_clip_vision_params(cfg.vision, k1, dtype),
+        "projector": {
+            "linear_1": {"kernel": (jax.random.normal(k2, (Dv, Dt)) * Dv ** -0.5).astype(dtype),
+                         "bias": jnp.zeros((Dt,), dtype)},
+            "linear_2": {"kernel": (jax.random.normal(k3, (Dt, Dt)) * Dt ** -0.5).astype(dtype),
+                         "bias": jnp.zeros((Dt,), dtype)},
+        },
+        "language_model": init_llama_params(cfg.text, key, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# vision features
+# ---------------------------------------------------------------------------
+
+def image_features(params: Params, cfg: LlavaConfig, pixel_values: jax.Array) -> jax.Array:
+    """[B, 3, H, W] → [B, num_image_tokens, D_text]."""
+    hidden = clip_vision_forward(params["vision_tower"], cfg.vision, pixel_values,
+                                 cfg.vision_feature_layer)
+    if cfg.vision_feature_select_strategy == "default":
+        hidden = hidden[:, 1:]  # drop CLS
+    proj = params["projector"]
+    x = hidden @ proj["linear_1"]["kernel"] + proj["linear_1"]["bias"]
+    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+    return x @ proj["linear_2"]["kernel"] + proj["linear_2"]["bias"]
+
+
+# ---------------------------------------------------------------------------
+# token merge
+# ---------------------------------------------------------------------------
+
+def merge_image_features(
+    cfg: LlavaConfig,
+    input_ids: jax.Array,        # [B, T] — with image positions already expanded
+    inputs_embeds: jax.Array,    # [B, T, D] — text embeddings (image slots arbitrary)
+    feats: jax.Array,            # [B, N, D]
+) -> jax.Array:
+    """Place image features at the ``image_token_id`` positions of each row.
+
+    Assumes each row contains exactly N image-token slots (enforced by the
+    prompt builder); positions may differ per row.  Vectorized scatter: for
+    each row, the k-th image slot (in sequence order) receives ``feats[b, k]``.
+    """
+    B, T, D = inputs_embeds.shape
+    is_img = input_ids == cfg.image_token_id                     # [B, T]
+    # rank of each image slot within its row
+    slot_rank = jnp.cumsum(is_img, axis=1) - 1                   # [B, T]
+    slot_rank = jnp.clip(slot_rank, 0, feats.shape[1] - 1)
+    gathered = jnp.take_along_axis(feats, slot_rank[..., None], axis=1)  # [B, T, D]
+    return jnp.where(is_img[..., None], gathered.astype(inputs_embeds.dtype), inputs_embeds)
+
+
+def expand_image_token(input_ids, attention_mask, labels, image_token_id: int,
+                       num_image_tokens: int, ignore_index: int = -100):
+    """Host-side helper (numpy) that expands a single ``<image>`` token into
+    ``num_image_tokens`` positions — reproduces the +575 label-offset behavior
+    of the reference prompt builder (arch_cullavo.py:28-39).  Operates on 1-D
+    python/numpy sequences; used by the data pipeline, not inside jit.
+    """
+    import numpy as np
+    out_ids, out_mask, out_labels = [], [], []
+    for i, tok in enumerate(np.asarray(input_ids).tolist()):
+        if tok == image_token_id:
+            out_ids.extend([image_token_id] * num_image_tokens)
+            out_mask.extend([1] * num_image_tokens)
+            out_labels.extend([ignore_index] * num_image_tokens)
+        else:
+            out_ids.append(tok)
+            out_mask.append(int(np.asarray(attention_mask)[i]) if attention_mask is not None else 1)
+            out_labels.append(int(np.asarray(labels)[i]) if labels is not None else ignore_index)
+    return (np.array(out_ids, np.int32), np.array(out_mask, np.int32),
+            np.array(out_labels, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# forward + loss
+# ---------------------------------------------------------------------------
+
+def llava_forward(
+    params: Params,
+    cfg: LlavaConfig,
+    input_ids: jax.Array,           # [B, T] image tokens pre-expanded
+    pixel_values: Optional[jax.Array],
+    attention_mask: jax.Array,      # [B, T]
+    position_ids: Optional[jax.Array] = None,
+    cache: Optional[dict] = None,
+    cache_index: Optional[jax.Array] = None,
+    full_attention_mask: Optional[jax.Array] = None,  # [B, max_len] when cached
+    key_position_ids: Optional[jax.Array] = None,     # [B, max_len] when cached
+):
+    embed = params["language_model"]["embed_tokens"]
+    inputs_embeds = jnp.take(embed, jnp.clip(input_ids, 0, embed.shape[0] - 1), axis=0)
+    if pixel_values is not None:
+        feats = image_features(params, cfg, pixel_values)
+        inputs_embeds = merge_image_features(cfg, input_ids, inputs_embeds, feats)
+    if position_ids is None:
+        position_ids = jnp.cumsum(attention_mask, axis=1) - 1
+        position_ids = jnp.maximum(position_ids, 0)
+    mask = full_attention_mask if cache is not None else attention_mask
+    hidden, new_cache = llama_forward(params["language_model"], cfg.text,
+                                      inputs_embeds, mask, position_ids,
+                                      cache, cache_index, key_position_ids)
+    logits = lm_logits(params["language_model"], cfg.text, hidden)
+    return logits, new_cache
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array, attention_mask: jax.Array,
+                   ignore_index: int = -100):
+    """Shifted masked cross-entropy: predict token t+1 from position t.
+
+    Mirrors the reference loss (arch_cullavo.py:646-665): logits[:, :-1]
+    vs labels[:, 1:], positions with ``ignore_index`` or mask==0 excluded,
+    mean over valid positions.  Returns (loss, n_valid) — callers in SPMD
+    settings psum both and divide (fixes the reference's per-rank-divergence
+    hazard noted in SURVEY.md §5).
+    """
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    shift_mask = (attention_mask[:, 1:] != 0) & (shift_labels != ignore_index)
+    safe_labels = jnp.where(shift_mask, shift_labels, 0)
+    logprobs = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(logprobs, safe_labels[..., None], axis=-1)[..., 0]
+    n_valid = jnp.sum(shift_mask)
+    loss = -jnp.sum(jnp.where(shift_mask, token_ll, 0.0)) / jnp.maximum(n_valid, 1)
+    return loss, n_valid
+
+
+# ---------------------------------------------------------------------------
+# generation
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 128
+    do_sample: bool = False
+    temperature: float = 0.9
+    top_k: int = 50
+    top_p: float = 0.95
+    eos_token_id: int = 2
+
+
+def _sample_token(logits: jax.Array, gen: GenerationConfig, key: jax.Array) -> jax.Array:
+    """logits: [B, V] → [B] int32.  HF order: temperature → top-k → top-p."""
+    if not gen.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / gen.temperature
+    if gen.top_k > 0:
+        kth = jax.lax.top_k(logits, gen.top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, llama.NEG_INF, logits)
+    if gen.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep first)
+        cutoff_mask = cum - probs > gen.top_p
+        cutoff_logit = jnp.min(jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff_logit, llama.NEG_INF, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "max_len", "compute_dtype"))
+def generate(
+    params: Params,
+    cfg: LlavaConfig,
+    input_ids: jax.Array,         # [B, T] prompt, image tokens pre-expanded
+    pixel_values: Optional[jax.Array],
+    attention_mask: jax.Array,    # [B, T]
+    gen: GenerationConfig,
+    max_len: int,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+):
+    """Prefill + decode loop entirely under jit.  Returns [B, max_new_tokens]
+    generated ids (right-padded with eos after stop)."""
+    B, T = input_ids.shape
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    lm = jax.tree.map(lambda a: a.astype(compute_dtype)
+                      if a.dtype in (jnp.float32, jnp.bfloat16, jnp.float16) else a, params)
+
+    cache = init_kv_cache(cfg.text, B, max_len, compute_dtype)
+    full_mask = jnp.zeros((B, max_len), jnp.int32)
+    full_mask = jax.lax.dynamic_update_slice(full_mask, attention_mask.astype(jnp.int32), (0, 0))
+
+    position_ids = jnp.cumsum(attention_mask, axis=1) - 1
+    position_ids = jnp.maximum(position_ids, 0)
+    key_pos = jnp.zeros((B, max_len), jnp.int32)
+    key_pos = jax.lax.dynamic_update_slice(key_pos, position_ids.astype(jnp.int32), (0, 0))
+
+    logits, cache = llava_forward(lm, cfg, input_ids, pixel_values, attention_mask,
+                                  position_ids, cache, jnp.int32(0), full_mask, key_pos)
+    # logits at the last *valid* position of each row
+    last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
+    next_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
+
+    rng, sub = jax.random.split(rng)
+    next_tok = _sample_token(next_logits, gen, sub)
+
+    out = jnp.full((B, gen.max_new_tokens), gen.eos_token_id, jnp.int32)
+    out = out.at[:, 0].set(next_tok)
+    done = next_tok == gen.eos_token_id
+    # position of the next token to be *written into the cache* per row
+    cur_pos = last_idx + 1          # [B]
+    write_idx = jnp.int32(T)        # cache write offset (sequence is right-aligned)
+
+    def cond(state):
+        step, *_rest, done = state
+        return (step < gen.max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, tok, cur_pos, write_idx, full_mask, key_pos, cache, out, rng, done = state
+        full_mask = full_mask.at[:, write_idx].set(1)
+        key_pos = key_pos.at[:, write_idx].set(cur_pos)
+        pos = cur_pos[:, None]
+        logits, cache = llava_forward(lm, cfg, tok[:, None], None,
+                                      None, pos, cache, write_idx, full_mask, key_pos)
+        rng, sub = jax.random.split(rng)
+        nxt = _sample_token(logits[:, 0], gen, sub)
+        nxt = jnp.where(done, gen.eos_token_id, nxt)
+        out = out.at[:, step].set(nxt)
+        done = done | (nxt == gen.eos_token_id)
+        return (step + 1, nxt, cur_pos + 1, write_idx + 1, full_mask, key_pos, cache,
+                out, rng, done)
+
+    state = (jnp.int32(1), next_tok, cur_pos, write_idx, full_mask, key_pos, cache,
+             out, rng, done)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[7]
