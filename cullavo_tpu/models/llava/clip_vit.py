@@ -79,6 +79,8 @@ def clip_vision_forward(
     cfg: ClipVisionConfig,
     pixel_values: jax.Array,    # [B, 3, H, W]
     feature_layer: int = -2,
+    lora: "dict | None" = None,   # stacked adapters w/ per-layer masks
+    lora_scaling: float = 0.0,
 ) -> jax.Array:
     """Returns hidden states after ``num_hidden_layers + feature_layer + 1``
     encoder layers (HF's ``hidden_states[feature_layer]``), shape [B, N+1, D].
@@ -100,26 +102,38 @@ def clip_vision_forward(
     n_run = cfg.num_hidden_layers + feature_layer + 1 if feature_layer < 0 else feature_layer
     T = x.shape[1]
 
-    def layer(h, w):
+    def layer(h, scanned):
+        w = scanned["w"] if isinstance(scanned, dict) and "w" in scanned else scanned
+        ad = scanned.get("lora", {}) if isinstance(scanned, dict) else {}
+
+        def mm(x, weight, bias, adapter):
+            y = x @ weight + bias
+            if adapter is not None:
+                upd = ((x @ adapter["a"]) @ adapter["b"]) * adapter["mask"][0, 0]
+                y = y + lora_scaling * upd.astype(y.dtype)
+            return y
+
         residual = h
         y = layer_norm(h, w["ln1_scale"], w["ln1_bias"], eps)
-        q = (y @ w["q"] + w["q_b"]).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        k = (y @ w["k"] + w["k_b"]).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        v = (y @ w["v"] + w["v_b"]).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        q = mm(y, w["q"], w["q_b"], ad.get("q")).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        k = mm(y, w["k"], w["k_b"], ad.get("k")).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        v = mm(y, w["v"], w["v_b"], ad.get("v")).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * (hd ** -0.5)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(h.dtype)
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                           preferred_element_type=jnp.float32).astype(h.dtype)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, D)
-        h = residual + (attn @ w["o"] + w["o_b"])
+        h = residual + mm(attn, w["o"], w["o_b"], ad.get("o"))
         residual = h
         y = layer_norm(h, w["ln2_scale"], w["ln2_bias"], eps)
-        y = quick_gelu(y @ w["fc1"] + w["fc1_b"])
-        h = residual + (y @ w["fc2"] + w["fc2_b"])
+        y = quick_gelu(mm(y, w["fc1"], w["fc1_b"], ad.get("fc1")))
+        h = residual + mm(y, w["fc2"], w["fc2_b"], ad.get("fc2"))
         return h, None
 
     # static truncation of the stacked layer params to the first n_run layers
-    truncated = jax.tree.map(lambda a: a[:n_run], params["layers"])
-    x, _ = jax.lax.scan(layer, x, truncated)
+    scanned = {"w": jax.tree.map(lambda a: a[:n_run], params["layers"])}
+    if lora:
+        scanned["lora"] = jax.tree.map(lambda a: a[:n_run], lora)
+    x, _ = jax.lax.scan(layer, x, scanned)
     return x

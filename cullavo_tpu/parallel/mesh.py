@@ -62,11 +62,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def _fsdp_spec(path: tuple, leaf: Any, mesh: Mesh) -> P:
-    """FSDP rule: shard the largest dim divisible by the fsdp axis size.
+    """Sharding rule: at most ONE sharded dim per tensor.
 
-    Stacked-layer params ([L, ...]) shard a non-layer dim so each layer's
-    shard stays local during the scan step.  Falls back to replication when
-    nothing divides.
+    Matrices take the tensor axis on their last dim when it divides;
+    otherwise the fsdp axis shards the largest non-layer dim (ZeRO-3-style).
+    The leading layer axis of stacked (ndim>=3) tensors is never sharded —
+    it is the scan axis.
+
+    Deliberately NOT 2-D (fsdp x tensor) sharding of a single tensor: grads
+    of doubly-sharded params under SPMD on the CPU backend were observed to
+    be wrong by ~100% (XLA SPMD backward bug, tests/test_train_step.py
+    sharded-parity test is the regression guard); one sharded axis per tensor
+    still gives full memory scaling and is the megatron-style layout XLA
+    handles best.
     """
     fsdp = mesh.shape["fsdp"]
     tensor = mesh.shape["tensor"]
@@ -76,20 +84,15 @@ def _fsdp_spec(path: tuple, leaf: Any, mesh: Mesh) -> P:
     ndim = len(shape)
     if ndim == 0:
         return P()
-    # candidate dims: skip dim 0 for stacked-layer tensors (ndim >= 2)
-    start = 1 if ndim >= 2 else 0
+    start = 1 if ndim >= 2 else 0   # skip the stacked-layer/scan axis
     spec: list = [None] * ndim
-    # tensor-parallel heuristic: last dim for column-ish weights
     if tensor > 1 and ndim >= 2 and shape[-1] % tensor == 0:
         spec[-1] = "tensor"
-    if fsdp > 1:
+    elif fsdp > 1:
         for i in range(start, ndim):
-            if spec[i] is None and shape[i] % fsdp == 0:
+            if shape[i] % fsdp == 0:
                 spec[i] = "fsdp"
                 break
-        else:
-            if ndim >= 2 and shape[0] % fsdp == 0 and spec[0] is None:
-                spec[0] = "fsdp"
     return P(*spec)
 
 

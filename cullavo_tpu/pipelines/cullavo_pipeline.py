@@ -1,0 +1,136 @@
+"""CuLLaVO training/eval pipeline.
+
+Capability parity with pipeline/CuLLaVOPipeline.py: step1/step2 Q-LoRA
+training over LLaVA (forward_step: loss → backward → clip → step, :76-93) and
+the step2_pre model-in-the-loop dataset generation "eval" (:95-133 — generate,
+parse boxes/classes, draw, emit JSON rows, all-gather shards, rank0 writes).
+
+The workload dispatch the reference does on *config file name*
+(modeling/architectures/cullavo_model.py:45-57) is an explicit ``workload``
+config key here: ``step1 | step2 | step2_pre``.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cullavo_tpu.data.step1_synthesis import collate_step1, synthesize_step1
+from cullavo_tpu.data.text_format import COLOR_LIST, draw_boxes, parse_boxes_and_classes
+from cullavo_tpu.models.llava.config import LlavaConfig
+from cullavo_tpu.models.llava.lora import (LoraConfig, init_lora_params,
+                                           strip_trainable, trainable_partition)
+from cullavo_tpu.models.llava.modeling import GenerationConfig, generate
+from cullavo_tpu.pipelines.base import register_pipeline
+from cullavo_tpu.trainer.optimizer import cullavo_optimizer
+from cullavo_tpu.trainer.step import TrainState, make_train_step, shard_train_step
+
+
+@register_pipeline("CuLLaVOPipeline")
+class CuLLaVOPipeline:
+    """Owns model config + tokenizer + data synthesis + the jitted step."""
+
+    def __init__(self, cfg, model_cfg: LlavaConfig, tokenizer, params,
+                 mesh=None, dataset_fn=None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.params = params
+        self.mesh = mesh
+        self.dataset_fn = dataset_fn
+        self.workload = cfg.get("WORKLOAD", "step1")
+        self._rng = np.random.default_rng(cfg.get("SEED", 0))
+
+    # -- model ------------------------------------------------------------
+    def initialize_model(self):
+        opt = self.cfg.get("OPTIMIZER", {})
+        lora_cfg = LoraConfig(
+            r=opt.get("LORA_R", 64) if hasattr(opt, "get") else 64,
+            alpha=16.0, dropout=0.05)
+        lora = init_lora_params(self.params, self.model_cfg, lora_cfg,
+                                jax.random.PRNGKey(1))
+        trainable = trainable_partition(self.params, lora)
+        frozen = strip_trainable(self.params)
+        lr = float(self.cfg.get("LR", 2e-5))
+        steps = int(self.cfg.get("TOTAL_STEPS", 1000))
+        tx = cullavo_optimizer(lr, steps,
+                               eta_min=float(self.cfg.get("LAST_LR", 0.0)),
+                               grad_clip=float(self.cfg.get("GRAD_MAX", 10.0)),
+                               grad_accum=int(self.cfg.get("GRAD_CUM", 1)))
+        state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
+        step_fn = make_train_step(self.model_cfg, lora_cfg, tx)
+        if self.mesh is not None:
+            jitted = shard_train_step(step_fn, self.mesh, state, frozen)
+        else:
+            jitted = jax.jit(step_fn)
+        self.state, self.frozen, self.step_fn = state, frozen, jitted
+        self.lora_cfg = lora_cfg
+        return state
+
+    # -- data -------------------------------------------------------------
+    def make_batch(self, records: list, pad_to: Optional[int] = None) -> dict:
+        """step1: synthesize prompts in the input pipeline (not model.forward)."""
+        samples = [synthesize_step1(r, self.tokenizer, self._rng) for r in records]
+        batch = collate_step1(samples, self.tokenizer,
+                              self.model_cfg.num_image_tokens, pad_to=pad_to,
+                              image_size=self.model_cfg.vision.image_size)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # -- train ------------------------------------------------------------
+    def forward_step(self, state, batch, rng):
+        new_state, metrics = self.step_fn(state, self.frozen, batch, rng)
+        return new_state, metrics
+
+    # -- step2_pre data generation ---------------------------------------
+    def generate_step2_rows(self, images_u8: np.ndarray, prompts_ids: np.ndarray,
+                            attention_mask: np.ndarray, out_dir: str,
+                            pixel_values: np.ndarray, max_new_tokens: int = 256,
+                            parallel_ctx=None):
+        """Model-in-the-loop enrichment (arch_cullavo.py:341-543): sample a
+        caption+boxes continuation, parse, rasterize, emit dataset rows."""
+        gen = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=True,
+                               temperature=0.9, top_k=50, top_p=0.95,
+                               eos_token_id=self.tokenizer.eos_token_id)
+        out = generate(self.params, self.model_cfg, jnp.asarray(prompts_ids),
+                       jnp.asarray(pixel_values), jnp.asarray(attention_mask),
+                       gen, max_len=prompts_ids.shape[1] + max_new_tokens,
+                       rng=jax.random.PRNGKey(int(self._rng.integers(1 << 31))))
+        rows = []
+        os.makedirs(out_dir, exist_ok=True)
+        for b in range(out.shape[0]):
+            text = self.tokenizer.decode(np.asarray(out[b]))
+            boxes, classes, err = parse_boxes_and_classes(text)
+            if err or boxes is None or len(boxes) == 0:
+                continue
+            H, W = images_u8[b].shape[:2]
+            abs_boxes = boxes * np.asarray([W, H, W, H], np.float32)
+            colors = COLOR_LIST[:len(boxes)]
+            drawn = draw_boxes(images_u8[b], abs_boxes, colors)
+            img_name = f"step2_{b}.png"
+            self._save_png(os.path.join(out_dir, img_name), drawn)
+            rows.append({"image": img_name, "boxes": boxes.tolist(),
+                         "classes": classes, "text": text})
+        if parallel_ctx is not None:
+            gathered = parallel_ctx.allgather_objects(rows)
+            rows = [r for shard in gathered for r in shard]
+            if not parallel_ctx.is_main:
+                return rows
+        with open(os.path.join(out_dir, "lbk_new_version.json"), "w") as f:
+            json.dump(rows, f)
+        return rows
+
+    @staticmethod
+    def _save_png(path: str, arr: np.ndarray):
+        try:
+            from PIL import Image
+
+            Image.fromarray(arr).save(path)
+        except ImportError:
+            np.save(path + ".npy", arr)
+
+    def evaluate_model(self):
+        raise NotImplementedError("use generate_step2_rows for step2_pre")

@@ -1,0 +1,116 @@
+"""VQA evaluation pipeline (LLaVA greedy decode → VQA accuracy).
+
+Capability parity with pipeline/LLaVAVQAVALPipeline.py: batched greedy decode
+with KV cache over the VQA question set, per-class accuracy bucketing (the
+reference's LLaMA-2+CLIP topic classifier becomes an optional injected
+``topic_fn``), per-class CSV + overall accuracy via the VQA consensus
+evaluator, and the 10%-subset smoke mode as a first-class ``limit`` argument
+(the reference hardcodes the break at :187-188).
+
+TPU-first: questions are bucketed to static prompt lengths and decoded in
+batches under one jitted generate program per bucket — not the reference's
+batch-size-1 host loop.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cullavo_tpu.data.evaluation.vqa_eval import VQAEvaluator
+from cullavo_tpu.data.step1_synthesis import SYSTEM_PROMPT
+from cullavo_tpu.models.llava.config import LlavaConfig
+from cullavo_tpu.models.llava.modeling import (GenerationConfig, expand_image_token,
+                                               generate)
+from cullavo_tpu.pipelines.base import register_pipeline
+
+
+def _bucket(n: int, buckets=(64, 96, 128, 192, 256)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@register_pipeline("LLaVAVQAVALPipeline")
+class VQAPipeline:
+    def __init__(self, cfg, model_cfg: LlavaConfig, tokenizer, params,
+                 topic_fn: Optional[Callable[[str], str]] = None,
+                 batch_size: int = 8, max_new_tokens: int = 16):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.params = params
+        self.topic_fn = topic_fn
+        self.batch_size = batch_size
+        self.max_new_tokens = max_new_tokens
+        self.evaluator = VQAEvaluator()
+        self.per_topic: dict[str, VQAEvaluator] = {}
+
+    def build_prompt(self, question: str) -> np.ndarray:
+        text = SYSTEM_PROMPT + "<image>" + f" USER: {question} ASSISTANT:"
+        ids = np.asarray(self.tokenizer.encode(text), np.int32)
+        ids, mask, _ = expand_image_token(ids, None, None,
+                                          self.tokenizer.image_token_id,
+                                          self.model_cfg.num_image_tokens)
+        return ids
+
+    def answer_batch(self, questions: list, pixel_values: np.ndarray) -> list:
+        """Greedy decode a batch; pads prompts to a shared bucket length."""
+        id_rows = [self.build_prompt(q) for q in questions]
+        L = _bucket(max(len(r) for r in id_rows))
+        B = len(id_rows)
+        ids = np.full((B, L), self.tokenizer.pad_token_id, np.int32)
+        mask = np.zeros((B, L), np.int32)
+        for i, row in enumerate(id_rows):
+            ids[i, :len(row)] = row[:L]
+            mask[i, :len(row)] = 1
+        gen = GenerationConfig(max_new_tokens=self.max_new_tokens, do_sample=False,
+                               eos_token_id=self.tokenizer.eos_token_id)
+        out = generate(self.params, self.model_cfg, jnp.asarray(ids),
+                       jnp.asarray(pixel_values), jnp.asarray(mask), gen,
+                       max_len=L + self.max_new_tokens,
+                       compute_dtype=jnp.bfloat16)
+        answers = []
+        for b in range(B):
+            toks = np.asarray(out[b]).tolist()
+            if self.tokenizer.eos_token_id in toks:
+                toks = toks[:toks.index(self.tokenizer.eos_token_id)]
+            answers.append(self.tokenizer.decode(toks).strip())
+        return answers
+
+    def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
+                       out_dir: Optional[str] = None) -> dict:
+        """dataset rows: {"question_id", "question", "pixel_values" [3,H,W],
+        "answers": [10 strings], optional "question_type"/"answer_type"}."""
+        rows = list(dataset)
+        if limit:
+            rows = rows[:limit]
+        for i in range(0, len(rows), self.batch_size):
+            chunk = rows[i:i + self.batch_size]
+            pix = np.stack([r["pixel_values"] for r in chunk])
+            answers = self.answer_batch([r["question"] for r in chunk], pix)
+            for r, ans in zip(chunk, answers):
+                topic = self.topic_fn(r["question"]) if self.topic_fn else None
+                self.evaluator.process(r["question_id"], ans, r["answers"],
+                                       r.get("question_type"), r.get("answer_type"))
+                if topic is not None:
+                    self.per_topic.setdefault(topic, VQAEvaluator()).process(
+                        r["question_id"], ans, r["answers"])
+        results = self.evaluator.evaluate()
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            self.evaluator.dump_results(os.path.join(out_dir, "vqa_results.json"))
+            # per-class CSV like problem_experiment/*.csv (LLaVAVQAVALPipeline.py:122-219)
+            with open(os.path.join(out_dir, "vqa_per_class.csv"), "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["class", "accuracy", "n"])
+                for topic, ev in sorted(self.per_topic.items()):
+                    r = ev.evaluate()
+                    w.writerow([topic, r["overall"], r["n"]])
+                w.writerow(["TOTAL", results["overall"], results["n"]])
+        return results

@@ -1,0 +1,216 @@
+"""X-Decoder segmentation eval/train pipeline.
+
+Capability parity with pipeline/XDecoderPipeline.py: per-dataset evaluators,
+the ``hook_switcher`` semantic/instance/panoptic toggles (explicit EvalTasks
+flags here, not config mutation — pipeline/utils/misc.py:31-55), class-name
+text embeddings computed once before eval (:124), warmup-aware
+data/compute/eval timing (:126-153), and RefCOCO grounding eval
+(pipeline/RefCOCOPipeline.py: per-class cIoU/mIoU/precision@τ CSV).
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cullavo_tpu.models.xdecoder.model import (XDecoderModelConfig,
+                                               evaluate_grounding, forward_eval,
+                                               instance_inference,
+                                               panoptic_inference_host,
+                                               semantic_inference)
+from cullavo_tpu.pipelines.base import register_pipeline
+
+
+@dataclasses.dataclass
+class EvalTasks:
+    """Explicit replacement for hook_switcher's per-dataset flags."""
+    semantic: bool = True
+    instance: bool = False
+    panoptic: bool = False
+
+
+class GroundingMetrics:
+    """cIoU / mIoU / precision@{0.5..0.9} accumulator
+    (datasets/evaluation/grounding_evaluation.py:17-105)."""
+
+    def __init__(self):
+        self.inter = 0.0
+        self.union = 0.0
+        self.ious: list[float] = []
+
+    def add(self, pred_mask: np.ndarray, gt_mask: np.ndarray):
+        p = pred_mask > 0
+        g = gt_mask > 0.5
+        inter = float(np.logical_and(p, g).sum())
+        union = float(np.logical_or(p, g).sum())
+        self.inter += inter
+        self.union += union
+        self.ious.append(inter / union if union > 0 else 0.0)
+
+    def results(self) -> dict:
+        ious = np.asarray(self.ious) if self.ious else np.zeros(1)
+        out = {"cIoU": 100.0 * self.inter / max(self.union, 1.0),
+               "mIoU": 100.0 * float(ious.mean())}
+        for tau in (0.5, 0.6, 0.7, 0.8, 0.9):
+            out[f"precision@{tau}"] = 100.0 * float((ious > tau).mean())
+        return out
+
+
+class SemSegMetrics:
+    """Confusion-matrix mIoU (datasets/evaluation/segmentation_evaluation.py)."""
+
+    def __init__(self, num_classes: int, ignore_label: int = 255):
+        self.num_classes = num_classes
+        self.ignore = ignore_label
+        self.conf = np.zeros((num_classes, num_classes), np.int64)
+
+    def add(self, pred: np.ndarray, gt: np.ndarray):
+        keep = gt != self.ignore
+        p = pred[keep].astype(np.int64)
+        g = gt[keep].astype(np.int64)
+        idx = g * self.num_classes + p
+        self.conf += np.bincount(idx, minlength=self.num_classes ** 2).reshape(
+            self.num_classes, self.num_classes)
+
+    def results(self) -> dict:
+        tp = np.diag(self.conf).astype(np.float64)
+        fp = self.conf.sum(0) - tp
+        fn = self.conf.sum(1) - tp
+        iou = tp / np.maximum(tp + fp + fn, 1)
+        acc = tp / np.maximum(self.conf.sum(1), 1)
+        valid = self.conf.sum(1) > 0
+        return {"mIoU": 100.0 * float(iou[valid].mean()) if valid.any() else 0.0,
+                "fwIoU": 100.0 * float((iou * self.conf.sum(1)).sum()
+                                       / max(self.conf.sum(), 1)),
+                "mACC": 100.0 * float(acc[valid].mean()) if valid.any() else 0.0,
+                "pACC": 100.0 * float(tp.sum() / max(self.conf.sum(), 1))}
+
+
+@register_pipeline("XDecoderPipeline")
+class XDecoderPipeline:
+    def __init__(self, cfg, model_cfg: XDecoderModelConfig, params,
+                 text_class_embeds, tasks: EvalTasks = EvalTasks()):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.params = params
+        self.text_class_embeds = text_class_embeds
+        self.tasks = tasks
+        self._eval_fn = None
+
+    def _build(self, out_size):
+        cfgm = self.model_cfg
+        self._eval_fn = jax.jit(lambda p, im, t: forward_eval(
+            p, cfgm, im, t, out_size=out_size))
+
+    def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
+                       thing_ids=frozenset(), warmup: int = 1) -> dict:
+        """dataset rows: {"image" [H,W,3] float (normalized), "sem_seg" [H,W]
+        int gt (optional), "image_id"}.  Returns metric dict + timing."""
+        rows = list(dataset)
+        if limit:
+            rows = rows[:limit]
+        sem_metrics = SemSegMetrics(self.model_cfg.num_classes)
+        pan_outputs = []
+        inst_outputs = []
+        data_t, compute_t, eval_t = [], [], []
+        t_last = time.perf_counter()
+        for i, row in enumerate(rows):
+            img = row["image"][None]
+            if self._eval_fn is None:
+                self._build(img.shape[1:3])
+            t0 = time.perf_counter()
+            data_t.append(t0 - t_last)
+            mask_cls, mask_pred, boxes = self._eval_fn(
+                self.params, jnp.asarray(img), self.text_class_embeds)
+            mask_cls.block_until_ready()
+            t1 = time.perf_counter()
+            compute_t.append(t1 - t0)
+            if self.tasks.semantic and "sem_seg" in row:
+                sem = semantic_inference(mask_cls[0], mask_pred[0])
+                pred = np.asarray(jnp.argmax(sem, axis=0))
+                sem_metrics.add(pred, row["sem_seg"])
+            if self.tasks.panoptic:
+                pan, segs = panoptic_inference_host(
+                    np.asarray(mask_cls[0]), np.asarray(mask_pred[0]), thing_ids,
+                    self.model_cfg.object_mask_threshold,
+                    self.model_cfg.overlap_threshold)
+                pan_outputs.append({"image_id": row.get("image_id"),
+                                    "panoptic": pan, "segments": segs})
+            if self.tasks.instance:
+                inst = instance_inference(mask_cls[0], mask_pred[0],
+                                          self.model_cfg.num_classes,
+                                          self.model_cfg.test_topk_per_image)
+                inst_outputs.append({
+                    "image_id": row.get("image_id"),
+                    "scores": np.asarray(inst["scores"]),
+                    "classes": np.asarray(inst["classes"]),
+                    "masks": np.asarray(inst["masks"]),
+                })
+            t_last = time.perf_counter()
+            eval_t.append(t_last - t1)
+        out: dict = {}
+        if self.tasks.semantic:
+            out["sem_seg"] = sem_metrics.results()
+        if self.tasks.panoptic:
+            out["panoptic_outputs"] = pan_outputs
+        if self.tasks.instance:
+            out["instance_outputs"] = inst_outputs
+        w = min(warmup, max(len(rows) - 1, 0))
+        out["timing"] = {
+            "data_s": float(np.mean(data_t[w:])) if data_t[w:] else 0.0,
+            "compute_s": float(np.mean(compute_t[w:])) if compute_t[w:] else 0.0,
+            "eval_s": float(np.mean(eval_t[w:])) if eval_t[w:] else 0.0,
+        }
+        return out
+
+
+@register_pipeline("RefCOCOPipeline")
+class RefCOCOPipeline:
+    """Referring segmentation eval: per-class grounding metrics + CSV
+    (pipeline/RefCOCOPipeline.py:86-180)."""
+
+    def __init__(self, cfg, model_cfg: XDecoderModelConfig, params,
+                 tokenize: Callable, class_names: Optional[list] = None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.params = params
+        self.tokenize = tokenize
+        self.class_names = class_names or []
+        self.total = GroundingMetrics()
+        self.per_class: dict = {}
+
+    def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
+                       out_dir: Optional[str] = None) -> dict:
+        rows = list(dataset)
+        if limit:
+            rows = rows[:limit]
+        for row in rows:
+            ids, mask = self.tokenize([row["text"]])
+            pred = evaluate_grounding(
+                self.params, self.model_cfg, jnp.asarray(row["image"][None]),
+                jnp.asarray(ids[None]), jnp.asarray(mask[None]),
+                out_size=row["gt_mask"].shape)
+            pred = np.asarray(pred[0])
+            self.total.add(pred, row["gt_mask"])
+            cls = row.get("category")
+            if cls is not None:
+                self.per_class.setdefault(cls, GroundingMetrics()).add(
+                    pred, row["gt_mask"])
+        results = self.total.results()
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "ref_coco.csv"), "w", newline="") as f:
+                w = csv.writer(f)
+                header = ["class"] + list(results.keys())
+                w.writerow(header)
+                for cls, gm in sorted(self.per_class.items()):
+                    r = gm.results()
+                    w.writerow([cls] + [round(r[k], 2) for k in results])
+                w.writerow(["TOTAL"] + [round(results[k], 2) for k in results])
+        return results

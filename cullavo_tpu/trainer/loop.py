@@ -1,0 +1,113 @@
+"""Training loop driver.
+
+Capability parity with trainer/default_trainer.py:147-198 + the pipeline
+``forward_step`` contract (pipeline/CuLLaVOPipeline.py:76-93): epochs ×
+batches with gradient accumulation, loss meters, periodic checkpointing at
+``updates_per_epoch // PERIOD`` boundaries, optional wandb scalars, LR/loss
+progress logging.
+
+TPU-first: the whole optimizer step is one jitted program (trainer/step.py);
+this loop only feeds batches, tracks host-side meters, and checkpoints.
+Per-step timing uses the data/compute split the reference scaffolds in
+XDecoderPipeline.py:126-153, as first-class here.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from cullavo_tpu.checkpoint.store import save_checkpoint
+from cullavo_tpu.trainer.step import TrainState
+
+
+class AverageMeter:
+    """Running average (trainer/utils/misc.py:17-37 equivalent)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, value: float, n: int = 1):
+        self.sum += float(value) * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / max(self.count, 1)
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    max_epochs: int = 1
+    checkpoint_period: int = 0      # checkpoints per epoch (PERIOD); 0 = end only
+    log_every: int = 10
+    save_dir: Optional[str] = None
+    wandb: bool = False
+
+
+def train_loop(
+    state: TrainState,
+    frozen_params: Any,
+    step_fn: Callable,              # jitted (state, frozen, batch, rng) -> (state, metrics)
+    data_iter_fn: Callable[[int], Iterable[dict]],  # epoch -> batch iterable
+    steps_per_epoch: int,
+    cfg: LoopConfig,
+    rng: jax.Array,
+    log_fn: Callable[[dict], None] = None,
+):
+    """Runs the loop; returns the final state and the loss history."""
+    history = []
+    loss_meter = AverageMeter()
+    data_time = AverageMeter()
+    step_time = AverageMeter()
+    ckpt_every = (steps_per_epoch // cfg.checkpoint_period
+                  if cfg.checkpoint_period else 0)
+    global_step = int(state.step)
+
+    logger = log_fn or (lambda d: None)
+    wandb_run = None
+    if cfg.wandb and jax.process_index() == 0:
+        try:
+            import wandb
+
+            wandb_run = wandb.run or wandb.init(project="cullavo_tpu")
+        except Exception:
+            wandb_run = None
+
+    for epoch in range(cfg.max_epochs):
+        t_last = time.perf_counter()
+        for i, batch in enumerate(data_iter_fn(epoch)):
+            t_data = time.perf_counter()
+            data_time.update(t_data - t_last)
+
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, frozen_params, batch, sub)
+            loss = float(metrics["loss_llm"]) if "loss_llm" in metrics else \
+                float(sum(v for k, v in metrics.items() if k.startswith("loss")))
+            t_step = time.perf_counter()
+            step_time.update(t_step - t_data)
+            t_last = t_step
+
+            loss_meter.update(loss)
+            global_step += 1
+            record = {"epoch": epoch, "step": global_step, "loss": loss,
+                      **{k: float(v) for k, v in metrics.items()}}
+            history.append(record)
+            if wandb_run is not None:
+                wandb_run.log(record, step=global_step)
+            if cfg.log_every and global_step % cfg.log_every == 0:
+                logger({"epoch": epoch, "step": global_step,
+                        "loss_avg": loss_meter.avg,
+                        "data_s": data_time.avg, "step_s": step_time.avg})
+            if ckpt_every and cfg.save_dir and (i + 1) % ckpt_every == 0:
+                save_checkpoint(cfg.save_dir, global_step, state)
+        if cfg.save_dir:
+            save_checkpoint(cfg.save_dir, global_step, state)
+    return state, history

@@ -43,15 +43,25 @@ def get_prompt_templates() -> list[str]:
     return list(_load()["CLIP_PROMPT_TEMPLATES"])
 
 
-def prompt_engineering(classname, topk: int = 1, suffix: str = ".", rng=random) -> str:
+def prompt_engineering(classname, topk: int = 1, suffix: str = ".", rng=None) -> str:
     """Sample one of the first ``topk`` templates and fill in the class name.
 
     Same behavior as the reference sampler (utils/prompt_engineering.py:90-98).
+    ``rng`` may be the ``random`` module, a ``random.Random``, or a numpy
+    ``Generator``.
     """
     templates = get_prompt_templates()
-    idx = rng.randrange(min(len(templates), topk))
+    n = min(len(templates), topk)
+    if rng is None:
+        rng = random
+    if hasattr(rng, "integers"):          # numpy Generator
+        idx = int(rng.integers(n))
+        pick = lambda seq: seq[int(rng.integers(len(seq)))]
+    else:
+        idx = rng.randrange(n)
+        pick = rng.choice
     if isinstance(classname, (list, tuple)):
-        classname = rng.choice(classname)
+        classname = pick(classname)
     return templates[idx].replace(".", suffix).format(classname.replace(",", "").replace("+", " "))
 
 

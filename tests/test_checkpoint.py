@@ -1,0 +1,60 @@
+"""Checkpoint store tests: roundtrip, resume, adapters, HF export/import."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.checkpoint.store import (latest_step, load_adapters,
+                                          load_checkpoint, save_adapters,
+                                          save_checkpoint)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "lst": [jnp.ones(2), jnp.zeros(3)]},
+        "opt": {"count": jnp.int32(5), "nothing": None},
+        "step": jnp.int32(7),
+    }
+    save_checkpoint(str(tmp_path), 7, state)
+    assert latest_step(str(tmp_path)) == 7
+    loaded = load_checkpoint(str(tmp_path))
+    np.testing.assert_array_equal(loaded["params"]["w"], np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(loaded["params"]["lst"][1], np.zeros(3))
+    assert loaded["opt"]["nothing"] is None
+    assert int(loaded["step"]) == 7
+    # multiple steps → latest wins
+    save_checkpoint(str(tmp_path), 12, state)
+    assert latest_step(str(tmp_path)) == 12
+
+
+def test_adapters_roundtrip(tmp_path):
+    lora = {"language_model": {"q": {"a": jnp.ones((2, 4, 2)), "b": jnp.zeros((2, 2, 4))}}}
+    save_adapters(str(tmp_path / "ad"), lora, {"r": 2, "alpha": 16})
+    loaded, cfg = load_adapters(str(tmp_path / "ad"))
+    assert cfg["r"] == 2
+    np.testing.assert_array_equal(loaded["language_model"]["q"]["a"], np.ones((2, 4, 2)))
+
+
+def test_hf_export_reimport(tmp_path):
+    from cullavo_tpu.checkpoint.hf_import import from_hf_state_dict
+    from cullavo_tpu.checkpoint.store import export_hf
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+
+    cfg = tiny_llava_config(128)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    export_hf(str(tmp_path / "hf"), params, cfg)
+
+    from safetensors import safe_open
+
+    state = {}
+    with safe_open(str(tmp_path / "hf" / "model.safetensors"), framework="np") as f:
+        for k in f.keys():
+            state[k] = f.get_tensor(k)
+    re = from_hf_state_dict(state, cfg)
+    p1 = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(params)}
+    p2 = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(re)}
+    assert set(p1) == set(p2)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
+                                   atol=1e-6, err_msg=k)

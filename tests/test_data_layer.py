@@ -1,0 +1,73 @@
+"""Data layer tests: registry, rgb2id, panoptic mapping, target padding."""
+import numpy as np
+import pytest
+
+from cullavo_tpu.data import registry
+from cullavo_tpu.data.coco_panoptic import (PanopticMapper, id2rgb,
+                                            pad_targets, rgb2id)
+
+
+def setup_function(_):
+    registry.clear()
+
+
+def test_registry_roundtrip():
+    registry.register_dataset("toy_train", lambda: [{"a": 1}], {"classes": ["x"]})
+    assert registry.get_dataset("toy_train") == [{"a": 1}]
+    assert registry.get_metadata("toy_train")["classes"] == ["x"]
+    assert "toy_train" in registry.list_datasets()
+    with pytest.raises(KeyError):
+        registry.register_dataset("toy_train", lambda: [])
+    with pytest.raises(KeyError):
+        registry.get_dataset("missing")
+
+
+def test_rgb2id_roundtrip():
+    ids = np.array([[0, 1], [256, 70000]], np.int64)
+    np.testing.assert_array_equal(rgb2id(id2rgb(ids)), ids)
+
+
+def _toy_record():
+    H = W = 32
+    pan_ids = np.zeros((H, W), np.int64)
+    pan_ids[2:10, 3:12] = 7       # thing segment
+    pan_ids[20:30, 5:25] = 9      # stuff segment
+    pan_ids[12:14, 28:31] = 11    # crowd (filtered)
+    img = np.random.default_rng(0).integers(0, 255, (H, W, 3), dtype=np.uint8)
+    return {
+        "image": img,
+        "pan_seg": id2rgb(pan_ids),
+        "image_id": 42,
+        "segments_info": [
+            {"id": 7, "category_id": 0, "iscrowd": 0, "isthing": True},
+            {"id": 9, "category_id": 5, "iscrowd": 0, "isthing": False},
+            {"id": 11, "category_id": 1, "iscrowd": 1, "isthing": True},
+        ],
+    }
+
+
+def test_panoptic_mapper():
+    mapper = PanopticMapper(image_size=64)
+    out = mapper(_toy_record())
+    assert out["image"].shape == (64, 64, 3)
+    assert out["classes"].tolist() == [0, 5]     # crowd filtered
+    assert out["is_thing"].tolist() == [True, False]
+    assert out["masks"].shape == (2, 64, 64)
+    # box of segment 7 scaled 32→64: x in [6, 24), y in [4, 20)
+    b = out["boxes"][0]
+    assert 5 <= b[0] <= 7 and 3 <= b[1] <= 5 and 23 <= b[2] <= 25 and 19 <= b[3] <= 21
+    # mask area roughly scales (8x9 → 4x area at 2x scale)
+    assert abs(out["masks"][0].sum() - 4 * 8 * 9) / (4 * 8 * 9) < 0.3
+
+
+def test_pad_targets():
+    mapper = PanopticMapper(image_size=64)
+    m = mapper(_toy_record())
+    batch = pad_targets([m, None], max_instances=4, mask_size=32)
+    assert batch["image"].shape == (2, 64, 64, 3)
+    assert batch["classes"].shape == (2, 4)
+    assert batch["valid"][0].tolist() == [True, True, False, False]
+    assert not batch["valid"][1].any()
+    assert batch["masks"].shape == (2, 4, 32, 32)
+    # boxes normalized cxcywh in [0, 1]
+    assert (batch["boxes"] >= 0).all() and (batch["boxes"] <= 1).all()

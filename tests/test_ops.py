@@ -1,0 +1,149 @@
+"""Kernel parity tests (Pallas interpret mode on CPU) — the reference's
+native-op test pattern (ops/test.py:35-92): every custom kernel is checked
+against a slow trusted implementation, forward and backward."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.ops.flash_attention import (flash_attention, flash_decode,
+                                             mha_reference)
+from cullavo_tpu.ops.nf4 import (NF4Tensor, dequantize_nf4, nf4_matmul,
+                                 nf4_matmul_fused, quantize_nf4,
+                                 quantize_nf4_numpy_reference)
+
+
+def _qkv(B=2, H=4, T=128, S=None, d=64, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    S = S or T
+    q = jnp.asarray(rng.normal(size=(B, H, T, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(B, H, S, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(B, H, S, d)), dtype)
+    return q, k, v
+
+
+def test_flash_forward_causal_matches_reference():
+    q, k, v = _qkv()
+    out = flash_attention(q, k, v, causal=True, block_q=32, block_k=32)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_forward_padded_keys():
+    B, T = 2, 64
+    q, k, v = _qkv(B=B, T=T)
+    kv_valid = np.ones((B, T), np.int32)
+    kv_valid[0, 40:] = 0
+    kv_valid[1, 10:] = 0
+    out = flash_attention(q, k, v, kv_valid=jnp.asarray(kv_valid),
+                          causal=True, block_q=16, block_k=16)
+    ref = mha_reference(q, k, v, causal=True, kv_valid=jnp.asarray(kv_valid))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_noncausal():
+    q, k, v = _qkv(T=32)
+    out = flash_attention(q, k, v, causal=False, block_q=16, block_k=16)
+    ref = mha_reference(q, k, v, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_custom_positions():
+    """Packed/offset positions: query at logical position p sees keys ≤ p."""
+    B, T = 1, 32
+    q, k, v = _qkv(B=B, T=T)
+    pos = jnp.asarray(np.arange(5, 5 + T)[None, :], jnp.int32)  # offset window
+    out = flash_attention(q, k, v, q_positions=pos, causal=True,
+                          block_q=16, block_k=16)
+    ref = mha_reference(q, k, v, causal=True, positions=pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_backward_matches_reference():
+    q, k, v = _qkv(B=1, H=2, T=32, d=32)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, block_q=16,
+                                       block_k=16) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   rtol=5e-4, err_msg=name)
+
+
+def test_flash_decode_matches_reference():
+    B, H, KV, S, d = 2, 8, 4, 64, 32
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, H, 1, d)), jnp.float32)
+    k_cache = jnp.asarray(rng.normal(size=(B, KV, S, d)), jnp.float32)
+    v_cache = jnp.asarray(rng.normal(size=(B, KV, S, d)), jnp.float32)
+    q_position = jnp.asarray([30, 50], jnp.int32)
+    kv_valid = np.zeros((B, S), np.int32)
+    kv_valid[0, :31] = 1
+    kv_valid[1, :51] = 1
+
+    out = flash_decode(q, k_cache, v_cache, q_position, jnp.asarray(kv_valid),
+                       block_k=16)
+
+    group = H // KV
+    k_full = jnp.repeat(k_cache, group, axis=1)
+    v_full = jnp.repeat(v_cache, group, axis=1)
+    ref = mha_reference(q, k_full, v_full, causal=True,
+                        positions=q_position[:, None],
+                        kv_valid=jnp.asarray(kv_valid))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# NF4
+# ---------------------------------------------------------------------------
+
+def test_nf4_roundtrip_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 128)).astype(np.float32) * 0.05
+    t = quantize_nf4(jnp.asarray(x), double_quant=False)
+    deq = np.asarray(dequantize_nf4(t))
+    _, _, oracle = quantize_nf4_numpy_reference(x)
+    np.testing.assert_allclose(deq, oracle, atol=1e-6)
+
+
+def test_nf4_exact_on_codebook_multiples():
+    from cullavo_tpu.ops.nf4 import NF4_CODE
+    absmax = 0.37
+    x = (NF4_CODE * absmax).astype(np.float32)
+    x = np.tile(x, 8)[:64].reshape(1, 64)  # one block
+    t = quantize_nf4(jnp.asarray(x), double_quant=False)
+    deq = np.asarray(dequantize_nf4(t))
+    np.testing.assert_allclose(deq, x, atol=1e-6)
+
+
+def test_nf4_double_quant_error_small():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(256, 256)).astype(np.float32) * 0.02
+    t_dq = quantize_nf4(jnp.asarray(x), double_quant=True)
+    t_nd = quantize_nf4(jnp.asarray(x), double_quant=False)
+    d_dq = np.asarray(dequantize_nf4(t_dq))
+    d_nd = np.asarray(dequantize_nf4(t_nd))
+    # double-quant adds only absmax-rounding error (<1% of scale)
+    extra = np.abs(d_dq - d_nd).max()
+    base = np.abs(x).max()
+    assert extra < 0.02 * base, (extra, base)
+    # storage: absmax is int8
+    assert t_dq.absmax.dtype == jnp.int8
+
+
+def test_nf4_matmul_fused_matches_xla():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(16, 128)).astype(np.float32))
+    w = rng.normal(size=(128, 256)).astype(np.float32) * 0.1
+    t = quantize_nf4(jnp.asarray(w), double_quant=True)
+    ref = nf4_matmul(x, t)
+    fused = nf4_matmul_fused(x, t, block_n=128)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -1,0 +1,236 @@
+"""X-Decoder stack tests: shapes, mask invariants, matcher parity, criterion."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.models.xdecoder.criterion import CriterionConfig, set_criterion
+from cullavo_tpu.models.xdecoder.decoder import (XDecoderConfig,
+                                                 grounding_self_attn_allowed,
+                                                 init_xdecoder_params,
+                                                 sine_position_embedding,
+                                                 structured_self_attn_allowed,
+                                                 xdecoder_forward)
+from cullavo_tpu.models.xdecoder.focalnet import (FocalNetConfig,
+                                                  focalnet_forward,
+                                                  init_focalnet_params)
+from cullavo_tpu.models.xdecoder.fpn import FPNConfig, fpn_forward, init_fpn_params
+from cullavo_tpu.models.xdecoder.matcher import (batch_dice_cost,
+                                                 batch_sigmoid_ce_cost,
+                                                 compute_match_costs,
+                                                 hungarian_match)
+from cullavo_tpu.models.xdecoder.text_encoder import (TextEncoderConfig,
+                                                      compute_similarity,
+                                                      forward_language,
+                                                      forward_language_token,
+                                                      init_text_encoder_params)
+
+TINY_DEC = XDecoderConfig(hidden_dim=64, num_queries=9, nheads=4,
+                          dim_feedforward=128, dec_layers=3, mask_dim=32,
+                          dim_proj=32, contxt_len=8, in_channels=64)
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs():
+    """backbone → fpn → decoder on a tiny config."""
+    fn_cfg = FocalNetConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                            focal_levels=(2, 2, 2, 2), focal_windows=(3, 3, 3, 3))
+    fpn_cfg = FPNConfig(in_channels=(16, 32, 64, 128), conv_dim=64, mask_dim=32,
+                        gn_groups=8, enc_layers=2, enc_heads=4, enc_ffn=128)
+    k = jax.random.PRNGKey(0)
+    fn_p = init_focalnet_params(fn_cfg, k)
+    fpn_p = init_fpn_params(fpn_cfg, jax.random.PRNGKey(1))
+    dec_p = init_xdecoder_params(TINY_DEC, jax.random.PRNGKey(2))
+    images = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    feats = focalnet_forward(fn_p, fn_cfg, images)
+    mask_features, tr_feats, pyramid = fpn_forward(fpn_p, fpn_cfg, feats)
+    text_embeds = jax.random.normal(jax.random.PRNGKey(4), (7, 32))
+    out = xdecoder_forward(dec_p, TINY_DEC, pyramid, mask_features,
+                           text_class_embeds=text_embeds, logit_scale=jnp.zeros(()))
+    return feats, mask_features, pyramid, out
+
+
+def test_backbone_fpn_shapes(pipeline_outputs):
+    feats, mask_features, pyramid, _ = pipeline_outputs
+    assert feats["res2"].shape == (2, 16, 16, 16)
+    assert feats["res5"].shape == (2, 2, 2, 128)
+    assert mask_features.shape == (2, 16, 16, 32)   # res2 resolution, mask_dim
+    assert [p.shape[1] for p in pyramid] == [2, 4, 8]  # res5', res4', res3'
+    assert all(p.shape[-1] == 64 for p in pyramid)
+
+
+def test_decoder_outputs(pipeline_outputs):
+    *_, out = pipeline_outputs
+    assert out["pred_logits"].shape == (2, TINY_DEC.num_queries, 7)
+    assert out["pred_masks"].shape == (2, TINY_DEC.num_queries, 16, 16)
+    assert out["pred_boxes"].shape == (2, TINY_DEC.num_queries, 4)
+    assert len(out["aux_outputs"]) == TINY_DEC.dec_layers
+    for v in (out["pred_logits"], out["pred_masks"]):
+        assert bool(jnp.isfinite(v).all())
+
+
+def test_structured_attn_mask():
+    cfg = TINY_DEC
+    nq, cl = cfg.num_queries, cfg.contxt_len
+    m = np.asarray(structured_self_attn_allowed(cfg, with_caption=True))
+    # object queries don't see class token or captions
+    assert not m[0, nq - 1] and not m[0, nq]
+    # class token doesn't see object queries but sees itself
+    assert not m[nq - 1, 0] and m[nq - 1, nq - 1]
+    # captions: causal among themselves, see queries
+    assert m[nq + 3, nq + 2] and not m[nq + 2, nq + 3]
+    assert m[nq + 1, 0]
+    g = np.asarray(grounding_self_attn_allowed(cfg, 5))
+    assert g[nq + 1, nq + 2] and not g[0, nq + 1] and not g[nq + 1, 0]
+
+
+def test_sine_pe_shape_and_range():
+    pe = sine_position_embedding(8, 4, 64)
+    assert pe.shape == (32, 64)
+    assert float(jnp.max(jnp.abs(pe))) <= 1.0 + 1e-6
+
+
+def test_text_encoder():
+    cfg = TextEncoderConfig(vocab_size=64, width=32, heads=4, layers=2,
+                            context_length=16, dim_lang=32)
+    p = init_text_encoder_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 40, size=(3, 16)))
+    ids = ids.at[:, 5].set(63)  # max id = EOT position marker
+    mask = jnp.ones((3, 16), jnp.int32)
+    emb = forward_language(p, cfg, ids, mask)
+    assert emb.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-5)
+    token, cls = forward_language_token(p, cfg, ids, mask, norm=True)
+    assert token.shape == (3, 16, 32)
+    sim = compute_similarity(p, emb[None], emb)
+    assert sim.shape == (1, 3, 3)
+    # causal: changing a later token must not affect earlier hidden states
+    ids2 = ids.at[:, 10].set(7)
+    t2, _ = forward_language_token(p, cfg, ids2, mask)
+    t1, _ = forward_language_token(p, cfg, ids, mask)
+    np.testing.assert_allclose(np.asarray(t1)[:, :10], np.asarray(t2)[:, :10], atol=1e-5)
+
+
+def test_cost_functions_match_naive():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(5, 32)).astype(np.float32))
+    t = jnp.asarray((rng.random((3, 32)) > 0.5).astype(np.float32))
+    bce = np.asarray(batch_sigmoid_ce_cost(q, t))
+    # naive
+    import scipy.special as sp
+    qn = np.asarray(q)
+    tn = np.asarray(t)
+    naive = np.zeros((5, 3))
+    for i in range(5):
+        for j in range(3):
+            p = qn[i]
+            naive[i, j] = np.mean(np.maximum(p, 0) - p * tn[j] + np.log1p(np.exp(-np.abs(p))))
+    np.testing.assert_allclose(bce, naive, rtol=1e-5)
+    dice = np.asarray(batch_dice_cost(q, t))
+    probs = sp.expit(qn)
+    for i in range(5):
+        for j in range(3):
+            d = 1 - (2 * (probs[i] * tn[j]).sum() + 1) / (probs[i].sum() + tn[j].sum() + 1)
+            np.testing.assert_allclose(dice[i, j], d, rtol=1e-5)
+
+
+def test_hungarian_matches_scipy():
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.default_rng(1)
+    cost = rng.random((2, 6, 4)).astype(np.float32)
+    n_valid = np.asarray([4, 2], np.int32)
+    cost[1, :, 2:] = 1e8
+    src, valid = jax.jit(hungarian_match)(jnp.asarray(cost), jnp.asarray(n_valid))
+    src, valid = np.asarray(src), np.asarray(valid)
+    for b, n in enumerate(n_valid):
+        r, c = linear_sum_assignment(cost[b, :, :n])
+        order = np.argsort(c)
+        np.testing.assert_array_equal(src[b, :n], r[order])
+        assert valid[b, :n].all() and not valid[b, n:].any()
+
+
+def test_criterion_losses_finite_and_sensitive(pipeline_outputs):
+    *_, out = pipeline_outputs
+    B, N, H, W = 2, 4, 16, 16
+    rng = np.random.default_rng(0)
+    targets = {
+        "classes": jnp.asarray(rng.integers(0, 6, size=(B, N))),
+        "masks": jnp.asarray((rng.random((B, N, H, W)) > 0.7).astype(np.float32)),
+        "boxes": jnp.asarray(rng.random((B, N, 4)).astype(np.float32) * 0.5),
+        "valid": jnp.asarray([[1, 1, 1, 0], [1, 0, 0, 0]], jnp.bool_),
+    }
+    cfg = CriterionConfig(num_classes=6, num_points=256, top_x_layers_class=2,
+                          top_x_layers_mask=2, top_x_layers_box=2)
+    losses = set_criterion(out, targets, cfg, jax.random.PRNGKey(0))
+    assert "loss_ce" in losses and "loss_mask_bce" in losses and "loss_bbox" in losses
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+    total = sum(losses.values())
+    assert float(total) > 0
+
+
+def test_model_assembly_eval_and_train():
+    from cullavo_tpu.models.xdecoder.model import (
+        forward_eval, forward_seg_train, init_xdecoder_model_params,
+        instance_inference, panoptic_inference_host, semantic_inference,
+        tiny_xdecoder_config)
+
+    cfg = tiny_xdecoder_config()
+    params = init_xdecoder_model_params(cfg, jax.random.PRNGKey(0))
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    text_embeds = jax.random.normal(jax.random.PRNGKey(2), (cfg.num_classes + 1, 32))
+
+    mask_cls, mask_pred, boxes = forward_eval(params, cfg, images, text_embeds,
+                                              out_size=(64, 64))
+    assert mask_cls.shape == (2, 9, 7)
+    assert mask_pred.shape == (2, 9, 64, 64)
+
+    sem = semantic_inference(mask_cls[0], mask_pred[0])
+    assert sem.shape == (cfg.num_classes, 64, 64)
+
+    inst = instance_inference(mask_cls[0], mask_pred[0], cfg.num_classes, topk=5)
+    assert inst["masks"].shape == (5, 64, 64)
+    assert inst["scores"].shape == (5,)
+
+    pan, segs = panoptic_inference_host(np.asarray(mask_cls[0]),
+                                        np.asarray(mask_pred[0]),
+                                        thing_ids={0, 1, 2},
+                                        object_mask_threshold=0.0)
+    assert pan.shape == (64, 64)
+
+    rng = np.random.default_rng(0)
+    targets = {
+        "classes": jnp.asarray(rng.integers(0, 6, size=(2, 3))),
+        "masks": jnp.asarray((rng.random((2, 3, 16, 16)) > 0.7).astype(np.float32)),
+        "boxes": jnp.asarray(rng.random((2, 3, 4)).astype(np.float32) * 0.5),
+        "valid": jnp.asarray([[1, 1, 0], [1, 0, 0]], jnp.bool_),
+    }
+    losses = forward_seg_train(params, cfg, images, targets, text_embeds,
+                               jax.random.PRNGKey(3))
+    assert any(k.startswith("loss_ce") for k in losses)
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+
+
+def test_grounding_eval_path():
+    from cullavo_tpu.models.xdecoder.model import (
+        evaluate_grounding, init_xdecoder_model_params, tiny_xdecoder_config)
+
+    cfg = tiny_xdecoder_config()
+    params = init_xdecoder_model_params(cfg, jax.random.PRNGKey(0))
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    rng = np.random.default_rng(0)
+    # one phrase per image, context length 8; decoder hidden==... dim_lang must
+    # equal decoder hidden_dim for direct grounding-token feeding
+    text_ids = jnp.asarray(rng.integers(1, 63, size=(2, 1, 8)))
+    text_mask = jnp.ones((2, 1, 8), jnp.int32)
+    # project text tokens to decoder dim via lang_proj output (32) -> decoder 64
+    # tiny config mismatch: lift dim by padding in the call for the test
+    import cullavo_tpu.models.xdecoder.model as M
+    import cullavo_tpu.models.xdecoder.text_encoder as te
+
+    tok, cls = te.forward_language_token(params["text"], cfg.text,
+                                         text_ids.reshape(-1, 8),
+                                         text_mask.reshape(-1, 8))
+    assert tok.shape[-1] == 32
