@@ -150,4 +150,7 @@ def export_hf(out_dir: str, params: Any, llava_cfg) -> None:
     from cullavo_tpu.checkpoint.hf_import import to_hf_state_dict
 
     state = to_hf_state_dict(jax.tree.map(np.asarray, params), llava_cfg)
+    # safetensors serializes the raw buffer; transposed views MUST be
+    # contiguized or the file silently holds the untransposed bytes
+    state = {k: np.ascontiguousarray(v) for k, v in state.items()}
     save_file(state, os.path.join(out_dir, "model.safetensors"))
