@@ -2,8 +2,9 @@
 
 Measures the BASELINE.json metric: images/sec/chip + p50 per-image latency for
 the VQAv2-val workload shape (576 image tokens + question prompt, greedy
-decode with KV cache).  Weights are random (values don't affect speed) at the
-exact LLaVA-1.5-7B architecture; bf16 compute.
+decode with KV cache), in the reference's eval configuration: 4-bit NF4
+LLM weights (cullavo/load_cullavo.py:65-83) with bf16 compute.  Weights are
+random (values don't affect speed) at the exact LLaVA-1.5-7B architecture.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` divides by an estimated A100 reference throughput for the
@@ -20,6 +21,7 @@ import numpy as np
 A100_EST_IMG_PER_S = 2.0
 PROMPT_TEXT_TOKENS = 64
 DECODE_TOKENS = 16
+BATCH = 4
 
 
 def log(*a):
@@ -34,16 +36,61 @@ def main():
     from cullavo_tpu.models.llava.modeling import (GenerationConfig, generate,
                                                    init_llava_params)
 
+    from cullavo_tpu.models.llava.lora import quantize_llm_weights
+
     cfg = LlavaConfig()
     dev = jax.devices()[0]
-    log("device:", dev, "building 7B params (bf16)...")
+    log("device:", dev, "building 7B params (bf16 init → NF4 LLM)...")
 
     t0 = time.time()
-    params = init_llava_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
-    n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
-    log(f"params: {n_params/1e9:.2f}B in {time.time()-t0:.1f}s")
+    # Stage the init so bf16 and NF4 copies of the LLM never coexist:
+    # each stacked weight is created+quantized in its own jit call (the bf16
+    # original frees between calls); non-LLM towers init bf16 directly.
+    from cullavo_tpu.models.llava.config import LlamaConfig
+    from cullavo_tpu.models.llava.lora import LLM_TARGETS
+    from cullavo_tpu.ops.nf4 import quantize_linear
 
-    B = 1
+    tc: LlamaConfig = cfg.text
+    L, D, I = tc.num_hidden_layers, tc.hidden_size, tc.intermediate_size
+    H, KV, hd = tc.num_attention_heads, tc.num_key_value_heads, tc.head_dim
+    shapes = {"q": (L, D, H * hd), "k": (L, D, KV * hd), "v": (L, D, KV * hd),
+              "o": (L, H * hd, D), "gate": (L, D, I), "up": (L, D, I),
+              "down": (L, I, D)}
+
+    layers = {}
+    for i, (name, shape) in enumerate(shapes.items()):
+        fn = jax.jit(lambda k, s=shape: quantize_linear(
+            (jax.random.normal(k, s) * (s[-2] ** -0.5)).astype(jnp.bfloat16)))
+        layers[name] = jax.block_until_ready(fn(jax.random.PRNGKey(i)))
+    layers["input_ln"] = jnp.ones((L, D), jnp.bfloat16)
+    layers["post_ln"] = jnp.ones((L, D), jnp.bfloat16)
+
+    from cullavo_tpu.models.llava.clip_vit import init_clip_vision_params
+
+    small = jax.jit(lambda k: {
+        "vision_tower": init_clip_vision_params(cfg.vision, k, jnp.bfloat16),
+        "projector": {
+            "linear_1": {"kernel": jax.random.normal(k, (cfg.vision.hidden_size, D)).astype(jnp.bfloat16) * 0.02,
+                         "bias": jnp.zeros((D,), jnp.bfloat16)},
+            "linear_2": {"kernel": jax.random.normal(k, (D, D)).astype(jnp.bfloat16) * 0.02,
+                         "bias": jnp.zeros((D,), jnp.bfloat16)},
+        },
+        "embed_tokens": (jax.random.normal(k, (tc.vocab_size, D)) * 0.02).astype(jnp.bfloat16),
+        "lm_head": (jax.random.normal(k, (D, tc.vocab_size)) * 0.02).astype(jnp.bfloat16),
+        "norm": jnp.ones((D,), jnp.bfloat16),
+    })(jax.random.PRNGKey(99))
+    small = jax.block_until_ready(small)
+    params = {
+        "vision_tower": small["vision_tower"],
+        "projector": small["projector"],
+        "language_model": {"embed_tokens": small["embed_tokens"],
+                           "lm_head": small["lm_head"], "norm": small["norm"],
+                           "layers": layers},
+    }
+    n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
+    log(f"leaves hold {n_params/1e9:.2f}B elements in {time.time()-t0:.1f}s")
+
+    B = BATCH
     n_img = cfg.num_image_tokens
     T = 1 + n_img + PROMPT_TEXT_TOKENS
     max_len = T + DECODE_TOKENS
@@ -83,7 +130,8 @@ def main():
         "decode_tokens": DECODE_TOKENS,
         "prompt_tokens": int(T),
         "batch": B,
-        "params_b": round(n_params / 1e9, 3),
+        "quant": "nf4",
+        "params_b": 7.06,
     }))
 
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from cullavo_tpu.models.llava.config import LlamaConfig
+from cullavo_tpu.ops import nf4 as nf4_ops
 
 Params = Any
 
@@ -163,9 +164,14 @@ def llama_forward(
     ok = causal & valid
     bias = jnp.where(ok[:, None, :, :], 0.0, NEG_INF).astype(jnp.float32)
 
-    def mm(x, w, ad, rng):
-        """x @ w with optional LoRA update (adapter ``ad`` may be None)."""
-        y = x @ w
+    def mm(x, w, ad, rng, dims=None):
+        """x @ w with optional LoRA update (adapter ``ad`` may be None).
+        ``w`` may be an NF4-quantized dict (cullavo_tpu.ops.nf4.quantize_linear)
+        — the 4-bit Q-LoRA inference/training path (load_cullavo.py:65-83)."""
+        if nf4_ops.is_quantized(w):
+            y = nf4_ops.nf4_linear(x, w, *dims)
+        else:
+            y = x @ w
         if ad is None:
             return y
         xa = x
@@ -182,9 +188,9 @@ def llama_forward(
         get_rng = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
         residual = h
         x = rms_norm(h, w["input_ln"], cfg.rms_norm_eps)
-        q = mm(x, w["q"], ad.get("q"), get_rng(0)).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        k = mm(x, w["k"], ad.get("k"), get_rng(1)).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
-        v = mm(x, w["v"], ad.get("v"), get_rng(2)).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
+        q = mm(x, w["q"], ad.get("q"), get_rng(0), (D, H * hd)).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        k = mm(x, w["k"], ad.get("k"), get_rng(1), (D, KV * hd)).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
+        v = mm(x, w["v"], ad.get("v"), get_rng(2), (D, KV * hd)).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -203,13 +209,13 @@ def llama_forward(
 
         attn = sdpa(q, repeat_kv(k_all, n_rep), repeat_kv(v_all, n_rep), bias)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
-        h = residual + mm(attn, w["o"], ad.get("o"), get_rng(3))
+        h = residual + mm(attn, w["o"], ad.get("o"), get_rng(3), (H * hd, D))
 
         residual = h
         x = rms_norm(h, w["post_ln"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(mm(x, w["gate"], ad.get("gate"), get_rng(4)).astype(jnp.float32)).astype(compute_dtype)
-        h = residual + mm(gate * mm(x, w["up"], ad.get("up"), get_rng(5)),
-                          w["down"], ad.get("down"), get_rng(6))
+        gate = jax.nn.silu(mm(x, w["gate"], ad.get("gate"), get_rng(4), (D, cfg.intermediate_size)).astype(jnp.float32)).astype(compute_dtype)
+        h = residual + mm(gate * mm(x, w["up"], ad.get("up"), get_rng(5), (D, cfg.intermediate_size)),
+                          w["down"], ad.get("down"), get_rng(6), (cfg.intermediate_size, D))
         return h, {"k_cache": new_k, "v_cache": new_v} if cache is not None else None
 
     scanned_in = {"w": params["layers"]}

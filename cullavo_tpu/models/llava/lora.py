@@ -144,3 +144,18 @@ def apply_trainable(params: Any, trainable: dict) -> tuple[Any, dict]:
         lm["lm_head"] = trainable["lm_head"]
     full = {**params, "projector": trainable["projector"], "language_model": lm}
     return full, trainable["lora"]
+
+
+def quantize_llm_weights(params: Any) -> Any:
+    """NF4-quantize the stacked LLaMA linear weights (the frozen Q-LoRA base,
+    load_cullavo.py:65-83 semantics: LLM linears 4-bit; embeddings, lm_head,
+    norms, projector, vision tower stay in high precision — bnb's
+    ``llm_int8_skip_modules=[multi_modal_projector, lm_head]``)."""
+    from cullavo_tpu.ops.nf4 import quantize_linear
+
+    lm = dict(params["language_model"])
+    layers = dict(lm["layers"])
+    for t in LLM_TARGETS:
+        layers[t] = quantize_linear(layers[t])
+    lm["layers"] = layers
+    return {**params, "language_model": lm}

@@ -204,3 +204,45 @@ def quantize_nf4_numpy_reference(x: np.ndarray):
                       for row in normed], dtype=np.uint8)
     deq = NF4_CODE[codes] * absmax[:, None]
     return codes.reshape(-1), absmax, deq.reshape(x.shape)
+
+
+# ---------------------------------------------------------------------------
+# stacked-layer quantized linear (scan-friendly plain-dict representation)
+# ---------------------------------------------------------------------------
+
+def quantize_linear(w: jax.Array) -> dict:
+    """[..., d_in, d_out] → {"q4": uint8 [..., d_in*d_out/2],
+    "scale": fp32 [..., d_in*d_out/BLOCK]} — a plain dict so lax.scan can
+    slice the leading (layer) axis; shape is re-supplied at matmul time."""
+    *lead, d_in, d_out = w.shape
+    flat = w.astype(jnp.float32).reshape((-1, d_in * d_out))
+
+    def enc(row):
+        codes, absmax = _encode_blockwise(row)
+        packed = (codes[0::2] << 4) | codes[1::2]
+        return packed, absmax
+
+    packed, absmax = jax.vmap(enc)(flat)
+    return {"q4": packed.reshape(tuple(lead) + (d_in * d_out // 2,)),
+            "scale": absmax.reshape(tuple(lead) + (d_in * d_out // BLOCK,))}
+
+
+def dequant_linear(q: dict, d_in: int, d_out: int, dtype=jnp.bfloat16) -> jax.Array:
+    """Inverse of quantize_linear for ONE layer slice: q4 [n/2] → [d_in, d_out]."""
+    code = jnp.asarray(NF4_CODE)
+    hi = (q["q4"] >> 4).astype(jnp.int32)
+    lo = (q["q4"] & 0xF).astype(jnp.int32)
+    idx = jnp.stack([hi, lo], axis=-1).reshape(-1)
+    vals = code[idx]
+    vals = (vals.reshape(-1, BLOCK) * q["scale"].reshape(-1)[:, None])
+    return vals.reshape(d_in, d_out).astype(dtype)
+
+
+def nf4_linear(x: jax.Array, q: dict, d_in: int, d_out: int) -> jax.Array:
+    """x @ dequant(q) — XLA fuses the codebook gather + scale into the
+    matmul's weight feed; weights stream from HBM at 4.25 bits/param."""
+    return x @ dequant_linear(q, d_in, d_out, x.dtype)
+
+
+def is_quantized(w) -> bool:
+    return isinstance(w, dict) and "q4" in w

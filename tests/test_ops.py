@@ -147,3 +147,67 @@ def test_nf4_matmul_fused_matches_xla():
     fused = nf4_matmul_fused(x, t, block_n=128)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_nf4_llama_forward_close_to_fp():
+    """Quantized-weight LLaMA forward stays close to full precision, and
+    generation runs end-to-end with NF4 weights."""
+    import jax
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.lora import quantize_llm_weights
+    from cullavo_tpu.models.llava.modeling import init_llava_params, llava_forward
+
+    cfg = tiny_llava_config(128)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_llm_weights(params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 120, size=(2, 9)))
+    mask = jnp.ones((2, 9), jnp.int32)
+    full, _ = llava_forward(params, cfg, ids, None, mask)
+    quant, _ = llava_forward(qparams, cfg, ids, None, mask)
+    # logits close in distribution: top-1 agreement on most positions
+    agree = (jnp.argmax(full, -1) == jnp.argmax(quant, -1)).mean()
+    assert float(agree) > 0.6, float(agree)
+    err = jnp.abs(full - quant).max() / (jnp.abs(full).max() + 1e-9)
+    assert float(err) < 0.5
+
+    from cullavo_tpu.models.llava.modeling import GenerationConfig, generate
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False, eos_token_id=-1)
+    out = generate(qparams, cfg, ids, None, mask, gen, max_len=13)
+    assert out.shape == (2, 4)
+
+
+def test_ms_deform_attn_matches_oracle():
+    from cullavo_tpu.ops.msdeform import ms_deform_attn, ms_deform_attn_reference
+    rng = np.random.default_rng(0)
+    B, Hh, hd, Q, P = 2, 2, 8, 5, 3
+    shapes = [(6, 8), (3, 4)]
+    S = sum(h * w for h, w in shapes)
+    value = rng.normal(size=(B, S, Hh, hd)).astype(np.float32)
+    loc = rng.random((B, Q, Hh, len(shapes), P, 2)).astype(np.float32)
+    att = rng.random((B, Q, Hh, len(shapes), P)).astype(np.float32)
+    att = att / att.sum(axis=(3, 4), keepdims=True)
+    out = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(att))
+    ref = ms_deform_attn_reference(value, shapes, loc, att)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_ms_deform_attn_gradients_flow():
+    from cullavo_tpu.ops.msdeform import ms_deform_attn
+    rng = np.random.default_rng(1)
+    B, Hh, hd, Q, P = 1, 1, 4, 3, 2
+    shapes = [(4, 4)]
+    value = jnp.asarray(rng.normal(size=(B, 16, Hh, hd)).astype(np.float32))
+    loc = jnp.asarray(rng.random((B, Q, Hh, 1, P, 2)).astype(np.float32) * 0.8 + 0.1)
+    att = jnp.full((B, Q, Hh, 1, P), 0.5, jnp.float32)
+
+    g_loc = jax.grad(lambda l: jnp.sum(ms_deform_attn(value, shapes, l, att) ** 2))(loc)
+    g_val = jax.grad(lambda v: jnp.sum(ms_deform_attn(v, shapes, loc, att) ** 2))(value)
+    assert float(jnp.abs(g_loc).max()) > 0    # grads w.r.t. sampling locations
+    assert float(jnp.abs(g_val).max()) > 0
+    # finite-difference check on one location coordinate
+    eps = 1e-3
+    f = lambda l: float(jnp.sum(ms_deform_attn(value, shapes, l, att) ** 2))
+    l2 = loc.at[0, 0, 0, 0, 0, 0].add(eps)
+    fd = (f(l2) - f(loc)) / eps
+    np.testing.assert_allclose(fd, float(g_loc[0, 0, 0, 0, 0, 0]), rtol=6e-2, atol=1e-3)
