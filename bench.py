@@ -21,7 +21,7 @@ import numpy as np
 A100_EST_IMG_PER_S = 2.0
 PROMPT_TEXT_TOKENS = 64
 DECODE_TOKENS = 16
-BATCH = 4
+BATCH = 2
 
 
 def log(*a):

@@ -1,0 +1,187 @@
+"""Evaluators: panoptic quality, retrieval, classification, captioning.
+
+Capability parity with datasets/evaluation/*: ``COCOPanopticEvaluator`` (PQ —
+implemented directly from the panoptic-quality definition instead of
+panopticapi), ``RetrievalEvaluator`` (ir@k / tr@k), ``ClassificationEvaluator``
+(top-1/top-5), ``CaptioningEvaluator`` (result-JSON writer + pluggable metric
+backends; the reference spawns the coco-caption Java tool, INSTALL.md:14-17 —
+here CIDEr is computed natively in Python).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections import Counter, defaultdict
+
+import numpy as np
+
+
+class PanopticEvaluator:
+    """Panoptic Quality: PQ = Σ IoU(TP) / (|TP| + |FP|/2 + |FN|/2), matched at
+    IoU > 0.5 per category (the panopticapi definition used by
+    COCOPanopticEvaluator)."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self.iou_sum = np.zeros(num_classes)
+        self.tp = np.zeros(num_classes, np.int64)
+        self.fp = np.zeros(num_classes, np.int64)
+        self.fn = np.zeros(num_classes, np.int64)
+
+    def add(self, pred_seg: np.ndarray, pred_segments: list,
+            gt_seg: np.ndarray, gt_segments: list):
+        """pred/gt_seg: [H, W] segment-id maps; segments: [{"id",
+        "category_id"}] lists."""
+        pred_by_id = {s["id"]: s for s in pred_segments}
+        gt_by_id = {s["id"]: s for s in gt_segments}
+        # joint histogram of (gt_id, pred_id) overlaps
+        joint = Counter(zip(gt_seg.reshape(-1).tolist(), pred_seg.reshape(-1).tolist()))
+        gt_area = Counter(gt_seg.reshape(-1).tolist())
+        pred_area = Counter(pred_seg.reshape(-1).tolist())
+        matched_gt, matched_pred = set(), set()
+        for (gid, pid), inter in joint.items():
+            if gid == 0 or pid == 0 or gid not in gt_by_id or pid not in pred_by_id:
+                continue
+            if gt_by_id[gid]["category_id"] != pred_by_id[pid]["category_id"]:
+                continue
+            union = gt_area[gid] + pred_area[pid] - inter
+            iou = inter / union
+            if iou > 0.5:
+                c = gt_by_id[gid]["category_id"]
+                self.tp[c] += 1
+                self.iou_sum[c] += iou
+                matched_gt.add(gid)
+                matched_pred.add(pid)
+        for gid, seg in gt_by_id.items():
+            if gid not in matched_gt and gt_area.get(gid, 0) > 0:
+                self.fn[seg["category_id"]] += 1
+        for pid, seg in pred_by_id.items():
+            if pid not in matched_pred and pred_area.get(pid, 0) > 0:
+                self.fp[seg["category_id"]] += 1
+
+    def results(self) -> dict:
+        denom = self.tp + self.fp / 2 + self.fn / 2
+        valid = denom > 0
+        pq = np.zeros(self.num_classes)
+        sq = np.zeros(self.num_classes)
+        rq = np.zeros(self.num_classes)
+        pq[valid] = self.iou_sum[valid] / denom[valid]
+        sq[self.tp > 0] = self.iou_sum[self.tp > 0] / self.tp[self.tp > 0]
+        rq[valid] = self.tp[valid] / denom[valid]
+        return {"PQ": 100.0 * float(pq[valid].mean()) if valid.any() else 0.0,
+                "SQ": 100.0 * float(sq[valid].mean()) if valid.any() else 0.0,
+                "RQ": 100.0 * float(rq[valid].mean()) if valid.any() else 0.0,
+                "n_categories": int(valid.sum())}
+
+
+class RetrievalEvaluator:
+    """Image↔text retrieval recall@k (datasets/evaluation/retrieval_evaluation.py)."""
+
+    def __init__(self, ks=(1, 5, 10)):
+        self.ks = ks
+        self.image_embs: list = []
+        self.text_embs: list = []
+
+    def add(self, image_emb: np.ndarray, text_emb: np.ndarray):
+        self.image_embs.append(np.asarray(image_emb))
+        self.text_embs.append(np.asarray(text_emb))
+
+    def results(self) -> dict:
+        img = np.stack(self.image_embs)
+        txt = np.stack(self.text_embs)
+        img = img / (np.linalg.norm(img, axis=-1, keepdims=True) + 1e-7)
+        txt = txt / (np.linalg.norm(txt, axis=-1, keepdims=True) + 1e-7)
+        sim = img @ txt.T
+        n = sim.shape[0]
+        out = {}
+        ranks_i2t = (-sim).argsort(axis=1)
+        ranks_t2i = (-sim.T).argsort(axis=1)
+        for k in self.ks:
+            out[f"ir@{k}"] = 100.0 * float(np.mean([i in ranks_t2i[i, :k] for i in range(n)]))
+            out[f"tr@{k}"] = 100.0 * float(np.mean([i in ranks_i2t[i, :k] for i in range(n)]))
+        return out
+
+
+class ClassificationEvaluator:
+    """Top-1/top-5 (datasets/evaluation/classification_evaluation.py)."""
+
+    def __init__(self):
+        self.top1 = 0
+        self.top5 = 0
+        self.total = 0
+
+    def add(self, logits: np.ndarray, label: int):
+        order = np.argsort(-np.asarray(logits))
+        self.total += 1
+        if order[0] == label:
+            self.top1 += 1
+        if label in order[:5]:
+            self.top5 += 1
+
+    def results(self) -> dict:
+        n = max(self.total, 1)
+        return {"top1": 100.0 * self.top1 / n, "top5": 100.0 * self.top5 / n, "n": self.total}
+
+
+def _cider_ngrams(tokens: list, n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+class CaptioningEvaluator:
+    """Caption metrics: native CIDEr-D-style score (TF-IDF weighted n-gram
+    cosine, n=1..4) + results-JSON writer in the format the reference's
+    evaluator emits before shelling out to the Java tool."""
+
+    def __init__(self):
+        self.records: list = []   # (image_id, candidate, [references])
+
+    def add(self, image_id, candidate: str, references: list):
+        self.records.append((image_id, candidate.lower().split(),
+                             [r.lower().split() for r in references]))
+
+    def _cider(self) -> float:
+        if not self.records:
+            return 0.0
+        N = 4
+        # document frequency over reference sets
+        df = [defaultdict(float) for _ in range(N)]
+        for _, _, refs in self.records:
+            for n in range(N):
+                seen = set()
+                for ref in refs:
+                    seen |= set(_cider_ngrams(ref, n + 1).keys())
+                for g in seen:
+                    df[n][g] += 1.0
+        n_docs = len(self.records)
+        scores = []
+        for _, cand, refs in self.records:
+            score_n = []
+            for n in range(N):
+                c_counts = _cider_ngrams(cand, n + 1)
+                c_vec = {g: c * math.log(max(n_docs / max(df[n].get(g, 0.0), 1.0), 1.0))
+                         for g, c in c_counts.items()}
+                c_norm = math.sqrt(sum(v * v for v in c_vec.values())) or 1.0
+                ref_scores = []
+                for ref in refs:
+                    r_counts = _cider_ngrams(ref, n + 1)
+                    r_vec = {g: c * math.log(max(n_docs / max(df[n].get(g, 0.0), 1.0), 1.0))
+                             for g, c in r_counts.items()}
+                    r_norm = math.sqrt(sum(v * v for v in r_vec.values())) or 1.0
+                    dot = sum(min(c_vec.get(g, 0.0), v) * v for g, v in r_vec.items())
+                    # length penalty (CIDEr-D)
+                    delta = len(cand) - len(ref)
+                    penalty = math.exp(-(delta ** 2) / (2 * 6.0 ** 2))
+                    ref_scores.append(penalty * dot / (c_norm * r_norm))
+                score_n.append(10.0 * sum(ref_scores) / max(len(ref_scores), 1))
+            scores.append(sum(score_n) / N)
+        return float(np.mean(scores))
+
+    def results(self) -> dict:
+        return {"CIDEr": round(self._cider(), 4), "n": len(self.records)}
+
+    def dump_results(self, path: str):
+        rows = [{"image_id": iid, "caption": " ".join(cand)}
+                for iid, cand, _ in self.records]
+        with open(path, "w") as f:
+            json.dump(rows, f)

@@ -136,6 +136,7 @@ def llava_forward(
     lora_scaling: float = 0.0,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    last_logit_only: bool = False,
 ):
     embed = params["language_model"]["embed_tokens"]
     inputs_embeds = jnp.take(embed, jnp.clip(input_ids, 0, embed.shape[0] - 1), axis=0)
@@ -153,6 +154,11 @@ def llava_forward(
                                       lora_scaling=lora_scaling,
                                       lora_dropout=lora_dropout,
                                       dropout_rng=dropout_rng)
+    if last_logit_only:
+        # only the last valid position feeds sampling — skips the [B, T, V]
+        # logits tensor during prefill (vocab matmul over one position)
+        last = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
+        hidden = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
     logits = lm_logits(params["language_model"], cfg.text, hidden)
     return logits, new_cache
 
@@ -242,10 +248,10 @@ def generate(
     key_pos = jax.lax.dynamic_update_slice(key_pos, position_ids.astype(jnp.int32), (0, 0))
 
     logits, cache = llava_forward(lm, cfg, input_ids, pixel_values, attention_mask,
-                                  position_ids, cache, jnp.int32(0), full_mask, key_pos)
-    # logits at the last *valid* position of each row
+                                  position_ids, cache, jnp.int32(0), full_mask, key_pos,
+                                  last_logit_only=True)
     last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
-    next_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
+    next_logits = logits[:, 0]
 
     rng, sub = jax.random.split(rng)
     next_tok = _sample_token(next_logits, gen, sub)

@@ -39,3 +39,62 @@ def test_results_dump(tmp_path):
     import json
     data = json.loads(p.read_text())
     assert data == [{"question_id": 7, "answer": "yes"}]
+
+
+def test_panoptic_quality_perfect_and_miss():
+    import numpy as np
+    from cullavo_tpu.data.evaluation.evaluators import PanopticEvaluator
+
+    ev = PanopticEvaluator(num_classes=3)
+    seg = np.zeros((8, 8), np.int32)
+    seg[:4] = 1
+    seg[4:] = 2
+    segs = [{"id": 1, "category_id": 0}, {"id": 2, "category_id": 1}]
+    ev.add(seg, segs, seg, segs)  # perfect prediction
+    r = ev.results()
+    assert r["PQ"] == 100.0 and r["RQ"] == 100.0
+
+    ev2 = PanopticEvaluator(num_classes=3)
+    wrong = np.zeros_like(seg)  # predicted nothing
+    ev2.add(wrong, [], seg, segs)
+    r2 = ev2.results()
+    assert r2["PQ"] == 0.0
+
+
+def test_retrieval_identity():
+    import numpy as np
+    from cullavo_tpu.data.evaluation.evaluators import RetrievalEvaluator
+
+    rng = np.random.default_rng(0)
+    ev = RetrievalEvaluator(ks=(1, 5))
+    embs = rng.normal(size=(10, 16))
+    for e in embs:
+        ev.add(e, e)  # identical pairs → perfect retrieval
+    r = ev.results()
+    assert r["ir@1"] == 100.0 and r["tr@1"] == 100.0
+
+
+def test_classification_eval():
+    import numpy as np
+    from cullavo_tpu.data.evaluation.evaluators import ClassificationEvaluator
+
+    ev = ClassificationEvaluator()
+    ev.add(np.asarray([0.1, 0.9, 0.0]), 1)   # top1 hit
+    ev.add(np.asarray([0.9, 0.5, 0.4]), 1)   # top5 hit only
+    r = ev.results()
+    assert r["top1"] == 50.0 and r["top5"] == 100.0
+
+
+def test_cider_orders_quality():
+    from cullavo_tpu.data.evaluation.evaluators import CaptioningEvaluator
+
+    good = CaptioningEvaluator()
+    bad = CaptioningEvaluator()
+    refs = [["a cat sits on the mat", "a cat is on a mat"],
+            ["a dog runs in the park", "the dog is running in a park"]]
+    good.add(1, "a cat sits on the mat", refs[0])
+    good.add(2, "a dog runs in the park", refs[1])
+    bad.add(1, "blue airplane engine", refs[0])
+    bad.add(2, "submarine cheese", refs[1])
+    assert good.results()["CIDEr"] > bad.results()["CIDEr"]
+    assert bad.results()["CIDEr"] >= 0.0
