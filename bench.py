@@ -33,8 +33,9 @@ def main():
     import jax.numpy as jnp
 
     from cullavo_tpu.models.llava.config import LlavaConfig
-    from cullavo_tpu.models.llava.modeling import (GenerationConfig, generate,
-                                                   init_llava_params)
+    from cullavo_tpu.models.llava.modeling import (GenerationConfig,
+                                                   generate_decode,
+                                                   generate_prefill)
 
     from cullavo_tpu.models.llava.lora import quantize_llm_weights
 
@@ -102,20 +103,23 @@ def main():
 
     gen = GenerationConfig(max_new_tokens=DECODE_TOKENS, do_sample=False,
                            eos_token_id=-1)
+    jids, jpix, jmask = jnp.asarray(ids), jnp.asarray(pix), jnp.asarray(mask)
 
-    args = (params, cfg, jnp.asarray(ids), jnp.asarray(pix), jnp.asarray(mask))
+    def run():
+        state = generate_prefill(params, cfg, jids, jpix, jmask, max_len,
+                                 compute_dtype=jnp.bfloat16)
+        out = generate_decode(params, cfg, state, gen, compute_dtype=jnp.bfloat16)
+        return np.asarray(out)  # host transfer = true completion barrier
 
-    log("compiling prefill+decode...")
+    log("compiling prefill...")
     t0 = time.time()
-    out = generate(*args, gen, max_len=max_len, compute_dtype=jnp.bfloat16)
-    first = np.asarray(out)  # host transfer = true completion barrier
+    first = run()
     log(f"compile+first run: {time.time()-t0:.1f}s tokens[:4]={first[0,:4].tolist()}")
 
     lat = []
     for _ in range(8):
         t0 = time.time()
-        out = generate(*args, gen, max_len=max_len, compute_dtype=jnp.bfloat16)
-        np.asarray(out)  # block: result must reach host to count as served
+        run()
         lat.append(time.time() - t0)
     lat = np.asarray(lat)
     p50 = float(np.percentile(lat, 50))

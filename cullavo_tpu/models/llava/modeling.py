@@ -286,3 +286,69 @@ def generate(
              out, rng, done)
     state = jax.lax.while_loop(cond, body, state)
     return state[7]
+
+
+# ---------------------------------------------------------------------------
+# two-phase generation (separate prefill / decode programs)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "compute_dtype"))
+def generate_prefill(params, cfg: LlavaConfig, input_ids, pixel_values,
+                     attention_mask, max_len: int, compute_dtype=jnp.bfloat16):
+    """Prefill phase: build the cache, return the sampling state.
+
+    Split from the decode loop so each program compiles independently — the
+    fused prefill+decode program for a 7B model can exceed the AOT compiler's
+    capacity, and the split also halves recompile cost when either phase's
+    shapes change.
+    """
+    B, T = input_ids.shape
+    lm = jax.tree.map(lambda a: a.astype(compute_dtype)
+                      if a.dtype in (jnp.float32, jnp.float16) else a, params)
+    cache = init_kv_cache(cfg.text, B, max_len, compute_dtype)
+    full_mask = jnp.zeros((B, max_len), jnp.int32)
+    full_mask = jax.lax.dynamic_update_slice(full_mask,
+                                             attention_mask.astype(jnp.int32), (0, 0))
+    position_ids = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+    key_pos = jnp.zeros((B, max_len), jnp.int32)
+    key_pos = jax.lax.dynamic_update_slice(key_pos, position_ids.astype(jnp.int32), (0, 0))
+    logits, cache = llava_forward(lm, cfg, input_ids, pixel_values, attention_mask,
+                                  position_ids, cache, jnp.int32(0), full_mask,
+                                  key_pos, last_logit_only=True)
+    last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
+    return {"logits": logits[:, 0], "cache": cache, "full_mask": full_mask,
+            "key_pos": key_pos, "cur_pos": last_idx + 1,
+            "write_idx": jnp.int32(T)}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "compute_dtype"))
+def generate_decode(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig,
+                    rng=None, compute_dtype=jnp.bfloat16):
+    """Decode phase: fixed-length ``lax.scan`` over max_new_tokens (all rows
+    run to the end; finished rows emit eos)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    lm = jax.tree.map(lambda a: a.astype(compute_dtype)
+                      if a.dtype in (jnp.float32, jnp.float16) else a, params)
+
+    first = _sample_token(state["logits"], gen, rng)
+    done0 = first == gen.eos_token_id
+
+    def step(carry, _):
+        tok, cur_pos, write_idx, full_mask, key_pos, cache, rng, done = carry
+        full_mask = full_mask.at[:, write_idx].set(1)
+        key_pos = key_pos.at[:, write_idx].set(cur_pos)
+        logits, cache = llava_forward(lm, cfg, tok[:, None], None, None,
+                                      cur_pos[:, None], cache, write_idx,
+                                      full_mask, key_pos)
+        rng, sub = jax.random.split(rng)
+        nxt = _sample_token(logits[:, 0], gen, sub)
+        nxt = jnp.where(done, gen.eos_token_id, nxt)
+        done = done | (nxt == gen.eos_token_id)
+        return (nxt, cur_pos + 1, write_idx + 1, full_mask, key_pos, cache,
+                rng, done), nxt
+
+    carry = (first, state["cur_pos"], state["write_idx"], state["full_mask"],
+             state["key_pos"], state["cache"], rng, done0)
+    _, rest = jax.lax.scan(step, carry, None, length=gen.max_new_tokens - 1)
+    return jnp.concatenate([first[:, None], rest.T], axis=1)

@@ -171,3 +171,18 @@ def test_hf_roundtrip_export(hf_and_jax):
     assert not missing, f"missing keys: {sorted(missing)[:8]}"
     for k, v in exported.items():
         np.testing.assert_allclose(v, ref_state[k], atol=1e-6, err_msg=k)
+
+
+def test_two_phase_generate_matches_fused(hf_and_jax):
+    from cullavo_tpu.models.llava.modeling import generate_decode, generate_prefill
+
+    _, params, cfg = hf_and_jax
+    ids, mask, pixels = _make_inputs(cfg, batch=2, text_len=5)
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False, eos_token_id=-1)
+    max_len = ids.shape[1] + 8
+    fused = generate(params, cfg, jnp.asarray(ids), jnp.asarray(pixels),
+                     jnp.asarray(mask), gen, max_len=max_len)
+    state = generate_prefill(params, cfg, jnp.asarray(ids), jnp.asarray(pixels),
+                             jnp.asarray(mask), max_len, compute_dtype=jnp.float32)
+    split = generate_decode(params, cfg, state, gen, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))

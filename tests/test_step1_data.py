@@ -106,3 +106,66 @@ def test_synthesis_deterministic_given_seed():
     b = synthesize_step1(_record(), tk, np.random.default_rng(7))
     np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
     np.testing.assert_array_equal(a["image"], b["image"])
+
+
+def test_step2_conversation_synthesis():
+    from cullavo_tpu.data.instruction_data import synthesize_step2
+
+    tk = ByteTokenizer()
+    rng = np.random.default_rng(0)
+    record = {
+        "conversations": [
+            {"from": "human", "value": "<image>\nWhat is in the image?"},
+            {"from": "gpt", "value": "A cat."},
+            {"from": "human", "value": "What color?"},
+            {"from": "gpt", "value": "Black."},
+        ],
+    }
+    s = synthesize_step2(record, tk, rng, image=None, image_size=32)
+    assert s["image"].shape == (32, 32, 3) and s["image"].sum() == 0  # text-only → zero image
+    sup = [i for i, l in zip(s["input_ids"], s["labels"]) if l != IGNORE_INDEX]
+    text = tk.decode(sup)
+    assert "A cat." in text and "Black." in text
+    assert "What color" not in text  # prompts masked
+
+
+def test_step2_box_augment_deterministic():
+    from cullavo_tpu.data.instruction_data import synthesize_step2
+
+    tk = ByteTokenizer()
+    record = {
+        "conversations": [
+            {"from": "human", "value": "Describe."},
+            {"from": "gpt", "value": "Stuff."},
+        ],
+        "boxes": [[0.1, 0.1, 0.5, 0.5]],
+        "classes": ["cat"],
+    }
+    img = np.zeros((32, 32, 3), np.uint8)
+    # find a seed where the dice triggers the augmentation
+    for seed in range(8):
+        s = synthesize_step2(record, tk, np.random.default_rng(seed), image=img.copy())
+        if s["image"].sum() > 0:
+            sup = tk.decode([i for i, l in zip(s["input_ids"], s["labels"]) if l != IGNORE_INDEX])
+            assert "(#1) cat" in sup
+            break
+    else:
+        raise AssertionError("box augmentation never triggered in 8 seeds")
+
+
+def test_load_conversation_json(tmp_path):
+    from cullavo_tpu.data.instruction_data import load_conversation_json
+
+    img = tmp_path / "img.png"
+    img.write_bytes(b"x")
+    rows = [
+        {"image": "img.png", "conversations": []},
+        {"image": "missing.png", "conversations": []},
+        {"conversations": []},
+    ]
+    import json as _json
+    p = tmp_path / "data.json"
+    p.write_text(_json.dumps(rows))
+    out = load_conversation_json(str(p), image_root=str(tmp_path))
+    assert len(out) == 2  # missing image filtered; text-only kept
+    assert out[0]["image_path"].endswith("img.png")
