@@ -51,9 +51,30 @@ def preprocess_uint8(images: jax.Array, size: int = CLIP_SIZE) -> jax.Array:
     return x.transpose(0, 3, 1, 2)
 
 
-def preprocess_numpy(images: list[np.ndarray], size: int = CLIP_SIZE) -> np.ndarray:
+def preprocess_numpy(images: list[np.ndarray], size: int = CLIP_SIZE,
+                     use_native: bool = True) -> np.ndarray:
     """Host path for ragged image sizes: list of [H, W, 3] uint8 → stacked
-    [B, 3, size, size] float32."""
+    [B, 3, size, size] float32.
+
+    Uses the multithreaded C++ core (cullavo_tpu/native) when available;
+    falls back to the jax.image path otherwise.
+    """
+    if use_native:
+        try:
+            from cullavo_tpu import native
+
+            if native.available():
+                fixed = []
+                for im in images:
+                    if im.ndim == 2:
+                        im = np.stack([im] * 3, axis=-1)
+                    if im.shape[-1] == 4:
+                        im = im[..., :3]
+                    fixed.append(im)
+                return native.preprocess_batch(fixed, size=size,
+                                               mean=CLIP_MEAN, std=CLIP_STD)
+        except Exception:
+            pass
     out = []
     for im in images:
         if im.ndim == 2:

@@ -71,3 +71,21 @@ def test_pad_targets():
     assert batch["masks"].shape == (2, 4, 32, 32)
     # boxes normalized cxcywh in [0, 1]
     assert (batch["boxes"] >= 0).all() and (batch["boxes"] <= 1).all()
+
+
+def test_native_preprocess_matches_jax_path():
+    from cullavo_tpu.data.image_processing import preprocess_numpy
+    from cullavo_tpu import native
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (50, 70, 3), dtype=np.uint8),
+            rng.integers(0, 255, (90, 40, 3), dtype=np.uint8)]
+    via_jax = preprocess_numpy(imgs, size=32, use_native=False)
+    assert via_jax.shape == (2, 3, 32, 32)
+    if native.available():
+        via_native = preprocess_numpy(imgs, size=32, use_native=True)
+        assert via_native.shape == (2, 3, 32, 32)
+        # both implement antialiased bicubic + CLIP normalize; kernels differ
+        # slightly (jax.image vs PIL-convention weights) — require closeness
+        diff = np.abs(via_native - via_jax)
+        assert diff.mean() < 0.05, diff.mean()
