@@ -48,7 +48,8 @@ class ImageNetPipeline:
             pix = jnp.asarray(np.stack([r["pixel_values"] for r in chunk]))
             emb = self.image_embed_fn(pix)                      # [B, D]
             sim = emb @ self.class_embeds.T                     # [B, C]
-            top5 = np.asarray(jax.lax.top_k(sim, 5)[1])
+            k = min(5, sim.shape[-1])
+            top5 = np.asarray(jax.lax.top_k(sim, k)[1])
             for r, t5 in zip(chunk, top5):
                 label = int(r["label"])
                 self.total += 1

@@ -1,0 +1,137 @@
+"""Zero-shot VL benchmark pipelines for the HF model zoo.
+
+Capability parity with the reference's per-model pipelines
+(pipeline/BLIP2VQAVALPipeline.py, InstructBLIP*, KOSMOS2VQAVALPipeline.py,
+BakLLaVAVQAVALPipeline.py, BLIP2ImageNetPipeline.py, …): each wraps a
+HuggingFace checkpoint with its generation settings (BLIP-2: beam-5,
+length-penalty −1, ≤10 new tokens at BLIP2VQAVALPipeline.py:175; KOSMOS-2:
+fp32 load at :99) and runs the VQA / ImageNet harness.
+
+One generic class replaces the five near-identical ~300-LoC files: the
+model-specific part is reduced to a ``ModelSpec`` describing the processor
+prompt format and generation kwargs.  These run the HF models as-is (the
+reference does the same — they are baselines, not CuLLaVO itself); the
+TPU-native path is the LLaVA pipeline in vqa_pipeline.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from cullavo_tpu.data.evaluation.vqa_eval import VQAEvaluator
+from cullavo_tpu.pipelines.base import register_pipeline
+
+
+@dataclasses.dataclass
+class ModelSpec:
+    name: str
+    model_cls: str                      # transformers class name
+    prompt: str = "Question: {q} Short answer:"
+    gen_kwargs: dict = dataclasses.field(default_factory=dict)
+    dtype: str = "float32"
+
+
+MODEL_SPECS = {
+    # pipeline/BLIP2VQAVALPipeline.py:100-217 (beam 5, len-penalty -1, ≤10 tok)
+    "blip2": ModelSpec("Salesforce/blip2-flan-t5-xl",
+                       "Blip2ForConditionalGeneration",
+                       prompt="Question: {q} Short answer:",
+                       gen_kwargs=dict(num_beams=5, max_new_tokens=10,
+                                       length_penalty=-1.0)),
+    # pipeline/InstructBLIPVQAVALPipeline.py
+    "instructblip": ModelSpec("Salesforce/instructblip-vicuna-7b",
+                              "InstructBlipForConditionalGeneration",
+                              prompt="{q} Answer briefly.",
+                              gen_kwargs=dict(num_beams=5, max_new_tokens=10,
+                                              length_penalty=-1.0)),
+    # pipeline/KOSMOS2VQAVALPipeline.py:99 (fp32)
+    "kosmos2": ModelSpec("microsoft/kosmos-2-patch14-224",
+                         "Kosmos2ForConditionalGeneration",
+                         prompt="<grounding> Question: {q} Answer:",
+                         gen_kwargs=dict(max_new_tokens=10)),
+    # pipeline/BakLLaVAVQAVALPipeline.py (greedy, KV cache)
+    "bakllava": ModelSpec("llava-hf/bakLlava-v1-hf",
+                          "LlavaForConditionalGeneration",
+                          prompt="USER: <image>\n{q} ASSISTANT:",
+                          gen_kwargs=dict(do_sample=False, max_new_tokens=128)),
+}
+
+
+@register_pipeline("VLZooVQAPipeline")
+class VLZooVQAPipeline:
+    """Runs any MODEL_SPECS entry (or a custom spec) on the VQA harness."""
+
+    def __init__(self, cfg, spec: ModelSpec | str, model_path: Optional[str] = None,
+                 answer_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.spec = MODEL_SPECS[spec] if isinstance(spec, str) else spec
+        self.model_path = model_path or self.spec.name
+        self._answer_fn = answer_fn      # injectable for tests / JAX backends
+        self.evaluator = VQAEvaluator()
+
+    def _load(self):
+        import torch
+        import transformers
+
+        cls = getattr(transformers, self.spec.model_cls)
+        dtype = getattr(torch, self.spec.dtype)
+        self.model = cls.from_pretrained(self.model_path, torch_dtype=dtype)
+        self.model.eval()
+        self.processor = transformers.AutoProcessor.from_pretrained(self.model_path)
+
+    def answer(self, question: str, image) -> str:
+        if self._answer_fn is not None:
+            return self._answer_fn(question, image)
+        if not hasattr(self, "model"):
+            self._load()
+        import torch
+
+        text = self.spec.prompt.format(q=question)
+        inputs = self.processor(images=image, text=text, return_tensors="pt")
+        with torch.no_grad():
+            out = self.model.generate(**inputs, **self.spec.gen_kwargs)
+        ans = self.processor.batch_decode(out, skip_special_tokens=True)[0]
+        # decoder-only models echo the prompt; strip it
+        if ans.startswith(text):
+            ans = ans[len(text):]
+        if "ASSISTANT:" in ans:
+            ans = ans.split("ASSISTANT:")[-1]
+        return ans.strip()
+
+    def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None) -> dict:
+        rows = list(dataset)
+        if limit:
+            rows = rows[:limit]    # first-class smoke subset (the reference
+            # hardcodes a 10% break, BLIP2VQAVALPipeline.py "Fast Computation")
+        for r in rows:
+            ans = self.answer(r["question"], r.get("image"))
+            self.evaluator.process(r["question_id"], ans, r["answers"],
+                                   r.get("question_type"), r.get("answer_type"))
+        return self.evaluator.evaluate()
+
+
+@register_pipeline("COCOCaptionPipeline")
+class COCOCaptionPipeline:
+    """X-Decoder captioning eval (pipeline/COCOCaptionPipeline.py): run the
+    autoregressive captioning head per image, score with CIDEr."""
+
+    def __init__(self, cfg, caption_fn: Callable[[np.ndarray], str]):
+        from cullavo_tpu.data.evaluation.evaluators import CaptioningEvaluator
+
+        self.cfg = cfg
+        self.caption_fn = caption_fn
+        self.evaluator = CaptioningEvaluator()
+
+    def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
+                       out_path: Optional[str] = None) -> dict:
+        rows = list(dataset)
+        if limit:
+            rows = rows[:limit]
+        for r in rows:
+            cand = self.caption_fn(r["image"])
+            self.evaluator.add(r["image_id"], cand, r["references"])
+        if out_path:
+            self.evaluator.dump_results(out_path)
+        return self.evaluator.results()

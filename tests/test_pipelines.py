@@ -1,0 +1,93 @@
+"""Pipeline harness tests with injected models (no pretrained downloads)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.config import Config
+from cullavo_tpu.pipelines.base import build_pipeline, list_pipelines
+
+
+def test_registry_contains_all_pipelines():
+    import cullavo_tpu.pipelines.cullavo_pipeline  # noqa: F401
+    import cullavo_tpu.pipelines.imagenet_pipeline  # noqa: F401
+    import cullavo_tpu.pipelines.vl_zoo_pipeline  # noqa: F401
+    import cullavo_tpu.pipelines.vqa_pipeline  # noqa: F401
+    import cullavo_tpu.pipelines.xdecoder_pipeline  # noqa: F401
+
+    names = list_pipelines()
+    for expected in ["CuLLaVOPipeline", "LLaVAVQAVALPipeline",
+                     "LLaVAImageNetPipeline", "XDecoderPipeline",
+                     "RefCOCOPipeline", "VLZooVQAPipeline",
+                     "COCOCaptionPipeline"]:
+        assert expected in names, names
+
+
+def test_vqa_pipeline_end_to_end_tiny():
+    from cullavo_tpu.data.tokenizer import ByteTokenizer
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+    from cullavo_tpu.pipelines.vqa_pipeline import VQAPipeline
+
+    cfg = tiny_llava_config(260)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+    pipe = VQAPipeline(Config({}), cfg, tk, params, batch_size=2, max_new_tokens=4)
+    rng = np.random.default_rng(0)
+    S = cfg.vision.image_size
+    rows = [{"question_id": i, "question": f"what is {i}?",
+             "pixel_values": rng.normal(size=(3, S, S)).astype(np.float32),
+             "answers": ["thing"] * 10, "answer_type": "other"}
+            for i in range(3)]
+    out = pipe.evaluate_model(rows, limit=2)
+    assert out["n"] == 2
+    assert 0.0 <= out["overall"] <= 100.0
+
+
+def test_vl_zoo_pipeline_with_injected_answerer():
+    from cullavo_tpu.pipelines.vl_zoo_pipeline import VLZooVQAPipeline
+
+    pipe = VLZooVQAPipeline(Config({}), "blip2",
+                            answer_fn=lambda q, im: "yes")
+    rows = [{"question_id": 1, "question": "is it?", "answers": ["yes"] * 10},
+            {"question_id": 2, "question": "sure?", "answers": ["no"] * 10}]
+    out = pipe.evaluate_model(rows)
+    assert out["overall"] == 50.0
+
+
+def test_caption_pipeline_with_injected_captioner():
+    from cullavo_tpu.pipelines.vl_zoo_pipeline import COCOCaptionPipeline
+
+    captions = {1: "a cat on a mat", 2: "a dog in a park"}
+    pipe = COCOCaptionPipeline(Config({}),
+                               caption_fn=lambda img: captions[img])
+    rows = [{"image_id": 1, "image": 1,
+             "references": ["a cat on a mat", "cat sitting on mat"]},
+            {"image_id": 2, "image": 2,
+             "references": ["a dog in a park", "dog running in the park"]}]
+    out = pipe.evaluate_model(rows)
+    assert out["n"] == 2 and out["CIDEr"] > 0
+
+
+def test_imagenet_pipeline():
+    from cullavo_tpu.pipelines.imagenet_pipeline import ImageNetPipeline
+
+    D = 8
+    class_embeds = jnp.eye(3, D)
+    # images whose embedding equals their class basis vector
+    def embed(pix):
+        return jnp.asarray(pix[:, 0, 0, :D])
+
+    pipe = ImageNetPipeline(Config({}), embed, class_embeds,
+                            class_names=["a", "b", "c"], batch_size=2)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(4):
+        label = i % 3
+        pix = np.zeros((3, 4, max(D, 4)), np.float32)
+        pix[:, 0, :D] = np.eye(3, D)[label]
+        rows.append({"pixel_values": pix, "label": label})
+    out = pipe.evaluate_model(rows)
+    assert out["top1"] == 100.0
+    assert out["n"] == 4
