@@ -89,3 +89,58 @@ def test_native_preprocess_matches_jax_path():
         # slightly (jax.image vs PIL-convention weights) — require closeness
         diff = np.abs(via_native - via_jax)
         assert diff.mean() < 0.05, diff.mean()
+
+
+def test_polygon_to_mask_square():
+    from cullavo_tpu.data.datasets import polygons_to_mask
+
+    # square from (2,2) to (6,6)
+    mask = polygons_to_mask([[2, 2, 6, 2, 6, 6, 2, 6]], 8, 8)
+    assert mask[3, 3] == 1 and mask[5, 5] == 1
+    assert mask[0, 0] == 0 and mask[7, 7] == 0
+    assert 12 <= mask.sum() <= 20  # ~4x4 region
+
+
+def test_rle_to_mask():
+    from cullavo_tpu.data.datasets import rle_to_mask
+
+    # column-major: 3 zeros, 2 ones, rest zeros in a 3x3
+    mask = rle_to_mask({"counts": [3, 2, 4], "size": [3, 3]})
+    assert mask.shape == (3, 3)
+    assert mask.sum() == 2
+    # column-major positions 3,4 → (r0,c1),(r1,c1)
+    assert mask[0, 1] == 1 and mask[1, 1] == 1
+
+
+def test_dataloader_prefetch_and_order():
+    from cullavo_tpu.data.loader import DataLoader, inference_indices
+
+    records = list(range(10))
+    loader = DataLoader(records, mapper=lambda r: r * 2,
+                        collate=lambda xs: sum(xs), batch_size=3,
+                        shuffle=False, drop_incomplete=True)
+    batches = list(loader)
+    assert len(batches) == 3 == len(loader)
+    assert batches[0] == (0 + 2 + 4)
+
+    # error propagation from workers
+    bad = DataLoader(records, mapper=lambda r: 1 / 0,
+                     collate=lambda xs: xs, batch_size=2, shuffle=False)
+    import pytest as _pytest
+    with _pytest.raises(ZeroDivisionError):
+        list(bad)
+
+    # inference sharding
+    assert inference_indices(10, 0, 4) == [0, 1, 2]
+    assert inference_indices(10, 3, 4) == [9]
+
+
+def test_dataloader_infinite():
+    from cullavo_tpu.data.loader import DataLoader
+
+    loader = DataLoader(list(range(4)), mapper=lambda r: r,
+                        collate=lambda xs: xs, batch_size=2, infinite=True,
+                        seed=1)
+    it = iter(loader)
+    seen = [tuple(next(it)) for _ in range(6)]
+    assert len(seen) == 6  # keeps producing past one epoch
