@@ -1,0 +1,282 @@
+"""Import reference X-Decoder (torch) checkpoints into the JAX pytree.
+
+Maps the reference's module names (GeneralizedXdecoder state_dict:
+``backbone.*`` FocalNet, ``sem_seg_head.pixel_decoder.*`` FPN,
+``sem_seg_head.predictor.*`` decoder, ``sem_seg_head.predictor.lang_encoder.*``
+text tower) onto the stacked-parameter layout used here.  Linear weights are
+transposed [out,in]→[in,out]; conv weights go OIHW→HWIO; per-layer tensors are
+stacked along the leading axis.
+
+Covers the focal + transformer_encoder_fpn + xdecoder active path
+(configs/xdecoder_test.yaml).  ``align_and_update`` reproduces the partial
+shape-checked load of utils/model.py:13-55.
+"""
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from cullavo_tpu.models.xdecoder.model import XDecoderModelConfig
+
+
+def _t(a):  # linear [out, in] → [in, out]
+    return np.ascontiguousarray(np.asarray(a).T)
+
+
+def _conv(a):  # OIHW → HWIO
+    return np.ascontiguousarray(np.transpose(np.asarray(a), (2, 3, 1, 0)))
+
+
+def _dwconv(a):  # torch depthwise [C, 1, k, k] → HWIO [k, k, 1, C]
+    return np.ascontiguousarray(np.transpose(np.asarray(a), (2, 3, 1, 0)))
+
+
+def import_focalnet(sd: Mapping[str, np.ndarray], cfg, prefix="backbone.") -> dict:
+    g = lambda k: np.asarray(sd[prefix + k])
+    params: dict = {
+        "stem": {"kernel": _conv(g("patch_embed.proj.weight")),
+                 "bias": g("patch_embed.proj.bias"),
+                 "norm": {"scale": g("patch_embed.norm.weight"),
+                          "bias": g("patch_embed.norm.bias")}},
+        "stages": [], "out_norms": {},
+    }
+    for i, depth in enumerate(cfg.depths):
+        L = cfg.focal_levels[i]
+
+        def st(fmt, conv=False, dw=False):
+            rows = []
+            for d in range(depth):
+                a = g(f"layers.{i}.blocks.{d}." + fmt)
+                rows.append(_dwconv(a) if dw else (_conv(a) if conv else a))
+            return np.stack(rows)
+
+        blocks = {
+            "norm1_s": st("norm1.weight"), "norm1_b": st("norm1.bias"),
+            "f_w": np.stack([_t(g(f"layers.{i}.blocks.{d}.modulation.f.weight"))
+                             for d in range(depth)]),
+            "f_b": st("modulation.f.bias"),
+            "h_w": np.stack([np.asarray(
+                g(f"layers.{i}.blocks.{d}.modulation.h.weight"))[:, :, 0, 0].T
+                for d in range(depth)]),
+            "h_b": st("modulation.h.bias"),
+            "proj_w": np.stack([_t(g(f"layers.{i}.blocks.{d}.modulation.proj.weight"))
+                                for d in range(depth)]),
+            "proj_b": st("modulation.proj.bias"),
+            "norm2_s": st("norm2.weight"), "norm2_b": st("norm2.bias"),
+            "fc1_w": np.stack([_t(g(f"layers.{i}.blocks.{d}.mlp.fc1.weight"))
+                               for d in range(depth)]),
+            "fc1_b": st("mlp.fc1.bias"),
+            "fc2_w": np.stack([_t(g(f"layers.{i}.blocks.{d}.mlp.fc2.weight"))
+                               for d in range(depth)]),
+            "fc2_b": st("mlp.fc2.bias"),
+        }
+        if f"{prefix}layers.{i}.blocks.0.gamma_1" in sd:
+            blocks["gamma1"] = st("gamma_1")
+            blocks["gamma2"] = st("gamma_2")
+        else:
+            C = cfg.num_features[i]
+            blocks["gamma1"] = np.ones((depth, C), np.float32)
+            blocks["gamma2"] = np.ones((depth, C), np.float32)
+        for l in range(L):
+            blocks[f"focal{l}_w"] = np.stack([
+                _dwconv(g(f"layers.{i}.blocks.{d}.modulation.focal_layers.{l}.0.weight"))
+                for d in range(depth)])
+        stage = {"blocks": blocks}
+        if f"{prefix}layers.{i}.downsample.proj.weight" in sd:
+            stage["downsample"] = {
+                "kernel": _conv(g(f"layers.{i}.downsample.proj.weight")),
+                "bias": g(f"layers.{i}.downsample.proj.bias"),
+                "norm": {"scale": g(f"layers.{i}.downsample.norm.weight"),
+                         "bias": g(f"layers.{i}.downsample.norm.bias")}}
+        params["stages"].append(stage)
+    for i in cfg.out_indices:
+        params["out_norms"][str(i)] = {"scale": g(f"norm{i}.weight"),
+                                       "bias": g(f"norm{i}.bias")}
+    return params
+
+
+def import_fpn(sd: Mapping[str, np.ndarray], cfg,
+               prefix="sem_seg_head.pixel_decoder.") -> dict:
+    g = lambda k: np.asarray(sd[prefix + k])
+
+    def convgn(base):
+        return {"kernel": _conv(g(base + ".weight")), "bias": g(base + ".bias"),
+                "norm": {"scale": g(base + ".norm.weight"),
+                         "bias": g(base + ".norm.bias")}}
+
+    params = {
+        "input_proj": {"kernel": _conv(g("input_proj.weight")),
+                       "bias": g("input_proj.bias")},
+        "encoder_layers": [],
+        # reference names: layer_4 = res5 output conv, adapter_3/layer_3 = res4,
+        # adapter_2/layer_2 = res3, adapter_1/layer_1 = res2
+        "output_convs": [convgn("layer_4"), convgn("layer_3"),
+                         convgn("layer_2"), convgn("layer_1")],
+        "lateral_convs": [convgn("adapter_3"), convgn("adapter_2"),
+                          convgn("adapter_1")],
+        "mask_features": {"kernel": _conv(g("mask_features.weight")),
+                          "bias": g("mask_features.bias")},
+    }
+    for i in range(cfg.enc_layers):
+        base = f"transformer.encoder.layers.{i}."
+        in_w = np.asarray(sd[prefix + base + "self_attn.in_proj_weight"])
+        in_b = np.asarray(sd[prefix + base + "self_attn.in_proj_bias"])
+        D = in_w.shape[1]
+        params["encoder_layers"].append({
+            "q_w": _t(in_w[:D]), "q_b": in_b[:D],
+            "k_w": _t(in_w[D:2 * D]), "k_b": in_b[D:2 * D],
+            "v_w": _t(in_w[2 * D:]), "v_b": in_b[2 * D:],
+            "o_w": _t(g(base + "self_attn.out_proj.weight")),
+            "o_b": g(base + "self_attn.out_proj.bias"),
+            "ln1_s": g(base + "norm1.weight"), "ln1_b": g(base + "norm1.bias"),
+            "fc1_w": _t(g(base + "linear1.weight")), "fc1_b": g(base + "linear1.bias"),
+            "fc2_w": _t(g(base + "linear2.weight")), "fc2_b": g(base + "linear2.bias"),
+            "ln2_s": g(base + "norm2.weight"), "ln2_b": g(base + "norm2.bias"),
+        })
+    return params
+
+
+def import_xdecoder_predictor(sd: Mapping[str, np.ndarray], cfg,
+                              prefix="sem_seg_head.predictor.") -> dict:
+    g = lambda k: np.asarray(sd[prefix + k])
+
+    def attn(base):
+        in_w = g(base + ".in_proj_weight")
+        in_b = g(base + ".in_proj_bias")
+        D = in_w.shape[1]
+        return {"q_w": _t(in_w[:D]), "q_b": in_b[:D],
+                "k_w": _t(in_w[D:2 * D]), "k_b": in_b[D:2 * D],
+                "v_w": _t(in_w[2 * D:]), "v_b": in_b[2 * D:],
+                "o_w": _t(g(base + ".out_proj.weight")),
+                "o_b": g(base + ".out_proj.bias")}
+
+    layers = []
+    for i in range(cfg.dec_layers):
+        ca = attn(f"transformer_cross_attention_layers.{i}.multihead_attn")
+        ca["ln_s"] = g(f"transformer_cross_attention_layers.{i}.norm.weight")
+        ca["ln_b"] = g(f"transformer_cross_attention_layers.{i}.norm.bias")
+        sa = attn(f"transformer_self_attention_layers.{i}.self_attn")
+        sa["ln_s"] = g(f"transformer_self_attention_layers.{i}.norm.weight")
+        sa["ln_b"] = g(f"transformer_self_attention_layers.{i}.norm.bias")
+        ffn = {"fc1_w": _t(g(f"transformer_ffn_layers.{i}.linear1.weight")),
+               "fc1_b": g(f"transformer_ffn_layers.{i}.linear1.bias"),
+               "fc2_w": _t(g(f"transformer_ffn_layers.{i}.linear2.weight")),
+               "fc2_b": g(f"transformer_ffn_layers.{i}.linear2.bias"),
+               "ln_s": g(f"transformer_ffn_layers.{i}.norm.weight"),
+               "ln_b": g(f"transformer_ffn_layers.{i}.norm.bias")}
+        layers.append({"cross": ca, "self": sa, "ffn": ffn})
+
+    params = {
+        "layers": layers,
+        "decoder_norm": {"scale": g("decoder_norm.weight"),
+                         "bias": g("decoder_norm.bias")},
+        "query_feat": g("query_feat.weight"),
+        "query_embed": g("query_embed.weight"),
+        "level_embed": g("level_embed.weight"),
+        "input_proj": [],
+        "class_embed": g("class_embed"),
+        "caping_embed": g("caping_embed"),
+        "pos_embed_caping": g("pos_embed_caping.weight"),
+        "mask_embed": {"w0": _t(g("mask_embed.layers.0.weight")),
+                       "b0": g("mask_embed.layers.0.bias"),
+                       "w1": _t(g("mask_embed.layers.1.weight")),
+                       "b1": g("mask_embed.layers.1.bias"),
+                       "w2": _t(g("mask_embed.layers.2.weight")),
+                       "b2": g("mask_embed.layers.2.bias")},
+        "bbox_embed": {"w0": _t(g("bbox_embed.layers.0.weight")),
+                       "b0": g("bbox_embed.layers.0.bias"),
+                       "w1": _t(g("bbox_embed.layers.1.weight")),
+                       "b1": g("bbox_embed.layers.1.bias"),
+                       "w2": _t(g("bbox_embed.layers.2.weight")),
+                       "b2": g("bbox_embed.layers.2.bias")},
+    }
+    for i in range(cfg.num_feature_levels):
+        key = f"input_proj.{i}.weight"
+        if prefix + key in sd:
+            params["input_proj"].append(
+                {"w": np.asarray(sd[prefix + key])[:, :, 0, 0].T,
+                 "b": g(f"input_proj.{i}.bias")})
+        else:  # nn.Sequential() identity when in_channels == hidden_dim
+            D = cfg.hidden_dim
+            params["input_proj"].append({"w": np.eye(D, dtype=np.float32),
+                                         "b": np.zeros((D,), np.float32)})
+    return params
+
+
+def import_text_encoder(sd: Mapping[str, np.ndarray], cfg,
+                        prefix="sem_seg_head.predictor.lang_encoder.") -> dict:
+    g = lambda k: np.asarray(sd[prefix + k])
+    L = cfg.layers
+    fields = {
+        "ln1_s": "ln_1.weight", "ln1_b": "ln_1.bias",
+        "ln2_s": "ln_2.weight", "ln2_b": "ln_2.bias",
+    }
+    layers = {k: np.stack([g(f"lang_encoder.resblocks.{i}.{v}") for i in range(L)])
+              for k, v in fields.items()}
+    layers["qkv_w"] = np.stack([
+        _t(g(f"lang_encoder.resblocks.{i}.attn.in_proj_weight")) for i in range(L)])
+    layers["qkv_b"] = np.stack([
+        g(f"lang_encoder.resblocks.{i}.attn.in_proj_bias") for i in range(L)])
+    layers["o_w"] = np.stack([
+        _t(g(f"lang_encoder.resblocks.{i}.attn.out_proj.weight")) for i in range(L)])
+    layers["o_b"] = np.stack([
+        g(f"lang_encoder.resblocks.{i}.attn.out_proj.bias") for i in range(L)])
+    layers["fc_w"] = np.stack([
+        _t(g(f"lang_encoder.resblocks.{i}.mlp.c_fc.weight")) for i in range(L)])
+    layers["fc_b"] = np.stack([
+        g(f"lang_encoder.resblocks.{i}.mlp.c_fc.bias") for i in range(L)])
+    layers["proj_w"] = np.stack([
+        _t(g(f"lang_encoder.resblocks.{i}.mlp.c_proj.weight")) for i in range(L)])
+    layers["proj_b"] = np.stack([
+        g(f"lang_encoder.resblocks.{i}.mlp.c_proj.bias") for i in range(L)])
+    return {
+        "token_embedding": g("lang_encoder.token_embedding.weight"),
+        "positional_embedding": g("lang_encoder.positional_embedding"),
+        "layers": layers,
+        "ln_final": {"scale": g("lang_encoder.ln_final.weight"),
+                     "bias": g("lang_encoder.ln_final.bias")},
+        "lang_proj": np.asarray(sd[prefix + "lang_proj"]),
+        "logit_scale": np.asarray(sd[prefix + "logit_scale"]),
+    }
+
+
+def import_xdecoder_checkpoint(state: Mapping[str, np.ndarray],
+                               cfg: XDecoderModelConfig) -> dict:
+    """Full model import from a reference-layout state dict of numpy arrays."""
+    return {
+        "backbone": import_focalnet(state, cfg.backbone),
+        "fpn": import_fpn(state, cfg.fpn),
+        "decoder": import_xdecoder_predictor(state, cfg.decoder),
+        "text": import_text_encoder(state, cfg.text),
+    }
+
+
+def align_and_update(target: dict, loaded: dict, log=print) -> dict:
+    """Shape-checked partial update (utils/model.py:31-55 semantics): leaves
+    present in both trees with matching shapes are replaced; mismatches keep
+    the target value and are reported."""
+    import jax
+
+    flat_t = {jax.tree_util.keystr(k): (k, v)
+              for k, v in jax.tree_util.tree_leaves_with_path(target)}
+    flat_l = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(loaded)}
+    out = dict(flat_t)
+    for key, val in flat_l.items():
+        if key in flat_t:
+            _, tv = flat_t[key]
+            if tuple(np.shape(tv)) == tuple(np.shape(val)):
+                out[key] = (flat_t[key][0], val)
+            else:
+                log(f"[align] shape mismatch {key}: {np.shape(tv)} vs {np.shape(val)}")
+    leaves = [out[k][1] for k in sorted(out)]
+    paths = [out[k][0] for k in sorted(out)]
+    treedef = jax.tree_util.tree_structure(target)
+    ordered = [v for _, v in sorted(
+        ((jax.tree_util.keystr(p), l) for p, l in zip(paths, leaves)))]
+    # rebuild by unflattening in canonical leaf order
+    canonical = [jax.tree_util.keystr(k)
+                 for k, _ in jax.tree_util.tree_leaves_with_path(target)]
+    by_key = {jax.tree_util.keystr(p): l for p, l in zip(paths, leaves)}
+    return jax.tree_util.tree_unflatten(treedef, [by_key[k] for k in canonical])
