@@ -22,6 +22,7 @@ A100_EST_IMG_PER_S = 2.0
 PROMPT_TEXT_TOKENS = 64
 DECODE_TOKENS = 16
 BATCH = 2
+QUANT_MODES = ("nf4", "int8")   # tried in order; int8 compiles lighter
 
 
 def log(*a):
@@ -58,13 +59,19 @@ def main():
               "o": (L, H * hd, D), "gate": (L, D, I), "up": (L, D, I),
               "down": (L, I, D)}
 
+    import os
+    quant_mode = os.environ.get("BENCH_QUANT", QUANT_MODES[0])
+    from cullavo_tpu.ops.nf4 import quantize_linear_int8
+
+    quant = quantize_linear if quant_mode == "nf4" else quantize_linear_int8
     layers = {}
     for i, (name, shape) in enumerate(shapes.items()):
-        fn = jax.jit(lambda k, s=shape: quantize_linear(
+        fn = jax.jit(lambda k, s=shape: quant(
             (jax.random.normal(k, s) * (s[-2] ** -0.5)).astype(jnp.bfloat16)))
         layers[name] = jax.block_until_ready(fn(jax.random.PRNGKey(i)))
     layers["input_ln"] = jnp.ones((L, D), jnp.bfloat16)
     layers["post_ln"] = jnp.ones((L, D), jnp.bfloat16)
+    log(f"quant mode: {quant_mode}")
 
     from cullavo_tpu.models.llava.clip_vit import init_clip_vision_params
 
@@ -134,7 +141,7 @@ def main():
         "decode_tokens": DECODE_TOKENS,
         "prompt_tokens": int(T),
         "batch": B,
-        "quant": "nf4",
+        "quant": quant_mode,
         "params_b": 7.06,
     }))
 

@@ -89,3 +89,31 @@ def preprocess_numpy(images: list[np.ndarray], size: int = CLIP_SIZE,
     std = np.asarray(CLIP_STD, np.float32)
     batch = (batch - mean) / std
     return batch.transpose(0, 3, 1, 2)
+
+
+def pad_to_divisible(images: "list[np.ndarray]", divisor: int = 32):
+    """Batch ragged [H, W, C] images padded to a shared divisible size —
+    detectron2 ImageList.from_tensors(size_divisibility=32) semantics
+    (used by the seg eval path, xdecoder_model.py:437-440).
+    Returns (batch [B, Hp, Wp, C], sizes [(H, W)])."""
+    sizes = [(im.shape[0], im.shape[1]) for im in images]
+    Hm = max(h for h, _ in sizes)
+    Wm = max(w for _, w in sizes)
+    Hp = -(-Hm // divisor) * divisor
+    Wp = -(-Wm // divisor) * divisor
+    C = images[0].shape[2]
+    out = np.zeros((len(images), Hp, Wp, C), images[0].dtype)
+    for i, im in enumerate(images):
+        out[i, :im.shape[0], :im.shape[1]] = im
+    return out, sizes
+
+
+def sem_seg_postprocess(logits, padded_size, image_size, out_size):
+    """Crop the valid region out of the padded prediction and resize to the
+    original resolution (modeling/modules/postprocessing.py:9-38 semantics).
+    logits: [C, Hp, Wp] → [C, out_h, out_w]."""
+    import jax
+
+    h, w = image_size
+    cropped = logits[:, :h, :w]
+    return jax.image.resize(cropped, (logits.shape[0], *out_size), method="bilinear")

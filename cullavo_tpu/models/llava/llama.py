@@ -170,6 +170,8 @@ def llama_forward(
         — the 4-bit Q-LoRA inference/training path (load_cullavo.py:65-83)."""
         if nf4_ops.is_quantized(w):
             y = nf4_ops.nf4_linear(x, w, *dims)
+        elif nf4_ops.is_quantized_int8(w):
+            y = nf4_ops.int8_linear(x, w)
         else:
             y = x @ w
         if ad is None:

@@ -146,16 +146,19 @@ def apply_trainable(params: Any, trainable: dict) -> tuple[Any, dict]:
     return full, trainable["lora"]
 
 
-def quantize_llm_weights(params: Any) -> Any:
-    """NF4-quantize the stacked LLaMA linear weights (the frozen Q-LoRA base,
-    load_cullavo.py:65-83 semantics: LLM linears 4-bit; embeddings, lm_head,
-    norms, projector, vision tower stay in high precision — bnb's
-    ``llm_int8_skip_modules=[multi_modal_projector, lm_head]``)."""
-    from cullavo_tpu.ops.nf4 import quantize_linear
+def quantize_llm_weights(params: Any, bits: int = 4) -> Any:
+    """Quantize the stacked LLaMA linear weights (the frozen Q-LoRA base).
 
+    bits=4 → NF4 (load_cullavo.py:65-83 semantics); bits=8 → int8 per-channel
+    (the reference's load_in_8bit eval mode).  Embeddings, lm_head, norms,
+    projector, vision tower stay in high precision — bnb's
+    ``llm_int8_skip_modules=[multi_modal_projector, lm_head]``."""
+    from cullavo_tpu.ops.nf4 import quantize_linear, quantize_linear_int8
+
+    quant = quantize_linear if bits == 4 else quantize_linear_int8
     lm = dict(params["language_model"])
     layers = dict(lm["layers"])
     for t in LLM_TARGETS:
-        layers[t] = quantize_linear(layers[t])
+        layers[t] = quant(layers[t])
     lm["layers"] = layers
     return {**params, "language_model": lm}

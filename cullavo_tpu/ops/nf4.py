@@ -246,3 +246,28 @@ def nf4_linear(x: jax.Array, q: dict, d_in: int, d_out: int) -> jax.Array:
 
 def is_quantized(w) -> bool:
     return isinstance(w, dict) and "q4" in w
+
+
+# ---------------------------------------------------------------------------
+# int8 per-channel quantization (the reference's load_in_8bit eval mode,
+# pipeline/LLaVAVQAVALPipeline.py:94-102)
+# ---------------------------------------------------------------------------
+
+def quantize_linear_int8(w: jax.Array) -> dict:
+    """[..., d_in, d_out] → {"q8": int8, "scale8": fp32 per output channel}.
+    Per-out-channel absmax symmetric quantization (LLM.int8-style without the
+    outlier decomposition — adequate at bf16 compute for eval parity)."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return {"q8": q, "scale8": scale}
+
+
+def int8_linear(x: jax.Array, q: dict) -> jax.Array:
+    """x @ dequant(q8) with the scale folded in after the int8 matmul feed."""
+    w = q["q8"].astype(x.dtype) * q["scale8"].astype(x.dtype)
+    return x @ w
+
+
+def is_quantized_int8(w) -> bool:
+    return isinstance(w, dict) and "q8" in w

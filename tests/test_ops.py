@@ -211,3 +211,21 @@ def test_ms_deform_attn_gradients_flow():
     l2 = loc.at[0, 0, 0, 0, 0, 0].add(eps)
     fd = (f(l2) - f(loc)) / eps
     np.testing.assert_allclose(fd, float(g_loc[0, 0, 0, 0, 0, 0]), rtol=6e-2, atol=1e-3)
+
+
+def test_int8_llama_forward_close_to_fp():
+    import jax
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.lora import quantize_llm_weights
+    from cullavo_tpu.models.llava.modeling import init_llava_params, llava_forward
+
+    cfg = tiny_llava_config(128)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_llm_weights(params, bits=8)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 120, size=(2, 9)))
+    mask = jnp.ones((2, 9), jnp.int32)
+    full, _ = llava_forward(params, cfg, ids, None, mask)
+    quant, _ = llava_forward(qparams, cfg, ids, None, mask)
+    agree = (jnp.argmax(full, -1) == jnp.argmax(quant, -1)).mean()
+    assert float(agree) > 0.85, float(agree)  # int8 is tighter than nf4
