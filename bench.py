@@ -21,7 +21,7 @@ import numpy as np
 A100_EST_IMG_PER_S = 2.0
 PROMPT_TEXT_TOKENS = 64
 DECODE_TOKENS = 16
-BATCH = 2
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", 4))
 QUANT_MODES = ("nf4", "int8")   # tried in order; int8 compiles lighter
 
 
@@ -60,7 +60,10 @@ def main():
               "down": (L, I, D)}
 
     import os
-    quant_mode = os.environ.get("BENCH_QUANT", QUANT_MODES[0])
+    # int8 default: NF4's bit-unpack+gather graph crashes the axon AOT
+    # compile helper at 7B scale (Pallas fused dequant kernel is the fix);
+    # int8 compiles in seconds and matches the reference's 8-bit eval mode.
+    quant_mode = os.environ.get("BENCH_QUANT", "int8")
     from cullavo_tpu.ops.nf4 import quantize_linear_int8
 
     quant = quantize_linear if quant_mode == "nf4" else quantize_linear_int8

@@ -133,6 +133,7 @@ def llama_forward(
     lora_scaling: float = 0.0,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    use_flash: Optional[bool] = None,         # None = auto (TPU only)
 ):
     """Run the decoder stack; returns (final_hidden, new_cache).
 
@@ -147,6 +148,11 @@ def llama_forward(
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     n_rep = H // KV
     compute_dtype = inputs_embeds.dtype
+    if use_flash is None:
+        # the Pallas kernel needs real TPU lowering and tile-aligned shapes;
+        # interpret mode on CPU would be slower than the fused XLA einsum
+        use_flash = (jax.default_backend() == "tpu" and cache is None
+                     and T % 8 == 0 and hd % 128 == 0)
 
     cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)
 
@@ -197,6 +203,23 @@ def llama_forward(
         k = apply_rope(k, cos, sin)
 
         if cache is None:
+            if use_flash:
+                from cullavo_tpu.ops.flash_attention import flash_attention
+
+                attn = flash_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
+                                       q_positions=position_ids,
+                                       kv_valid=attention_mask, causal=True)
+                attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
+                h = residual + mm(attn, w["o"], ad.get("o"), get_rng(3))
+                residual = h
+                x = rms_norm(h, w["post_ln"], cfg.rms_norm_eps)
+                gate = jax.nn.silu(mm(x, w["gate"], ad.get("gate"), get_rng(4),
+                                      (D, cfg.intermediate_size)).astype(jnp.float32)).astype(compute_dtype)
+                h = residual + mm(gate * mm(x, w["up"], ad.get("up"), get_rng(5),
+                                            (D, cfg.intermediate_size)),
+                                  w["down"], ad.get("down"), get_rng(6),
+                                  (cfg.intermediate_size, D))
+                return h, None
             k_all, v_all = k, v
             new_k, new_v = k, v
         else:

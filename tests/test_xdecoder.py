@@ -234,3 +234,47 @@ def test_grounding_eval_path():
                                          text_ids.reshape(-1, 8),
                                          text_mask.reshape(-1, 8))
     assert tok.shape[-1] == 32
+
+
+def test_model_registry():
+    from cullavo_tpu.models.build import (build_backbone, build_encoder,
+                                          build_model)
+    from cullavo_tpu.models.xdecoder.focalnet import FocalNetConfig
+
+    cfg, params, fwd = build_backbone(
+        "focal", FocalNetConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                                focal_levels=(2, 2, 2, 2),
+                                focal_windows=(3, 3, 3, 3)))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    outs = fwd(params, cfg, x)
+    assert set(outs) == {"res2", "res3", "res4", "res5"}
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        build_model("nonexistent_model")
+    with _pytest.raises(KeyError):
+        build_encoder("nonexistent_encoder")
+
+
+def test_davit_and_samvit_smoke():
+    from cullavo_tpu.models.xdecoder.davit import (DaViTConfig, davit_forward,
+                                                   init_davit_params)
+    from cullavo_tpu.models.xdecoder.sam_vit import (SamVitConfig,
+                                                     init_sam_vit_params,
+                                                     sam_vit_forward)
+
+    dcfg = DaViTConfig(embed_dims=(8, 16, 32, 64), num_heads=(2, 2, 4, 4),
+                       num_groups=(2, 2, 4, 4), depths=(1, 1, 1, 1), window_size=4)
+    dp = init_davit_params(dcfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    outs = davit_forward(dp, dcfg, x)
+    assert outs["res5"].shape == (1, 1, 1, 64)
+    assert all(bool(jnp.isfinite(v).all()) for v in outs.values())
+
+    vcfg = SamVitConfig(img_size=32, patch_size=16, embed_dim=16, depth=2,
+                        num_heads=2, window_size=2, global_attn_indexes=(1,),
+                        out_dims=(8, 16, 32, 64))
+    vp = init_sam_vit_params(vcfg, jax.random.PRNGKey(2))
+    outs = sam_vit_forward(vp, vcfg, x)
+    assert outs["res2"].shape[1] == 8  # stride 4
+    assert all(bool(jnp.isfinite(v).all()) for v in outs.values())
