@@ -201,3 +201,33 @@ def set_criterion(
             losses[f"loss_bbox{suffix}"] = cfg.weight_bbox * l1
             losses[f"loss_giou{suffix}"] = cfg.weight_giou * giou
     return losses
+
+
+def caption_noun_targets(captions: "list[str]", class_names: "list[str]"):
+    """Host-side noun-hash target extraction for the caption-grounding loss
+    (xdecoder_model.py:712-726): Lancaster-stemmed caption words matched
+    against stemmed class names; returns per-caption boolean rows over
+    classes.  Pure-python; nltk's LancasterStemmer when available, a
+    suffix-stripping fallback otherwise."""
+    try:
+        from nltk.stem.lancaster import LancasterStemmer
+
+        stem = LancasterStemmer().stem
+    except ImportError:  # pragma: no cover
+        def stem(w):
+            for suf in ("ing", "es", "ed", "s"):
+                if w.endswith(suf) and len(w) > len(suf) + 2:
+                    return w[:-len(suf)]
+            return w
+
+    import numpy as np
+
+    stemmed_classes = [stem(c.split("-")[0].split(" ")[-1].lower())
+                       for c in class_names]
+    out = np.zeros((len(captions), len(class_names)), bool)
+    for i, cap in enumerate(captions):
+        words = {stem(w.strip(".,!?").lower()) for w in cap.split()}
+        for j, sc in enumerate(stemmed_classes):
+            if sc in words:
+                out[i, j] = True
+    return out

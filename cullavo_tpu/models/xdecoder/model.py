@@ -227,3 +227,69 @@ def evaluate_grounding(params, cfg: XDecoderModelConfig, images,
     if out_size is not None:
         picked = jax.image.resize(picked, (B, *out_size), method="bilinear")
     return picked
+
+
+def forward_vlp_train(params, cfg: XDecoderModelConfig, images,
+                      caption_token_embs, caption_token_ids, caption_mask,
+                      vocab_embs, caption_sentence_embs=None,
+                      backbone_proj=None, axis_name=None):
+    """VLP training forward (xdecoder_model.py:378-420): captioning token CE
+    + caption-retrieval ITC (+ the res5 backbone-ensemble ITC when a
+    ``backbone_proj`` is given).
+
+    caption_token_embs: [B, contxt_len, D_hidden] decoder-space caption token
+    embeddings; vocab_embs: [V, dim_proj] projected vocabulary embeddings for
+    the token CE; caption_sentence_embs: [B, dim_proj] projected sentence
+    (EOT) embeddings for the retrieval ITC.
+    """
+    from cullavo_tpu.models.xdecoder.criterion import loss_captionings
+    from cullavo_tpu.models.xdecoder.language_loss import image_text_contrastive_loss
+    from cullavo_tpu.models.xdecoder.focalnet import focalnet_forward
+
+    feats = focalnet_forward(params["backbone"], cfg.backbone, images)
+    mask_features, _, pyramid = None, None, None
+    from cullavo_tpu.models.xdecoder.fpn import fpn_forward
+
+    mask_features, _, pyramid = fpn_forward(params["fpn"], cfg.fpn, feats)
+    out = xdecoder_forward(params["decoder"], cfg.decoder, pyramid, mask_features,
+                           caption_tokens=caption_token_embs, task="vlp",
+                           is_train=True)
+    losses = {}
+    logit_scale = params["text"]["logit_scale"]
+    losses["loss_captioning_0"] = loss_captionings(
+        out["pred_captionings"], caption_token_embs, caption_token_ids,
+        caption_mask, vocab_embs, logit_scale)
+    # retrieval ITC: class-token caption embedding vs text sentence embedding
+    if caption_sentence_embs is not None:
+        nq = cfg.decoder.num_queries
+        img_emb = out["pred_captions"][:, nq - 1]
+        losses["loss_retrieval_decoder_0"] = image_text_contrastive_loss(
+            img_emb, caption_sentence_embs, logit_scale, axis_name)
+        if backbone_proj is not None:
+            v = jnp.mean(feats["res5"], axis=(1, 2)) @ backbone_proj
+            losses["loss_retrieval_backbone_0"] = image_text_contrastive_loss(
+                v, caption_sentence_embs, logit_scale, axis_name)
+    return losses
+
+
+def evaluate_classification(params, cfg: XDecoderModelConfig, images,
+                            text_class_embeds):
+    """Zero-shot classification via the class-token similarity
+    (xdecoder_model.py:579-593): logits [B, C]."""
+    mask_features, pyramid = backbone_and_pixel_decoder(params, cfg, images)
+    out = xdecoder_forward(params["decoder"], cfg.decoder, pyramid, mask_features,
+                           text_class_embeds=text_class_embeds,
+                           logit_scale=params["text"]["logit_scale"],
+                           task="eval", is_train=False)
+    return out["pred_logits"][:, -1, :-1]   # class-token row, drop background
+
+
+def evaluate_retrieval_embedding(params, cfg: XDecoderModelConfig, images):
+    """Image embedding for retrieval eval (xdecoder_model.py:507-550): the
+    class-token caption embedding, normalized."""
+    mask_features, pyramid = backbone_and_pixel_decoder(params, cfg, images)
+    out = xdecoder_forward(params["decoder"], cfg.decoder, pyramid, mask_features,
+                           task="eval", is_train=False)
+    nq = cfg.decoder.num_queries
+    emb = out["pred_captions"][:, nq - 1]
+    return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-7)
