@@ -293,3 +293,22 @@ def evaluate_retrieval_embedding(params, cfg: XDecoderModelConfig, images):
     nq = cfg.decoder.num_queries
     emb = out["pred_captions"][:, nq - 1]
     return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-7)
+
+
+def evaluate_dispatch(params, cfg: XDecoderModelConfig, images, mode: str = "default",
+                      text_class_embeds=None, text_ids=None, text_mask=None,
+                      out_size=None):
+    """Eval-mode dispatch mirroring GeneralizedXdecoder.forward's eval arm
+    (xdecoder_model.py:305-315): retrieval | captioning | classification |
+    grounding_refcoco | default (dense seg)."""
+    if mode == "retrieval":
+        return evaluate_retrieval_embedding(params, cfg, images)
+    if mode == "classification":
+        return evaluate_classification(params, cfg, images, text_class_embeds)
+    if mode == "grounding_refcoco":
+        return evaluate_grounding(params, cfg, images, text_ids, text_mask, out_size)
+    if mode == "captioning":
+        raise NotImplementedError(
+            "use cullavo_tpu.models.xdecoder.decoder.forward_captioning with a "
+            "tokenizer-backed token_embedding_fn")
+    return forward_eval(params, cfg, images, text_class_embeds, out_size)
