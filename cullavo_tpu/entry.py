@@ -127,7 +127,19 @@ def evaluate(cfg):
         print(f"[entry] unknown eval workload {name!r}", file=sys.stderr)
 
 
+def _maybe_init_distributed():
+    import os
+
+    num = os.environ.get("CULLAVO_NUM_PROCS")
+    if num and int(num) > 1:
+        from cullavo_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(os.environ.get("CULLAVO_COORDINATOR"),
+                               int(num), int(os.environ.get("CULLAVO_PROC_ID", 0)))
+
+
 def main(argv=None):
+    _maybe_init_distributed()
     cfg, args = load_opt_command(argv)
     if args.command == "train":
         train(cfg)

@@ -175,7 +175,10 @@ def llama_forward(
         ``w`` may be an NF4-quantized dict (cullavo_tpu.ops.nf4.quantize_linear)
         — the 4-bit Q-LoRA inference/training path (load_cullavo.py:65-83)."""
         if nf4_ops.is_quantized(w):
-            y = nf4_ops.nf4_linear(x, w, *dims)
+            if jax.default_backend() == "tpu":
+                y = nf4_ops.nf4_linear_pallas(x, w, *dims)
+            else:
+                y = nf4_ops.nf4_linear(x, w, *dims)
         elif nf4_ops.is_quantized_int8(w):
             y = nf4_ops.int8_linear(x, w)
         else:

@@ -271,3 +271,58 @@ def int8_linear(x: jax.Array, q: dict) -> jax.Array:
 
 def is_quantized_int8(w) -> bool:
     return isinstance(w, dict) and "q8" in w
+
+
+def _nf4_linear_kernel(x_ref, q4_ref, scale_ref, o_ref, *, block_n: int, k_dim: int):
+    """Fused dequant-matmul for the plain-dict layout: x [M, K] @ deq(q4)."""
+    x = x_ref[:]
+    packed = q4_ref[:]                               # [K, block_n // 2]
+    hi = (packed >> 4).astype(jnp.int32)
+    lo = (packed & 0xF).astype(jnp.int32)
+    idx = jnp.stack([hi, lo], axis=-1).reshape(k_dim, block_n)
+    vals = _codebook_lookup(idx)
+    scale = scale_ref[:].reshape(k_dim * block_n // BLOCK)
+    vals = (vals.reshape(-1, BLOCK) * scale[:, None]).reshape(k_dim, block_n)
+    o_ref[:] = jnp.dot(x.astype(jnp.float32), vals,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def nf4_linear_pallas(x: jax.Array, q: dict, d_in: int, d_out: int,
+                      block_n: int = 256, block_m: int = 256) -> jax.Array:
+    """Pallas path for ``nf4_linear``: dequantize weight tiles in VMEM and
+    feed the MXU — keeps the weight stream 4-bit through HBM and avoids the
+    giant unpack/gather XLA graph (which crashes the TPU AOT compiler at 7B
+    scale).  x: [..., d_in] (leading dims flattened; M padded to the tile)."""
+    lead = x.shape[:-1]
+    M = 1
+    for s in lead:
+        M *= s
+    x2 = x.reshape(M, d_in)
+    block_m = min(block_m, max(8, M))
+    Mp = -(-M // block_m) * block_m
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    q4 = q["q4"].reshape(d_in, d_out // 2)
+    scale = q["scale"].reshape(d_in, d_out // BLOCK).astype(jnp.float32)
+    block_n = min(block_n, d_out)
+    while d_out % block_n:
+        block_n //= 2
+    assert block_n % BLOCK == 0, (block_n, BLOCK)
+    kernel = functools.partial(_nf4_linear_kernel, block_n=block_n, k_dim=d_in)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // block_m, d_out // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, d_in), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, block_n // 2), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, block_n // BLOCK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, d_out), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(x2, q4, scale)
+    return out[:M].reshape(*lead, d_out)
