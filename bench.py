@@ -64,9 +64,9 @@ def main():
     # compile helper at 7B scale (Pallas fused dequant kernel is the fix);
     # int8 compiles in seconds and matches the reference's 8-bit eval mode.
     quant_mode = os.environ.get("BENCH_QUANT", "int8")
-    from cullavo_tpu.ops.nf4 import quantize_linear_int8
+    from cullavo_tpu.ops.nf4 import quantize_linear_int8, quantize_linear_planar
 
-    quant = quantize_linear if quant_mode == "nf4" else quantize_linear_int8
+    quant = quantize_linear_planar if quant_mode == "nf4" else quantize_linear_int8
     layers = {}
     for i, (name, shape) in enumerate(shapes.items()):
         fn = jax.jit(lambda k, s=shape: quant(

@@ -174,9 +174,14 @@ def llama_forward(
         """x @ w with optional LoRA update (adapter ``ad`` may be None).
         ``w`` may be an NF4-quantized dict (cullavo_tpu.ops.nf4.quantize_linear)
         — the 4-bit Q-LoRA inference/training path (load_cullavo.py:65-83)."""
-        if nf4_ops.is_quantized(w):
+        if nf4_ops.is_quantized_planar(w):
             if jax.default_backend() == "tpu":
-                y = nf4_ops.nf4_linear_pallas(x, w, *dims)
+                y = nf4_ops.nf4_linear_planar_vjp(x, w, *dims)
+            else:
+                y = x @ nf4_ops.dequant_linear_planar(w, *dims, dtype=x.dtype)
+        elif nf4_ops.is_quantized(w):
+            if jax.default_backend() == "tpu":
+                y = nf4_ops.nf4_linear_fused_vjp(x, w, *dims)
             else:
                 y = nf4_ops.nf4_linear(x, w, *dims)
         elif nf4_ops.is_quantized_int8(w):

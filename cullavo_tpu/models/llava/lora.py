@@ -153,9 +153,20 @@ def quantize_llm_weights(params: Any, bits: int = 4) -> Any:
     (the reference's load_in_8bit eval mode).  Embeddings, lm_head, norms,
     projector, vision tower stay in high precision — bnb's
     ``llm_int8_skip_modules=[multi_modal_projector, lm_head]``."""
-    from cullavo_tpu.ops.nf4 import quantize_linear, quantize_linear_int8
+    from cullavo_tpu.ops.nf4 import (BLOCK, quantize_linear,
+                                     quantize_linear_int8,
+                                     quantize_linear_planar)
 
-    quant = quantize_linear if bits == 4 else quantize_linear_int8
+    def quant(w):
+        if bits == 8:
+            return quantize_linear_int8(w)
+        d_in, d_out = w.shape[-2], w.shape[-1]
+        # planar layout (Mosaic-compilable fused kernel) when dims allow;
+        # flat byte layout otherwise (tiny test models)
+        if d_in % 8 == 0 and d_out % BLOCK == 0:
+            return quantize_linear_planar(w)
+        return quantize_linear(w)
+
     lm = dict(params["language_model"])
     layers = dict(lm["layers"])
     for t in LLM_TARGETS:

@@ -274,14 +274,20 @@ def is_quantized_int8(w) -> bool:
 
 
 def _nf4_linear_kernel(x_ref, q4_ref, scale_ref, o_ref, *, block_n: int, k_dim: int):
-    """Fused dequant-matmul for the plain-dict layout: x [M, K] @ deq(q4)."""
+    """Fused dequant-matmul for the plain-dict layout: x [M, K] @ deq(q4).
+
+    ``scale_ref`` holds the FULL [K, d_out/BLOCK] scale map (a narrow per-tile
+    scale block would violate the (8, 128) VMEM tiling rule); the tile's
+    columns are sliced inside."""
     x = x_ref[:]
     packed = q4_ref[:]                               # [K, block_n // 2]
     hi = (packed >> 4).astype(jnp.int32)
     lo = (packed & 0xF).astype(jnp.int32)
     idx = jnp.stack([hi, lo], axis=-1).reshape(k_dim, block_n)
     vals = _codebook_lookup(idx)
-    scale = scale_ref[:].reshape(k_dim * block_n // BLOCK)
+    j = pl.program_id(1)
+    nsc = block_n // BLOCK
+    scale = scale_ref[:, pl.ds(j * nsc, nsc)].reshape(k_dim * nsc)
     vals = (vals.reshape(-1, BLOCK) * scale[:, None]).reshape(k_dim, block_n)
     o_ref[:] = jnp.dot(x.astype(jnp.float32), vals,
                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
@@ -317,7 +323,7 @@ def nf4_linear_pallas(x: jax.Array, q: dict, d_in: int, d_out: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d_in, block_n // 2), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_in, block_n // BLOCK), lambda i, j: (0, j),
+            pl.BlockSpec((d_in, d_out // BLOCK), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
@@ -326,3 +332,147 @@ def nf4_linear_pallas(x: jax.Array, q: dict, d_in: int, d_out: int,
         interpret=jax.default_backend() == "cpu",
     )(x2, q4, scale)
     return out[:M].reshape(*lead, d_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def nf4_linear_fused_vjp(x: jax.Array, q: dict, d_in: int, d_out: int):
+    """Differentiable wrapper: Pallas fused forward; backward computes
+    dx = dy @ W^T through the XLA dequant path (the base is frozen in Q-LoRA,
+    so no weight gradient is produced)."""
+    return nf4_linear_pallas(x, q, d_in, d_out)
+
+
+def _nf4f_fwd(x, q, d_in, d_out):
+    return nf4_linear_pallas(x, q, d_in, d_out), q
+
+
+def _nf4f_bwd(d_in, d_out, q, dy):
+    w = dequant_linear(q, d_in, d_out, dy.dtype)
+    return (dy @ w.T, jax.tree.map(jnp.zeros_like, q))
+
+
+nf4_linear_fused_vjp.defvjp(_nf4f_fwd, _nf4f_bwd)
+
+
+# ---------------------------------------------------------------------------
+# planar NF4: the TPU-compilable layout
+# ---------------------------------------------------------------------------
+# The flat byte-packed layout needs uint8 ops and lane-interleaving reshapes,
+# both of which the Mosaic TPU compiler rejects.  The planar layout packs 8
+# ROW-planes of 4-bit codes into one int32 word — plane i of word[k8, n] holds
+# the code of element (i*K/8 + k8, n) — so dequantization is 8 shift-and-mask
+# extractions of full contiguous [K/8, N] tiles with no reshuffle, and the
+# matmul accumulates 8 contiguous row-block products.
+
+def quantize_linear_planar(w: jax.Array) -> dict:
+    """[..., d_in, d_out] → {"q4p": int32 [..., d_in/8, d_out],
+    "scale": fp32 [..., d_in, d_out/BLOCK]} (row-plane permuted packing)."""
+    *lead, d_in, d_out = w.shape
+    assert d_in % 8 == 0 and d_out % BLOCK == 0, (d_in, d_out)
+    flat = w.astype(jnp.float32).reshape((-1, d_in * d_out))
+
+    def enc(row):
+        codes, absmax = _encode_blockwise(row)
+        codes = codes.reshape(d_in, d_out).astype(jnp.int32)
+        k8 = d_in // 8
+        words = jnp.zeros((k8, d_out), jnp.int32)
+        for i in range(8):
+            words = words | (codes[i * k8:(i + 1) * k8] << (4 * i))
+        return words, absmax.reshape(d_in, d_out // BLOCK)
+
+    words, scale = jax.vmap(enc)(flat)
+    return {"q4p": words.reshape(tuple(lead) + (d_in // 8, d_out)),
+            "scale": scale.reshape(tuple(lead) + (d_in, d_out // BLOCK))}
+
+
+def dequant_linear_planar(q: dict, d_in: int, d_out: int, dtype=jnp.bfloat16):
+    """Planar → dense [d_in, d_out] (XLA path; used by backward + tests)."""
+    words = q["q4p"].reshape(d_in // 8, d_out)
+    planes = [(words >> (4 * i)) & 0xF for i in range(8)]
+    codes = jnp.concatenate(planes, axis=0)                      # [d_in, d_out]
+    vals = jnp.asarray(NF4_CODE)[codes]
+    scale = q["scale"].reshape(d_in, d_out // BLOCK)
+    vals = vals.reshape(d_in, d_out // BLOCK, BLOCK) * scale[..., None]
+    return vals.reshape(d_in, d_out).astype(dtype)
+
+
+def is_quantized_planar(w) -> bool:
+    return isinstance(w, dict) and "q4p" in w
+
+
+def _nf4_planar_kernel(x_ref, w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
+                       out_dtype):
+    j = pl.program_id(1)
+    k8 = k_dim // 8
+    nsc = block_n // BLOCK
+    bm = x_ref.shape[0]
+    st = s_ref[:, pl.ds(j * nsc, nsc)]                           # [K, nsc]
+    cbid = jax.lax.broadcasted_iota(jnp.int32, (k8, block_n), 1) // BLOCK
+    acc = jnp.zeros((bm, block_n), jnp.float32)
+    for i in range(8):
+        nib = (w_ref[:] >> (4 * i)) & 0xF                        # [K8, bn]
+        vals = _codebook_lookup(nib)
+        st_i = st[i * k8:(i + 1) * k8, :]                        # [K8, nsc]
+        scale_exp = jnp.zeros((k8, block_n), jnp.float32)
+        for c in range(nsc):
+            scale_exp = jnp.where(cbid == c, st_i[:, c:c + 1], scale_exp)
+        vals = (vals * scale_exp).astype(jnp.bfloat16)
+        acc += jnp.dot(x_ref[:, pl.ds(i * k8, k8)].astype(jnp.bfloat16), vals,
+                       preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(out_dtype)
+
+
+def nf4_linear_planar(x: jax.Array, q: dict, d_in: int, d_out: int,
+                      block_n: int = 256, block_m: int = 256) -> jax.Array:
+    """Fused planar dequant-matmul (Mosaic-compilable at 7B scale)."""
+    lead = x.shape[:-1]
+    M = 1
+    for s in lead:
+        M *= s
+    x2 = x.reshape(M, d_in)
+    block_m = min(block_m if d_in <= 4096 else 128, max(8, M))
+    Mp = -(-M // block_m) * block_m
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    words = q["q4p"].reshape(d_in // 8, d_out)
+    scale = q["scale"].reshape(d_in, d_out // BLOCK).astype(jnp.float32)
+    block_n = min(block_n, d_out)
+    while d_out % block_n:
+        block_n //= 2
+    assert block_n % BLOCK == 0
+    kernel = functools.partial(_nf4_planar_kernel, block_n=block_n,
+                               k_dim=d_in, out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // block_m, d_out // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, d_in), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in // 8, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, d_out // BLOCK), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, d_out), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(x2, words, scale)
+    return out[:M].reshape(*lead, d_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def nf4_linear_planar_vjp(x: jax.Array, q: dict, d_in: int, d_out: int):
+    return nf4_linear_planar(x, q, d_in, d_out)
+
+
+def _nf4p_fwd(x, q, d_in, d_out):
+    return nf4_linear_planar(x, q, d_in, d_out), q
+
+
+def _nf4p_bwd(d_in, d_out, q, dy):
+    w = dequant_linear_planar(q, d_in, d_out, dy.dtype)
+    return (dy @ w.T, jax.tree.map(jnp.zeros_like, q))
+
+
+nf4_linear_planar_vjp.defvjp(_nf4p_fwd, _nf4p_bwd)
