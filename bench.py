@@ -64,14 +64,24 @@ def main():
     # compile helper at 7B scale (Pallas fused dequant kernel is the fix);
     # int8 compiles in seconds and matches the reference's 8-bit eval mode.
     quant_mode = os.environ.get("BENCH_QUANT", "int8")
-    from cullavo_tpu.ops.nf4 import quantize_linear_int8, quantize_linear_planar
+    from cullavo_tpu.ops.nf4 import (quantize_linear_int8,
+                                     quantize_linear_planar_numpy)
 
-    quant = quantize_linear_planar if quant_mode == "nf4" else quantize_linear_int8
     layers = {}
     for i, (name, shape) in enumerate(shapes.items()):
-        fn = jax.jit(lambda k, s=shape: quant(
-            (jax.random.normal(k, s) * (s[-2] ** -0.5)).astype(jnp.bfloat16)))
-        layers[name] = jax.block_until_ready(fn(jax.random.PRNGKey(i)))
+        if quant_mode == "nf4":
+            # host quantize (the production path: imported weights start on
+            # host), then one device_put of the 4-bit stream
+            host_rng = np.random.default_rng(i)
+            w = (host_rng.standard_normal(shape, dtype=np.float32)
+                 * (shape[-2] ** -0.5))
+            layers[name] = jax.device_put(
+                jax.tree.map(jnp.asarray, quantize_linear_planar_numpy(w)))
+            del w
+        else:
+            fn = jax.jit(lambda k, s=shape: quantize_linear_int8(
+                (jax.random.normal(k, s) * (s[-2] ** -0.5)).astype(jnp.bfloat16)))
+            layers[name] = jax.block_until_ready(fn(jax.random.PRNGKey(i)))
     layers["input_ln"] = jnp.ones((L, D), jnp.bfloat16)
     layers["post_ln"] = jnp.ones((L, D), jnp.bfloat16)
     log(f"quant mode: {quant_mode}")

@@ -175,9 +175,18 @@ def llama_forward(
         ``w`` may be an NF4-quantized dict (cullavo_tpu.ops.nf4.quantize_linear)
         — the 4-bit Q-LoRA inference/training path (load_cullavo.py:65-83)."""
         if nf4_ops.is_quantized_planar(w):
-            if jax.default_backend() == "tpu":
+            import os
+
+            if jax.default_backend() == "tpu" and os.environ.get(
+                    "CULLAVO_NF4_PALLAS", "0") == "1":
+                # fused Pallas kernel: best HBM behavior, but the axon AOT
+                # compile helper currently crashes on it at 7B layer shapes —
+                # opt-in until the toolchain handles it
                 y = nf4_ops.nf4_linear_planar_vjp(x, w, *dims)
             else:
+                # XLA dequant path: weights stay 4-bit in HBM; the dequant is
+                # plain shifts + a 16-entry gather that XLA fuses into the
+                # matmul's weight feed
                 y = x @ nf4_ops.dequant_linear_planar(w, *dims, dtype=x.dtype)
         elif nf4_ops.is_quantized(w):
             if jax.default_backend() == "tpu":

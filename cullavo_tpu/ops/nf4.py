@@ -76,9 +76,13 @@ def _encode_blockwise(x_flat: jax.Array):
     absmax = jnp.max(jnp.abs(blocks), axis=1)
     scale = jnp.where(absmax == 0, 1.0, absmax)
     normed = blocks / scale[:, None]
-    # nearest codebook entry via midpoint comparison (== bnb binary search)
-    mids = jnp.asarray(NF4_MIDPOINTS)
-    codes = jnp.sum(normed[..., None] > mids[None, None, :], axis=-1).astype(jnp.uint8)
+    # nearest codebook entry via midpoint comparisons (bnb semantics).
+    # 15 unrolled elementwise compares: the [n, BLOCK, 15] broadcast form is
+    # ~20G elements at 7B scale and searchsorted's while-loop lowering both
+    # crash the TPU AOT compiler; this form is flat elementwise code.
+    codes = jnp.zeros(normed.shape, jnp.uint8)
+    for m in NF4_MIDPOINTS.tolist():
+        codes += (normed > m).astype(jnp.uint8)
     return codes.reshape(-1), absmax
 
 
@@ -476,3 +480,32 @@ def _nf4p_bwd(d_in, d_out, q, dy):
 
 
 nf4_linear_planar_vjp.defvjp(_nf4p_fwd, _nf4p_bwd)
+
+
+def quantize_linear_planar_numpy(w: "np.ndarray") -> dict:
+    """Host-side planar NF4 quantization (numpy) — the production path:
+    imported checkpoints live on host, and quantizing there avoids compiling
+    a giant one-shot encode program through the TPU AOT helper."""
+    w = np.asarray(w, np.float32)
+    *lead, d_in, d_out = w.shape
+    assert d_in % 8 == 0 and d_out % BLOCK == 0, (d_in, d_out)
+    flat = w.reshape(-1, d_in * d_out)
+    L = flat.shape[0]
+    words_all = np.empty((L, d_in // 8, d_out), np.int32)
+    scale_all = np.empty((L, d_in, d_out // BLOCK), np.float32)
+    mids = NF4_MIDPOINTS.astype(np.float32)
+    k8 = d_in // 8
+    for l in range(L):
+        blocks = flat[l].reshape(-1, BLOCK)
+        absmax = np.abs(blocks).max(axis=1)
+        scale = np.where(absmax == 0, 1.0, absmax)
+        normed = blocks / scale[:, None]
+        codes = np.searchsorted(mids, normed, side="left").astype(np.int32)
+        codes = codes.reshape(d_in, d_out)
+        words = np.zeros((k8, d_out), np.int32)
+        for i in range(8):
+            words |= codes[i * k8:(i + 1) * k8] << (4 * i)
+        words_all[l] = words
+        scale_all[l] = absmax.reshape(d_in, d_out // BLOCK)
+    return {"q4p": words_all.reshape(tuple(lead) + (k8, d_out)),
+            "scale": scale_all.reshape(tuple(lead) + (d_in, d_out // BLOCK))}
