@@ -62,7 +62,10 @@ def hungarian_match(
     B, Q, N = cost.shape
     out_shapes = (jax.ShapeDtypeStruct((B, N), jnp.int32),
                   jax.ShapeDtypeStruct((B, N), jnp.bool_))
-    cost = jnp.nan_to_num(cost, nan=1e8, posinf=1e8, neginf=-1e8)
+    # matching indices are non-differentiable constants (DETR detaches the
+    # matcher); stop_gradient also keeps the pure_callback off the JVP path
+    cost = jax.lax.stop_gradient(
+        jnp.nan_to_num(cost, nan=1e8, posinf=1e8, neginf=-1e8))
     return jax.pure_callback(_lsa_host, out_shapes, cost, n_valid,
                              vmap_method="sequential")
 

@@ -91,14 +91,32 @@ def backbone_and_pixel_decoder(params, cfg: XDecoderModelConfig, images):
 def forward_seg_train(params, cfg: XDecoderModelConfig, images, targets,
                       text_class_embeds, rng, grounding_tokens=None,
                       data_axis=None):
-    """Training forward: losses dict (xdecoder_model.py:288-365)."""
+    """Training forward: losses dict (xdecoder_model.py:288-365).
+
+    With ``grounding_tokens`` [B, G, D] (padded per-image referring-phrase
+    token embeddings) and targets carrying ``grounding_masks`` [B, G, H, W] +
+    ``grounding_valid`` [B, G], the grounding BCE+dice terms are added
+    (criterion.py forward_grounding semantics)."""
+    from cullavo_tpu.models.xdecoder.criterion import loss_groundings
+
     mask_features, pyramid = backbone_and_pixel_decoder(params, cfg, images)
     out = xdecoder_forward(params["decoder"], cfg.decoder, pyramid, mask_features,
                            text_class_embeds=text_class_embeds,
                            logit_scale=params["text"]["logit_scale"],
                            grounding_tokens=grounding_tokens,
                            task="seg", is_train=True)
-    return set_criterion(out, targets, cfg.criterion, rng, data_axis)
+    losses = set_criterion(out, targets, cfg.criterion, rng, data_axis)
+    if grounding_tokens is not None and "grounding_masks" in targets:
+        G = grounding_tokens.shape[1]
+        nq = cfg.decoder.num_queries
+        # grounding-conditioned mask slots live at [nq : nq+G]
+        g_masks = out["pred_masks"][:, nq:nq + G]
+        bce, dice = loss_groundings(g_masks, targets["grounding_masks"],
+                                    targets["grounding_valid"],
+                                    jax.random.fold_in(rng, 17), cfg.criterion)
+        losses["loss_grounding_bce_0"] = cfg.criterion.weight_grounding_bce * bce
+        losses["loss_grounding_dice_0"] = cfg.criterion.weight_grounding_dice * dice
+    return losses
 
 
 def forward_eval(params, cfg: XDecoderModelConfig, images, text_class_embeds,

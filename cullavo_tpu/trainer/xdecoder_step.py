@@ -1,0 +1,68 @@
+"""X-Decoder segmentation training step (jit + mesh).
+
+The seg analogue of trainer/step.py: forward_seg_train → weighted loss sum
+(criterion weight table, xdecoder_model.py:137-142) → per-param-group AdamW
+(trainer/xdecoder_trainer.py:35-167 via cullavo_tpu.trainer.optimizer
+.xdecoder_optimizer) → update, all one compiled program; DP sharding via the
+same NamedSharding rules.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cullavo_tpu.models.xdecoder.model import (XDecoderModelConfig,
+                                               forward_seg_train)
+from cullavo_tpu.parallel.mesh import batch_sharding, param_sharding, replicated
+from cullavo_tpu.trainer.step import TrainState
+
+
+def make_xdecoder_train_step(cfg: XDecoderModelConfig,
+                             tx: optax.GradientTransformation,
+                             remat: bool = False):
+    """Returns ``step_fn(state, batch, text_embeds, rng) -> (state, metrics)``.
+
+    ``batch``: {"image" [B, H, W, 3] normalized, targets...,
+    optional "grounding_tokens"}.  The whole model trains (state.trainable is
+    the full param tree — the reference trains X-Decoder end-to-end).
+    """
+    fwd = forward_seg_train
+    if remat:
+        fwd = jax.checkpoint(forward_seg_train, static_argnums=(1,),
+                             policy=jax.checkpoint_policies.nothing_saveable)
+
+    def loss_fn(params, batch, text_embeds, rng):
+        targets = {k: batch[k] for k in
+                   ("classes", "masks", "boxes", "valid") if k in batch}
+        for k in ("grounding_masks", "grounding_valid"):
+            if k in batch:
+                targets[k] = batch[k]
+        losses = fwd(params, cfg, batch["image"], targets, text_embeds, rng,
+                     grounding_tokens=batch.get("grounding_tokens"))
+        total = sum(losses.values())
+        return total, losses
+
+    def step_fn(state: TrainState, batch, text_embeds, rng):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, batch, text_embeds, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        new_params = optax.apply_updates(state.trainable, updates)
+        metrics = {"loss_total": total,
+                   "grad_norm": optax.global_norm(grads), **losses}
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return step_fn
+
+
+def shard_xdecoder_step(step_fn, mesh, state: TrainState):
+    state_sh = TrainState(
+        trainable=param_sharding(state.trainable, mesh),
+        opt_state=param_sharding(state.opt_state, mesh),
+        step=replicated(mesh))
+    return jax.jit(step_fn,
+                   in_shardings=(state_sh, batch_sharding(mesh),
+                                 replicated(mesh), replicated(mesh)),
+                   out_shardings=(state_sh, replicated(mesh)))

@@ -278,3 +278,34 @@ def test_davit_and_samvit_smoke():
     outs = sam_vit_forward(vp, vcfg, x)
     assert outs["res2"].shape[1] == 8  # stride 4
     assert all(bool(jnp.isfinite(v).all()) for v in outs.values())
+
+
+def test_xdecoder_train_step_decreases_loss():
+    from cullavo_tpu.models.xdecoder.model import (init_xdecoder_model_params,
+                                                   tiny_xdecoder_config)
+    from cullavo_tpu.trainer.optimizer import xdecoder_optimizer
+    from cullavo_tpu.trainer.step import TrainState
+    from cullavo_tpu.trainer.xdecoder_step import make_xdecoder_train_step
+
+    cfg = tiny_xdecoder_config()
+    params = init_xdecoder_model_params(cfg, jax.random.PRNGKey(0))
+    tx = xdecoder_optimizer(base_lr=5e-4, total_steps=40, grad_clip=1.0,
+                            warmup_steps=2)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32)),
+        "classes": jnp.asarray(rng.integers(0, 6, size=(2, 3))),
+        "masks": jnp.asarray((rng.random((2, 3, 16, 16)) > 0.7).astype(np.float32)),
+        "boxes": jnp.asarray(rng.random((2, 3, 4)).astype(np.float32) * 0.5),
+        "valid": jnp.asarray([[1, 1, 0], [1, 0, 0]], jnp.bool_),
+    }
+    text_embeds = jax.random.normal(jax.random.PRNGKey(2), (7, 32))
+    step = jax.jit(make_xdecoder_train_step(cfg, tx))
+    losses = []
+    s = state
+    for i in range(6):
+        s, m = step(s, batch, text_embeds, jax.random.PRNGKey(0))
+        losses.append(float(m["loss_total"]))
+    assert losses[-1] < losses[0], losses
+    assert int(s.step) == 6
