@@ -99,14 +99,11 @@ def _register_defaults():
         cfg = cfg or FocalNetConfig()
         return cfg, init_focalnet_params(cfg, key or jax.random.PRNGKey(0)), focalnet_forward
 
-    # focal_dw: depth-wise conv-embed variant — same builder with
-    # use_conv_embed=True (the reference registers both names to near-identical
-    # code, focal.py vs focal_dw.py)
     @register_backbone("focal_dw")
     def _focal_dw(cfg=None, key=None, **kw):
         import jax
 
-        cfg = cfg or FocalNetConfig(use_conv_embed=True)
+        cfg = cfg or FocalNetConfig(use_dw=True)
         return cfg, init_focalnet_params(cfg, key or jax.random.PRNGKey(0)), focalnet_forward
 
     @register_backbone("davit")

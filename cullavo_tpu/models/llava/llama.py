@@ -149,9 +149,14 @@ def llama_forward(
     n_rep = H // KV
     compute_dtype = inputs_embeds.dtype
     if use_flash is None:
-        # the Pallas kernel needs real TPU lowering and tile-aligned shapes;
-        # interpret mode on CPU would be slower than the fused XLA einsum
-        use_flash = (jax.default_backend() == "tpu" and cache is None
+        # Opt-in: the Pallas flash kernel is parity-tested (interpret mode)
+        # but the axon AOT compile helper currently crashes lowering it at
+        # real shapes (STATUS.md); XLA's fused sdpa is the default until the
+        # toolchain handles it.  Enable with CULLAVO_FLASH=1.
+        import os
+
+        use_flash = (os.environ.get("CULLAVO_FLASH", "0") == "1"
+                     and jax.default_backend() == "tpu" and cache is None
                      and T % 8 == 0 and hd % 128 == 0)
 
     cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)

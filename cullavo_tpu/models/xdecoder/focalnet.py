@@ -37,6 +37,10 @@ class FocalNetConfig:
     use_layerscale: bool = True
     layerscale_value: float = 1e-4
     scaling_modulator: bool = True
+    use_dw: bool = False          # focal_dw variant: residual depthwise 3x3
+                                  # before modulation and before the MLP, and
+                                  # post-LN applied AFTER the MLP residual
+                                  # (modeling/vision/backbone/focal_dw.py:147-195)
     out_indices: Sequence[int] = (0, 1, 2, 3)
     layer_norm_eps: float = 1e-5
 
@@ -87,6 +91,11 @@ def init_focalnet_params(cfg: FocalNetConfig, key: jax.Array, dtype=jnp.float32)
             ksize = cfg.focal_factor * l + cfg.focal_windows[i]
             blocks[f"focal{l}_w"] = jnp.stack(
                 [_dense(next(ki), (ksize, ksize, 1, C), dtype) for _ in range(depth)])
+        if cfg.use_dw:
+            for name in ("dw1", "dw2"):
+                blocks[f"{name}_w"] = jnp.stack(
+                    [_dense(next(ki), (3, 3, 1, C), dtype) for _ in range(depth)])
+                blocks[f"{name}_b"] = jnp.zeros((depth, C), dtype)
 
         stage = {"blocks": blocks}
         if i < len(cfg.depths) - 1:
@@ -160,6 +169,8 @@ def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array) -> dict:
             return y @ w["fc2_w"] + w["fc2_b"]
 
         def block(h, w):
+            if cfg.use_dw:
+                h = h + _depthwise_conv(h, w["dw1_w"]) + w["dw1_b"]
             shortcut = h
             y = h
             if not cfg.use_postln:
@@ -168,7 +179,13 @@ def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array) -> dict:
             if cfg.use_postln:
                 y = layer_norm(y, w["norm1_s"], w["norm1_b"], eps)
             h = shortcut + w["gamma1"] * y
-            if cfg.use_postln:
+            if cfg.use_dw:
+                h = h + _depthwise_conv(h, w["dw2_w"]) + w["dw2_b"]
+            if cfg.use_dw and cfg.use_postln:
+                # focal_dw post-LN ordering: residual MLP first, norm after
+                h = h + w["gamma2"] * _mlp(h, w)
+                h = layer_norm(h, w["norm2_s"], w["norm2_b"], eps)
+            elif cfg.use_postln:
                 h = h + w["gamma2"] * layer_norm(_mlp(h, w), w["norm2_s"], w["norm2_b"], eps)
             else:
                 h = h + w["gamma2"] * _mlp(layer_norm(h, w["norm2_s"], w["norm2_b"], eps), w)

@@ -82,6 +82,7 @@ def _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal, block_q, block_k
 
 def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                      *, block_k: int, causal: bool, sm_scale: float):
+    bh = pl.program_id(0)
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * sm_scale
     bq, d = q.shape
@@ -92,7 +93,9 @@ def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
     l_i = jnp.zeros((bq, 1), jnp.float32)
 
-    qp = qpos_ref[0, pl.ds(qi * bq, bq)].reshape(bq, 1)
+    # qpos/kvalid arrive as FULL [B*H, T]/[B*H, S] arrays (per-row blocks of
+    # height 1 violate the (8, 128) tiling rule on real TPUs)
+    qp = qpos_ref[bh, pl.ds(qi * bq, bq)].reshape(bq, 1)
 
     def body(kb, carry):
         acc, m_i, l_i = carry
@@ -100,7 +103,7 @@ def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
         kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-        mask = kvalid_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k) != 0
+        mask = kvalid_ref[bh, pl.ds(kb * block_k, block_k)].reshape(1, block_k) != 0
         mask = jnp.broadcast_to(mask, (bq, block_k))
         if causal:
             mask = mask & (qp >= kpos)
@@ -116,7 +119,9 @@ def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
     l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = (m_i + jnp.log(l_safe))[:, 0]
+    # lse is lane-replicated to honor the (8, 128) output tiling rule; the
+    # wrapper reads lane 0
+    lse_ref[0] = jnp.broadcast_to(m_i + jnp.log(l_safe), (bq, 128))
 
 
 def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k):
@@ -140,23 +145,23 @@ def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k):
         kernel,
         grid=(B * H, T // block_q),
         in_specs=[
-            pl.BlockSpec((1, T), lambda bh, qi: (bh, 0)),
-            pl.BlockSpec((1, S), lambda bh, qi: (bh, 0)),
+            pl.BlockSpec((B * H, T), lambda bh, qi: (0, 0)),
+            pl.BlockSpec((B * H, S), lambda bh, qi: (0, 0)),
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
             pl.BlockSpec((1, S, d), lambda bh, qi: (bh, 0, 0)),
             pl.BlockSpec((1, S, d), lambda bh, qi: (bh, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi)),
+            pl.BlockSpec((1, block_q, 128), lambda bh, qi: (bh, qi, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * H, T, d), q.dtype),
-            jax.ShapeDtypeStruct((B * H, T), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32),
         ),
         interpret=jax.default_backend() == "cpu",
     )(qp_rows, kv_rows, qf, kf, vf)
-    return o.reshape(B, H, T, d), lse.reshape(B, H, T)
+    return o.reshape(B, H, T, d), lse[..., 0].reshape(B, H, T)
 
 
 def _flash_fwd_vjp(q, k, v, q_positions, kv_valid, causal, block_q, block_k):
@@ -213,11 +218,12 @@ _flash_custom.defvjp(_flash_fwd_vjp, _flash_bwd)
 
 def _decode_kernel(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref,
                    *, block_k: int, sm_scale: float):
+    bh = pl.program_id(0)
     q = q_ref[0].astype(jnp.float32) * sm_scale          # [1, d] row
     d = q.shape[-1]
     S = k_ref.shape[1]
     num_kb = S // block_k
-    qp = qpos_ref[0, 0]
+    qp = qpos_ref[bh, 0]
 
     acc = jnp.zeros((1, d), jnp.float32)
     m_i = jnp.full((1, 1), -jnp.inf, jnp.float32)
@@ -229,7 +235,7 @@ def _decode_kernel(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref,
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [1, bk]
         kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        mask = (kvalid_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k) != 0)
+        mask = (kvalid_ref[bh, pl.ds(kb * block_k, block_k)].reshape(1, block_k) != 0)
         mask = mask & (qp >= kpos)
         s = jnp.where(mask, s, NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
@@ -268,8 +274,8 @@ def flash_decode(q, k_cache, v_cache, q_position, kv_valid, block_k=256):
         kernel,
         grid=(B * H,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bh: (bh, 0)),
-            pl.BlockSpec((1, S), lambda bh: (bh, 0)),
+            pl.BlockSpec((B * H, 1), lambda bh: (0, 0)),
+            pl.BlockSpec((B * H, S), lambda bh: (0, 0)),
             pl.BlockSpec((1, 1, d), lambda bh: (bh, 0, 0)),
             pl.BlockSpec((1, S, d), lambda bh: (bh, 0, 0)),
             pl.BlockSpec((1, S, d), lambda bh: (bh, 0, 0)),
