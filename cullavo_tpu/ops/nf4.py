@@ -406,17 +406,21 @@ def is_quantized_planar(w) -> bool:
 
 def _nf4_planar_kernel(x_ref, w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
                        out_dtype):
-    j = pl.program_id(1)
+    """s_ref: [8, K] — the transposed, sublane-padded scale rows for THIS
+    N-block (rows 0..nsc-1 valid).  Dynamic-sublane reads and narrow dynamic
+    lane slices both crash the axon Mosaic helper; per-block scale delivery
+    through the BlockSpec + an in-kernel [8, K]→[K, 8] transpose avoids both.
+    """
     k8 = k_dim // 8
     nsc = block_n // BLOCK
     bm = x_ref.shape[0]
-    st = s_ref[:, pl.ds(j * nsc, nsc)]                           # [K, nsc]
+    st = s_ref[:].T                                              # [K, 8]
     cbid = jax.lax.broadcasted_iota(jnp.int32, (k8, block_n), 1) // BLOCK
     acc = jnp.zeros((bm, block_n), jnp.float32)
     for i in range(8):
         nib = (w_ref[:] >> (4 * i)) & 0xF                        # [K8, bn]
         vals = _codebook_lookup(nib)
-        st_i = st[i * k8:(i + 1) * k8, :]                        # [K8, nsc]
+        st_i = st[i * k8:(i + 1) * k8, :]                        # [K8, 8]
         scale_exp = jnp.zeros((k8, block_n), jnp.float32)
         for c in range(nsc):
             scale_exp = jnp.where(cbid == c, st_i[:, c:c + 1], scale_exp)
@@ -444,6 +448,12 @@ def nf4_linear_planar(x: jax.Array, q: dict, d_in: int, d_out: int,
     while d_out % block_n:
         block_n //= 2
     assert block_n % BLOCK == 0
+    nsc = block_n // BLOCK
+    nb = d_out // block_n
+    # transposed, sublane-padded per-block scale rows: row 8j+c holds
+    # scale[:, j*nsc + c]
+    scale_t = scale.T.reshape(nb, nsc, d_in)
+    scale_t = jnp.pad(scale_t, ((0, 0), (0, 8 - nsc), (0, 0))).reshape(nb * 8, d_in)
     kernel = functools.partial(_nf4_planar_kernel, block_n=block_n,
                                k_dim=d_in, out_dtype=x.dtype)
     out = pl.pallas_call(
@@ -454,14 +464,14 @@ def nf4_linear_planar(x: jax.Array, q: dict, d_in: int, d_out: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d_in // 8, block_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_in, d_out // BLOCK), lambda i, j: (0, 0),
+            pl.BlockSpec((8, d_in), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, d_out), x.dtype),
         interpret=jax.default_backend() == "cpu",
-    )(x2, words, scale)
+    )(x2, words, scale_t)
     return out[:M].reshape(*lead, d_out)
 
 
