@@ -377,17 +377,19 @@ def xdecoder_forward(
 
 
 def forward_captioning(params, cfg: XDecoderConfig, features, mask_features,
-                       token_embedding_fn, start_token_emb, token_ids_start,
-                       text_params, text_cfg):
+                       token_embedding_fn, vocab_embs, token_ids_start):
     """Greedy autoregressive captioning (xdecoder.py:325-420): run the decoder
     with caption slots, take the captioning embedding at step t, pick the
-    vocabulary token whose (projected) embedding is most similar, feed back.
+    vocabulary token whose projected embedding is most similar, feed back.
 
-    ``token_embedding_fn(ids) -> [B, T, D]`` maps token ids to decoder-space
-    embeddings (the CLIP text tower's token embedding through lang_proj).
-    Returns [B, contxt_len] token ids.
+    ``token_embedding_fn(ids) -> [B, T, hidden_dim]`` maps token ids to
+    decoder-space embeddings; ``vocab_embs`` [V, dim_proj] are the vocabulary
+    embeddings in the caption-head space (in the reference hidden ==
+    dim_lang == dim_proj == 512, so both come from token_embedding @
+    lang_proj).  Returns [B, contxt_len] token ids.
     """
     cl = cfg.contxt_len
+    vocab = vocab_embs / (jnp.linalg.norm(vocab_embs, axis=-1, keepdims=True) + 1e-7)
 
     def step(carry, t):
         ids = carry
@@ -397,9 +399,6 @@ def forward_captioning(params, cfg: XDecoderConfig, features, mask_features,
         cap_logits = out["pred_captionings"]          # [B, cl, dim_proj]
         logits_t = jnp.take_along_axis(
             cap_logits, jnp.full((cap_logits.shape[0], 1, 1), t), axis=1)[:, 0]
-        # similarity against projected vocab embeddings
-        vocab = text_params["token_embedding"] @ text_params["lang_proj"]
-        vocab = vocab / (jnp.linalg.norm(vocab, axis=-1, keepdims=True) + 1e-7)
         lt = logits_t / (jnp.linalg.norm(logits_t, axis=-1, keepdims=True) + 1e-7)
         nxt = jnp.argmax(lt @ vocab.T, axis=-1)
         ids = jax.lax.dynamic_update_slice(ids, nxt[:, None].astype(ids.dtype),

@@ -309,3 +309,58 @@ def test_xdecoder_train_step_decreases_loss():
         losses.append(float(m["loss_total"]))
     assert losses[-1] < losses[0], losses
     assert int(s.step) == 6
+
+
+def test_forward_captioning_greedy():
+    """Autoregressive captioning decode produces valid token ids and is
+    deterministic (xdecoder.py:325-420 capability)."""
+    from cullavo_tpu.models.xdecoder.decoder import forward_captioning
+    from cullavo_tpu.models.xdecoder.fpn import FPNConfig, fpn_forward, init_fpn_params
+    from cullavo_tpu.models.xdecoder.focalnet import (FocalNetConfig,
+                                                      focalnet_forward,
+                                                      init_focalnet_params)
+    from cullavo_tpu.models.xdecoder.text_encoder import (TextEncoderConfig,
+                                                          init_text_encoder_params)
+
+    dec_cfg = TINY_DEC
+    fn_cfg = FocalNetConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                            focal_levels=(2, 2, 2, 2), focal_windows=(3, 3, 3, 3))
+    fpn_cfg = FPNConfig(in_channels=(16, 32, 64, 128), conv_dim=64, mask_dim=32,
+                        gn_groups=8, enc_layers=1, enc_heads=4, enc_ffn=128)
+    # text dims: lang_proj output must match decoder hidden for token feeding
+    text_cfg = TextEncoderConfig(vocab_size=64, width=32, heads=4, layers=1,
+                                 context_length=dec_cfg.contxt_len, dim_lang=64)
+    fn_p = init_focalnet_params(fn_cfg, jax.random.PRNGKey(0))
+    fpn_p = init_fpn_params(fpn_cfg, jax.random.PRNGKey(1))
+    dec_p = init_xdecoder_params(dec_cfg, jax.random.PRNGKey(2))
+    text_p = init_text_encoder_params(text_cfg, jax.random.PRNGKey(3))
+
+    images = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    feats = focalnet_forward(fn_p, fn_cfg, images)
+    mask_features, _, pyramid = fpn_forward(fpn_p, fpn_cfg, feats)
+
+    def token_embedding_fn(ids):
+        emb = jnp.take(text_p["token_embedding"], ids, axis=0)
+        return emb @ text_p["lang_proj"]
+
+    vocab_embs = jax.random.normal(jax.random.PRNGKey(9), (64, dec_cfg.dim_proj)) * 0.1
+    ids = forward_captioning(dec_p, dec_cfg, pyramid, mask_features,
+                             token_embedding_fn, vocab_embs, 49)
+    assert ids.shape == (1, dec_cfg.contxt_len)
+    assert int(ids[0, 0]) == 49                      # start token kept
+    assert (np.asarray(ids) >= 0).all() and (np.asarray(ids) < 64).all()
+    ids2 = forward_captioning(dec_p, dec_cfg, pyramid, mask_features,
+                              token_embedding_fn, vocab_embs, 49)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))  # greedy deterministic
+
+
+def test_misc_utils():
+    from cullavo_tpu.utils.misc import (ExponentialSmoothing,
+                                        cast_batch_to_dtype, stable_hash)
+
+    b = {"a": jnp.ones((2, 2), jnp.float32), "i": jnp.ones((2,), jnp.int32)}
+    out = cast_batch_to_dtype(b, jnp.bfloat16)
+    assert out["a"].dtype == jnp.bfloat16 and out["i"].dtype == jnp.int32
+    assert stable_hash("cat") == stable_hash("cat") != stable_hash("dog")
+    sm = ExponentialSmoothing(0.5)
+    assert sm.update(2.0) == 2.0 and sm.update(4.0) == 3.0
