@@ -1,0 +1,124 @@
+"""Build model dataclass configs from the YAML config tree.
+
+Bridges the reference's config key names (configs/xdecoder_test.yaml,
+configs/cullavo_step1.yaml) to the typed configs used here, so reference-era
+YAML carries over: ``MODEL.BACKBONE.FOCAL.*``, ``MODEL.ENCODER.*``,
+``MODEL.DECODER.*``, ``MODEL.TEXT.*``.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+from cullavo_tpu.models.llava.config import ClipVisionConfig, LlamaConfig, LlavaConfig
+from cullavo_tpu.models.xdecoder.criterion import CriterionConfig
+from cullavo_tpu.models.xdecoder.decoder import XDecoderConfig
+from cullavo_tpu.models.xdecoder.focalnet import FocalNetConfig
+from cullavo_tpu.models.xdecoder.fpn import FPNConfig
+from cullavo_tpu.models.xdecoder.model import XDecoderModelConfig
+from cullavo_tpu.models.xdecoder.text_encoder import TextEncoderConfig
+
+
+def _get(cfg: Any, key: str, default=None):
+    node = cfg
+    for part in key.split("."):
+        if node is None or part not in node:
+            return default
+        node = node[part]
+    return node
+
+
+def focalnet_config_from(cfg) -> FocalNetConfig:
+    f = "MODEL.BACKBONE.FOCAL"
+    return FocalNetConfig(
+        embed_dim=int(_get(cfg, f + ".EMBED_DIM", 192)),
+        depths=tuple(_get(cfg, f + ".DEPTHS", (2, 2, 18, 2))),
+        focal_levels=tuple(_get(cfg, f + ".FOCAL_LEVELS", (4, 4, 4, 4))),
+        focal_windows=tuple(_get(cfg, f + ".FOCAL_WINDOWS", (3, 3, 3, 3))),
+        use_conv_embed=bool(_get(cfg, f + ".USE_CONV_EMBED", True)),
+        use_postln=bool(_get(cfg, f + ".USE_POSTLN", True)),
+        use_postln_in_modulation=bool(_get(cfg, f + ".USE_POSTLN_IN_MODULATION", False)),
+        use_layerscale=bool(_get(cfg, f + ".USE_LAYERSCALE", True)),
+        scaling_modulator=bool(_get(cfg, f + ".SCALING_MODULATOR", True)),
+        use_dw=_get(cfg, "MODEL.BACKBONE.NAME", "focal") == "focal_dw",
+    )
+
+
+def fpn_config_from(cfg, backbone: FocalNetConfig) -> FPNConfig:
+    e = "MODEL.ENCODER"
+    return FPNConfig(
+        in_channels=tuple(backbone.num_features),
+        conv_dim=int(_get(cfg, e + ".CONVS_DIM", 512)),
+        mask_dim=int(_get(cfg, e + ".MASK_DIM", 512)),
+        enc_layers=int(_get(cfg, e + ".TRANSFORMER_ENC_LAYERS", 6)),
+    )
+
+
+def decoder_config_from(cfg) -> XDecoderConfig:
+    d = "MODEL.DECODER"
+    return XDecoderConfig(
+        hidden_dim=int(_get(cfg, d + ".HIDDEN_DIM", 512)),
+        num_queries=int(_get(cfg, d + ".NUM_OBJECT_QUERIES", 201)),
+        nheads=int(_get(cfg, d + ".NHEADS", 8)),
+        dim_feedforward=int(_get(cfg, d + ".DIM_FEEDFORWARD", 2048)),
+        dec_layers=int(_get(cfg, d + ".DEC_LAYERS", 10)) - 1,
+        mask_dim=int(_get(cfg, "MODEL.ENCODER.MASK_DIM", 512)),
+        dim_proj=int(_get(cfg, "MODEL.DIM_PROJ", 512)),
+        contxt_len=int(_get(cfg, "MODEL.TEXT.CONTEXT_LENGTH", 77)),
+        in_channels=int(_get(cfg, "MODEL.ENCODER.CONVS_DIM", 512)),
+        captioning_step=int(_get(cfg, d + ".CAPTIONING.STEP", 50)),
+        task_mask=bool(_get(cfg, d + ".MASK", True)),
+        task_bbox=bool(_get(cfg, d + ".DETECTION", True)),
+        task_grounding=bool(_get(cfg, d + ".GROUNDING.ENABLED", True)),
+        task_captioning=bool(_get(cfg, d + ".CAPTIONING.ENABLED", True)),
+    )
+
+
+def text_config_from(cfg) -> TextEncoderConfig:
+    t = "MODEL.TEXT"
+    return TextEncoderConfig(
+        width=int(_get(cfg, t + ".WIDTH", 512)),
+        heads=int(_get(cfg, t + ".HEADS", 8)),
+        layers=int(_get(cfg, t + ".LAYERS", 12)),
+        context_length=int(_get(cfg, t + ".CONTEXT_LENGTH", 77)),
+        autoregressive=bool(_get(cfg, t + ".AUTOGRESSIVE", True)),
+        dim_lang=int(_get(cfg, "MODEL.DIM_PROJ", 512)),
+    )
+
+
+def criterion_config_from(cfg) -> CriterionConfig:
+    return CriterionConfig(
+        num_classes=int(_get(cfg, "MODEL.ENCODER.NUM_CLASSES", 133)),
+        num_points=int(_get(cfg, "MODEL.DECODER.TRAIN_NUM_POINTS", 12544)),
+        oversample_ratio=float(_get(cfg, "MODEL.DECODER.OVERSAMPLE_RATIO", 3.0)),
+        importance_sample_ratio=float(
+            _get(cfg, "MODEL.DECODER.IMPORTANCE_SAMPLE_RATIO", 0.75)),
+        weight_ce=float(_get(cfg, "MODEL.DECODER.CLASS_WEIGHT", 2.0)),
+        weight_mask=float(_get(cfg, "MODEL.DECODER.MASK_WEIGHT", 5.0)),
+        weight_dice=float(_get(cfg, "MODEL.DECODER.DICE_WEIGHT", 5.0)),
+        weight_bbox=float(_get(cfg, "MODEL.DECODER.BBOX_WEIGHT", 5.0)),
+        weight_giou=float(_get(cfg, "MODEL.DECODER.GIOU_WEIGHT", 2.0)),
+    )
+
+
+def xdecoder_model_config_from(cfg) -> XDecoderModelConfig:
+    backbone = focalnet_config_from(cfg)
+    return XDecoderModelConfig(
+        backbone=backbone,
+        fpn=fpn_config_from(cfg, backbone),
+        decoder=decoder_config_from(cfg),
+        text=text_config_from(cfg),
+        criterion=criterion_config_from(cfg),
+        num_classes=int(_get(cfg, "MODEL.ENCODER.NUM_CLASSES", 133)),
+        object_mask_threshold=float(_get(cfg, "MODEL.TEST.OBJECT_MASK_THRESHOLD", 0.8)),
+        overlap_threshold=float(_get(cfg, "MODEL.TEST.OVERLAP_THRESHOLD", 0.8)),
+        test_topk_per_image=int(_get(cfg, "MODEL.TEST.DETECTIONS_PER_IMAGE", 100)),
+    )
+
+
+def llava_config_from(cfg) -> LlavaConfig:
+    m = "MODEL.LLM"
+    if _get(cfg, m + ".TINY", False):
+        from cullavo_tpu.models.llava.config import tiny_llava_config
+
+        return tiny_llava_config(int(_get(cfg, m + ".VOCAB", 260)))
+    return LlavaConfig()

@@ -144,3 +144,37 @@ def test_dataloader_infinite():
     it = iter(loader)
     seen = [tuple(next(it)) for _ in range(6)]
     assert len(seen) == 6  # keeps producing past one epoch
+
+
+def test_transforms_lsj_and_flip():
+    from cullavo_tpu.data.transforms import (large_scale_jitter, overlay_masks,
+                                             random_flip)
+
+    rng = np.random.default_rng(0)
+    record = {
+        "image": rng.integers(0, 255, (40, 60, 3), dtype=np.uint8),
+        "boxes": np.array([[10, 5, 30, 25]], np.float32),
+        "masks": np.zeros((1, 40, 60), np.float32),
+    }
+    record["masks"][0, 5:25, 10:30] = 1
+
+    flipped = random_flip(record, np.random.default_rng(1), prob=1.0)
+    assert flipped["boxes"][0].tolist() == [30, 5, 50, 25]
+    assert flipped["masks"][0, 10, 35] == 1  # mask moved with the flip
+    # flip twice → identity
+    twice = random_flip(flipped, np.random.default_rng(1), prob=1.0)
+    np.testing.assert_array_equal(twice["image"], record["image"])
+
+    out = large_scale_jitter(record, np.random.default_rng(2), out_size=64)
+    assert out["image"].shape == (64, 64, 3)
+    assert out["masks"].shape[1:] == (64, 64)
+    assert (out["boxes"] >= 0).all() and (out["boxes"] <= 64).all()
+    # mask and box stay consistent (box roughly bounds the mask)
+    ys, xs = np.nonzero(out["masks"][0] > 0.5)
+    if len(xs):
+        b = out["boxes"][0]
+        assert xs.min() >= b[0] - 2 and xs.max() <= b[2] + 2
+
+    vis = overlay_masks(record["image"], record["masks"])
+    assert vis.shape == record["image"].shape and vis.dtype == np.uint8
+    assert (vis != record["image"]).any()
