@@ -138,11 +138,12 @@ def nf4_matmul(x: jax.Array, w: NF4Tensor, dtype=None) -> jax.Array:
 # fused Pallas dequant-matmul
 # ---------------------------------------------------------------------------
 
-def _codebook_lookup(idx: jax.Array) -> jax.Array:
-    """16-way select chain instead of a gather — VPU-friendly on TPU Mosaic."""
-    vals = jnp.full(idx.shape, NF4_CODE[0], jnp.float32)
+def _codebook_lookup(idx: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """16-way select chain instead of a gather — VPU-friendly on TPU Mosaic.
+    bf16 output packs 2 lanes/register, halving select cost."""
+    vals = jnp.full(idx.shape, NF4_CODE[0], dtype)
     for i in range(1, 16):
-        vals = jnp.where(idx == i, NF4_CODE[i], vals)
+        vals = jnp.where(idx == i, jnp.asarray(NF4_CODE[i], dtype), vals)
     return vals
 
 
@@ -414,6 +415,8 @@ def _nf4_planar_kernel(x_ref, w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
     k8 = k_dim // 8
     nsc = block_n // BLOCK
     bm = x_ref.shape[0]
+    # NOTE: a bf16-select variant (2 lanes/register) crashes the axon Mosaic
+    # helper; fp32 selects are the working configuration.
     st = s_ref[:].T                                              # [K, 8]
     cbid = jax.lax.broadcasted_iota(jnp.int32, (k8, block_n), 1) // BLOCK
     acc = jnp.zeros((bm, block_n), jnp.float32)
