@@ -70,13 +70,15 @@ def main():
     layers = {}
     for i, (name, shape) in enumerate(shapes.items()):
         if quant_mode == "nf4":
-            # host quantize (the production path: imported weights start on
-            # host), then one device_put of the 4-bit stream
+            # host quantize with the C++ core (the production path: imported
+            # weights start on host), then one device_put of the 4-bit stream
+            from cullavo_tpu.native import nf4_quantize_planar_native
+
             host_rng = np.random.default_rng(i)
             w = (host_rng.standard_normal(shape, dtype=np.float32)
                  * (shape[-2] ** -0.5))
             layers[name] = jax.device_put(
-                jax.tree.map(jnp.asarray, quantize_linear_planar_numpy(w)))
+                jax.tree.map(jnp.asarray, nf4_quantize_planar_native(w)))
             del w
         else:
             fn = jax.jit(lambda k, s=shape: quantize_linear_int8(

@@ -81,3 +81,54 @@ def preprocess_batch(images: list, size: int = 336,
         n, size, mean_arr, std_arr,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads)
     return out
+
+
+_NF4_SRC = os.path.join(_HERE, "nf4quant.cpp")
+_NF4_LIB = os.path.join(_HERE, "libcullavo_nf4.so")
+_nf4_lib = None
+_nf4_tried = False
+
+
+def _load_nf4():
+    global _nf4_lib, _nf4_tried
+    with _lock:
+        if _nf4_lib is not None or _nf4_tried:
+            return _nf4_lib
+        _nf4_tried = True
+        if (not os.path.exists(_NF4_LIB)
+                or os.path.getmtime(_NF4_LIB) < os.path.getmtime(_NF4_SRC)):
+            try:
+                subprocess.run(["g++", "-O3", "-march=native", "-shared",
+                                "-fPIC", "-std=c++17", "-o", _NF4_LIB, _NF4_SRC],
+                               check=True, capture_output=True)
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                return None
+        lib = ctypes.CDLL(_NF4_LIB)
+        lib.nf4_quantize_planar.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        _nf4_lib = lib
+        return _nf4_lib
+
+
+def nf4_quantize_planar_native(w: np.ndarray, num_threads: int = 0) -> dict:
+    """[..., K, N] fp32 → planar NF4 dict ({"q4p", "scale"}), C++ core."""
+    lib = _load_nf4()
+    if lib is None:
+        raise RuntimeError("native nf4 quantizer unavailable (no g++?)")
+    w = np.ascontiguousarray(w, np.float32)
+    *lead, K, N = w.shape
+    L = int(np.prod(lead)) if lead else 1
+    words = np.empty((L, K // 8, N), np.int32)
+    scale = np.empty((L, K, N // 64), np.float32)
+    if num_threads <= 0:
+        num_threads = min(max(L, 1), os.cpu_count() or 1)
+    lib.nf4_quantize_planar(
+        w.reshape(L, K, N).ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        L, K, N,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        num_threads)
+    return {"q4p": words.reshape(tuple(lead) + (K // 8, N)),
+            "scale": scale.reshape(tuple(lead) + (K, N // 64))}

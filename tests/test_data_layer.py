@@ -178,3 +178,18 @@ def test_transforms_lsj_and_flip():
     vis = overlay_masks(record["image"], record["masks"])
     assert vis.shape == record["image"].shape and vis.dtype == np.uint8
     assert (vis != record["image"]).any()
+
+
+def test_native_nf4_quantizer_matches_numpy():
+    from cullavo_tpu import native
+    from cullavo_tpu.ops.nf4 import quantize_linear_planar_numpy
+
+    if not native.available():
+        import pytest as _pytest
+        _pytest.skip("no compiler")
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((2, 64, 128), dtype=np.float32) * 0.05
+    a = native.nf4_quantize_planar_native(w)
+    b = quantize_linear_planar_numpy(w)
+    np.testing.assert_array_equal(a["q4p"], b["q4p"])
+    np.testing.assert_allclose(a["scale"], b["scale"], rtol=1e-6)
