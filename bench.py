@@ -74,12 +74,19 @@ def main():
             # weights start on host), then one device_put of the 4-bit stream
             from cullavo_tpu.native import nf4_quantize_planar_native
 
+            # tile a small random block to the full shape (memcpy-speed; the
+            # bench measures throughput, not weight values)
             host_rng = np.random.default_rng(i)
-            w = (host_rng.standard_normal(shape, dtype=np.float32)
-                 * (shape[-2] ** -0.5))
-            layers[name] = jax.device_put(
-                jax.tree.map(jnp.asarray, nf4_quantize_planar_native(w)))
+            n_el = int(np.prod(shape))
+            block = (host_rng.standard_normal(1 << 20, dtype=np.float32)
+                     * (shape[-2] ** -0.5))
+            w = np.tile(block, n_el // (1 << 20) + 1)[:n_el].reshape(shape)
+            t_q = time.time()
+            q = nf4_quantize_planar_native(w)
             del w
+            layers[name] = jax.device_put(jax.tree.map(jnp.asarray, q))
+            jax.block_until_ready(layers[name])
+            log(f"  {name}: quantize+upload {time.time()-t_q:.1f}s")
         else:
             fn = jax.jit(lambda k, s=shape: quantize_linear_int8(
                 (jax.random.normal(k, s) * (s[-2] ** -0.5)).astype(jnp.bfloat16)))
