@@ -31,6 +31,14 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compilation cache: the 7B prefill/decode programs take
+    # minutes to compile through the axon AOT helper; cache across runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/cullavo_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from cullavo_tpu.models.llava.config import LlavaConfig
