@@ -154,3 +154,34 @@ def export_hf(out_dir: str, params: Any, llava_cfg) -> None:
     # contiguized or the file silently holds the untransposed bytes
     state = {k: np.ascontiguousarray(v) for k, v in state.items()}
     save_file(state, os.path.join(out_dir, "model.safetensors"))
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (sharded/async-capable; SURVEY §5 "single sharded checkpoint")
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(ckpt_dir: str, step: int, state: Any):
+    """Sharded checkpoint via orbax — preferred for multi-host / large states
+    (each host writes its shards; restore honors target shardings)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"orbax_step_{step}"))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, state)
+
+
+def load_checkpoint_orbax(ckpt_dir: str, step: Optional[int] = None,
+                          target: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        steps = [int(d.split("_")[-1]) for d in os.listdir(ckpt_dir)
+                 if d.startswith("orbax_step_")]
+        if not steps:
+            raise FileNotFoundError(f"no orbax checkpoints under {ckpt_dir}")
+        step = max(steps)
+    path = os.path.abspath(os.path.join(ckpt_dir, f"orbax_step_{step}"))
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, item=target)
+    return ckptr.restore(path)

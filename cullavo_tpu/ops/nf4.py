@@ -478,13 +478,86 @@ def nf4_linear_planar(x: jax.Array, q: dict, d_in: int, d_out: int,
     return out[:M].reshape(*lead, d_out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def nf4_linear_planar_vjp(x: jax.Array, q: dict, d_in: int, d_out: int):
+def _nf4_dequant_kernel(w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
+                        out_dtype):
+    """Decode-only kernel: planar words [K/8, bn] + scale rows [8, K] →
+    dense weight block [K, bn].  Plane i's rows land at the static sublane
+    offset i*K/8 (static-offset writes are Mosaic-safe on axon; dynamic
+    sublane indexing is not — see _nf4_planar_kernel)."""
+    k8 = k_dim // 8
+    nsc = block_n // BLOCK
+    st = s_ref[:].T                                              # [K, 8]
+    cbid = jax.lax.broadcasted_iota(jnp.int32, (k8, block_n), 1) // BLOCK
+    for i in range(8):
+        nib = (w_ref[:] >> (4 * i)) & 0xF                        # [K8, bn]
+        vals = _codebook_lookup(nib)
+        st_i = st[i * k8:(i + 1) * k8, :]                        # [K8, 8]
+        scale_exp = jnp.zeros((k8, block_n), jnp.float32)
+        for c in range(nsc):
+            scale_exp = jnp.where(cbid == c, st_i[:, c:c + 1], scale_exp)
+        o_ref[i * k8:(i + 1) * k8, :] = (vals * scale_exp).astype(out_dtype)
+
+
+def nf4_dequant_planar_pallas(q: dict, d_in: int, d_out: int,
+                              dtype=jnp.bfloat16, block_n: int = 256):
+    """Planar NF4 → dense [d_in, d_out] via one Pallas decode pass.
+
+    The fused kernel (nf4_linear_planar) re-decodes each weight tile once per
+    M-tile, so at prefill shapes (M ≈ thousands) the VPU decode dominates the
+    MXU matmul.  Decoding ONCE to bf16 and letting XLA run the matmul makes
+    large-M NF4 matmul-bound; the fused kernel stays optimal for small-M
+    (autoregressive decode), where it keeps the weight stream 4-bit in HBM."""
+    words = q["q4p"].reshape(d_in // 8, d_out)
+    scale = q["scale"].reshape(d_in, d_out // BLOCK).astype(jnp.float32)
+    block_n = min(block_n, d_out)
+    while d_out % block_n:
+        block_n //= 2
+    assert block_n % BLOCK == 0
+    nsc = block_n // BLOCK
+    nb = d_out // block_n
+    scale_t = scale.T.reshape(nb, nsc, d_in)
+    scale_t = jnp.pad(scale_t, ((0, 0), (0, 8 - nsc), (0, 0))).reshape(nb * 8, d_in)
+    kernel = functools.partial(_nf4_dequant_kernel, block_n=block_n,
+                               k_dim=d_in, out_dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((d_in // 8, block_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d_in), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d_in, block_n), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_in, d_out), dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(words, scale_t)
+
+
+# M above this → decode-once + XLA matmul beats the fused kernel (the fused
+# kernel re-decodes per M-tile).  Tunable for benchmarking.
+_NF4_DEQ_M_THRESHOLD = int(__import__("os").environ.get("CULLAVO_NF4_DEQ_M", 512))
+
+
+def nf4_linear_planar_auto(x: jax.Array, q: dict, d_in: int, d_out: int):
+    """Pick fused (small M) vs decode-once+XLA-matmul (large M) by token count."""
+    M = 1
+    for s in x.shape[:-1]:
+        M *= s
+    if M >= _NF4_DEQ_M_THRESHOLD:
+        w = nf4_dequant_planar_pallas(q, d_in, d_out, jnp.bfloat16)
+        return (x.astype(jnp.bfloat16) @ w).astype(x.dtype)
     return nf4_linear_planar(x, q, d_in, d_out)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def nf4_linear_planar_vjp(x: jax.Array, q: dict, d_in: int, d_out: int):
+    return nf4_linear_planar_auto(x, q, d_in, d_out)
+
+
 def _nf4p_fwd(x, q, d_in, d_out):
-    return nf4_linear_planar(x, q, d_in, d_out), q
+    return nf4_linear_planar_auto(x, q, d_in, d_out), q
 
 
 def _nf4p_bwd(d_in, d_out, q, dy):

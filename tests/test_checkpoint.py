@@ -58,3 +58,17 @@ def test_hf_export_reimport(tmp_path):
     for k in p1:
         np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_orbax_roundtrip(tmp_path):
+    from cullavo_tpu.checkpoint.store import (load_checkpoint_orbax,
+                                              save_checkpoint_orbax)
+
+    state = {"w": jnp.arange(12.0).reshape(3, 4), "step": jnp.int32(5),
+             "nested": {"b": jnp.ones(7)}}
+    save_checkpoint_orbax(str(tmp_path), 5, state)
+    loaded = load_checkpoint_orbax(str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(loaded["w"]),
+                                  np.arange(12.0).reshape(3, 4))
+    assert int(loaded["step"]) == 5
+    np.testing.assert_array_equal(np.asarray(loaded["nested"]["b"]), np.ones(7))

@@ -229,3 +229,31 @@ def test_int8_llama_forward_close_to_fp():
     quant, _ = llava_forward(qparams, cfg, ids, None, mask)
     agree = (jnp.argmax(full, -1) == jnp.argmax(quant, -1)).mean()
     assert float(agree) > 0.85, float(agree)  # int8 is tighter than nf4
+
+
+def test_nf4_planar_decode_once_matches_xla_dequant():
+    from cullavo_tpu.ops.nf4 import (dequant_linear_planar,
+                                     nf4_dequant_planar_pallas,
+                                     quantize_linear_planar)
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(128, 256)).astype(np.float32) * 0.1
+    q = quantize_linear_planar(jnp.asarray(w))
+    ref = np.asarray(dequant_linear_planar(q, 128, 256, jnp.float32))
+    out = np.asarray(nf4_dequant_planar_pallas(q, 128, 256, jnp.float32,
+                                               block_n=128))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_nf4_planar_auto_paths_agree():
+    """Fused small-M kernel and decode-once large-M path compute the same
+    linear (to bf16 matmul tolerance)."""
+    from cullavo_tpu.ops.nf4 import (nf4_linear_planar,
+                                     nf4_linear_planar_auto,
+                                     quantize_linear_planar)
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=(128, 192)).astype(np.float32) * 0.1
+    q = quantize_linear_planar(jnp.asarray(w))
+    x = jnp.asarray(rng.normal(size=(600, 128)).astype(np.float32))  # > threshold
+    big = np.asarray(nf4_linear_planar_auto(x, q, 128, 192))
+    fused = np.asarray(nf4_linear_planar(x, q, 128, 192))
+    np.testing.assert_allclose(big, fused, atol=2e-2, rtol=2e-2)
