@@ -49,6 +49,10 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
+    # Mistral-style local attention (None = full causal).  Used by the
+    # BakLLaVA zoo model (pipeline/BakLLaVAPipeline.py): LLaVA-1.5 arch on a
+    # Mistral-7B decoder.
+    sliding_window: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
@@ -72,6 +76,19 @@ class LlavaConfig:
         if self.vision_feature_select_strategy == "full":
             n += 1
         return n
+
+
+def bakllava_config() -> LlavaConfig:
+    """BakLLaVA-1 (llava-hf/bakLlava-v1-hf): LLaVA-1.5 arch, Mistral-7B text
+    tower (GQA 8 KV heads, 14336 FFN, sliding window 4096).  Reference
+    evaluates it via HF in pipeline/BakLLaVAPipeline.py."""
+    return LlavaConfig(
+        text=LlamaConfig(
+            vocab_size=32064, hidden_size=4096, intermediate_size=14336,
+            num_hidden_layers=32, num_attention_heads=32,
+            num_key_value_heads=8, max_position_embeddings=32768,
+            rms_norm_eps=1e-5, rope_theta=10000.0, sliding_window=4096),
+    )
 
 
 def tiny_llava_config(vocab_size: int = 128) -> LlavaConfig:

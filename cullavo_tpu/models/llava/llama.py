@@ -157,7 +157,8 @@ def llama_forward(
 
         use_flash = (os.environ.get("CULLAVO_FLASH", "0") == "1"
                      and jax.default_backend() == "tpu" and cache is None
-                     and T % 8 == 0 and hd % 128 == 0)
+                     and T % 8 == 0 and hd % 128 == 0
+                     and cfg.sliding_window is None)
 
     cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)
 
@@ -173,6 +174,11 @@ def llama_forward(
     causal = position_ids[:, :, None] >= key_pos[:, None, :]   # [B, T, S]
     valid = attention_mask[:, None, :].astype(bool)            # [B, 1, S]
     ok = causal & valid
+    if cfg.sliding_window is not None:
+        # Mistral local attention: each query sees only the last W keys
+        # (HF convention: key position > query position - W)
+        ok = ok & (key_pos[:, None, :]
+                   > position_ids[:, :, None] - cfg.sliding_window)
     bias = jnp.where(ok[:, None, :, :], 0.0, NEG_INF).astype(jnp.float32)
 
     def mm(x, w, ad, rng, dims=None):

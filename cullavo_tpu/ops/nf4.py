@@ -509,11 +509,16 @@ def nf4_dequant_planar_pallas(q: dict, d_in: int, d_out: int,
     (autoregressive decode), where it keeps the weight stream 4-bit in HBM."""
     words = q["q4p"].reshape(d_in // 8, d_out)
     scale = q["scale"].reshape(d_in, d_out // BLOCK).astype(jnp.float32)
+    # scoped-VMEM budget: the [d_in, block_n] bf16 output block double-buffers;
+    # keep it ≤ ~2 MB (the 7B down-proj d_in=11008 OOMs the 16 MB scoped VMEM
+    # at block_n=256)
+    block_n = min(block_n, max(BLOCK, (2 * 1024 * 1024 // (d_in * 2)) // BLOCK * BLOCK))
     block_n = min(block_n, d_out)
     while d_out % block_n:
         block_n //= 2
     assert block_n % BLOCK == 0
     nsc = block_n // BLOCK
+    assert nsc <= 8, (block_n, "scale rows are delivered sublane-padded to 8")
     nb = d_out // block_n
     scale_t = scale.T.reshape(nb, nsc, d_in)
     scale_t = jnp.pad(scale_t, ((0, 0), (0, 8 - nsc), (0, 0))).reshape(nb * 8, d_in)

@@ -51,12 +51,49 @@ MODEL_SPECS = {
                          "Kosmos2ForConditionalGeneration",
                          prompt="<grounding> Question: {q} Answer:",
                          gen_kwargs=dict(max_new_tokens=10)),
-    # pipeline/BakLLaVAVQAVALPipeline.py (greedy, KV cache)
+    # pipeline/BakLLaVAVQAVALPipeline.py (greedy, KV cache).  BakLLaVA also
+    # has a TPU-native path: it is LLaVA-arch on a Mistral decoder, so
+    # ``bakllava_config()`` + the safetensors importer runs it through
+    # vqa_pipeline.py entirely in JAX (sliding-window attention included;
+    # greedy-parity tested in test_llava_parity.py).
     "bakllava": ModelSpec("llava-hf/bakLlava-v1-hf",
                           "LlavaForConditionalGeneration",
                           prompt="USER: <image>\n{q} ASSISTANT:",
                           gen_kwargs=dict(do_sample=False, max_new_tokens=128)),
 }
+
+
+def native_bakllava_answer_fn(model_dir: str, max_new_tokens: int = 128):
+    """TPU-native BakLLaVA: import the HF checkpoint once, answer via the
+    JAX two-phase generate (inject as ``answer_fn`` into VLZooVQAPipeline)."""
+    import jax.numpy as jnp
+
+    from cullavo_tpu.checkpoint.hf_import import load_llava_safetensors
+    from cullavo_tpu.data.image_processing import preprocess_numpy
+    from cullavo_tpu.data.tokenizer import HFTokenizer
+    from cullavo_tpu.models.llava.config import bakllava_config
+    from cullavo_tpu.models.llava.modeling import (GenerationConfig,
+                                                   expand_image_token, generate)
+
+    cfg = bakllava_config()
+    params = load_llava_safetensors(model_dir, cfg, dtype=np.float32)
+    tok = HFTokenizer(model_dir)
+    gen = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=False,
+                           eos_token_id=tok.eos_token_id)
+
+    def answer(question: str, image) -> str:
+        text = MODEL_SPECS["bakllava"].prompt.format(q=question)
+        ids = tok.encode(text)
+        ids, mask, _ = expand_image_token(ids, None, None, tok.image_token_id,
+                                          cfg.num_image_tokens)
+        ids = np.asarray(ids, np.int32)[None]
+        pix = preprocess_numpy([np.asarray(image)], cfg.vision.image_size)
+        out = generate(params, cfg, jnp.asarray(ids), jnp.asarray(pix),
+                       jnp.asarray(np.ones_like(ids)), gen,
+                       max_len=ids.shape[1] + max_new_tokens)
+        return tok.decode(np.asarray(out)[0], skip_special_tokens=True).strip()
+
+    return answer
 
 
 @register_pipeline("VLZooVQAPipeline")

@@ -186,3 +186,119 @@ def test_two_phase_generate_matches_fused(hf_and_jax):
                              jnp.asarray(mask), max_len, compute_dtype=jnp.float32)
     split = generate_decode(params, cfg, state, gen, compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
+
+
+def test_bakllava_mistral_logits_match_hf():
+    """BakLLaVA path: LLaVA arch with a Mistral decoder (GQA + sliding
+    window).  Tiny HF MistralForCausalLM is the oracle; the window is set
+    below the sequence length so the local-attention mask is exercised."""
+    import dataclasses
+
+    from transformers import MistralConfig, MistralForCausalLM
+
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.llama import llama_forward
+
+    cfg = dataclasses.replace(tiny_llava_config(VOCAB).text, sliding_window=5)
+    hf_cfg = MistralConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rms_norm_eps=cfg.rms_norm_eps, sliding_window=5,
+        attn_implementation="eager")
+    torch.manual_seed(1)
+    hf = MistralForCausalLM(hf_cfg).eval().float()
+
+    rng = np.random.default_rng(0)
+    T = 12
+    ids = rng.integers(4, VOCAB - 4, size=(2, T)).astype(np.int32)
+    mask = np.ones((2, T), np.int32)
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids.astype(np.int64)),
+                 attention_mask=torch.tensor(mask.astype(np.int64)))
+    ref_logits = out.logits.numpy()
+
+    # build jax params directly from the HF module (text side only)
+    def t(x):
+        return jnp.asarray(x.detach().numpy())
+
+    m = hf.model
+    layers = {
+        "q": jnp.stack([t(l.self_attn.q_proj.weight).T for l in m.layers]),
+        "k": jnp.stack([t(l.self_attn.k_proj.weight).T for l in m.layers]),
+        "v": jnp.stack([t(l.self_attn.v_proj.weight).T for l in m.layers]),
+        "o": jnp.stack([t(l.self_attn.o_proj.weight).T for l in m.layers]),
+        "gate": jnp.stack([t(l.mlp.gate_proj.weight).T for l in m.layers]),
+        "up": jnp.stack([t(l.mlp.up_proj.weight).T for l in m.layers]),
+        "down": jnp.stack([t(l.mlp.down_proj.weight).T for l in m.layers]),
+        "input_ln": jnp.stack([t(l.input_layernorm.weight) for l in m.layers]),
+        "post_ln": jnp.stack([t(l.post_attention_layernorm.weight) for l in m.layers]),
+    }
+    emb = t(m.embed_tokens.weight)
+    jparams = {"layers": layers, "norm": t(m.norm.weight)}
+    h, _ = llama_forward(jparams, cfg, emb[jnp.asarray(ids)],
+                         jnp.asarray(mask), jnp.arange(T)[None, :].repeat(2, 0))
+    logits = np.asarray(h @ t(hf.lm_head.weight).T)
+    np.testing.assert_allclose(logits, ref_logits, atol=2e-4, rtol=2e-3)
+
+    # sanity: window actually bites (full-causal config differs)
+    cfg_nw = dataclasses.replace(cfg, sliding_window=None)
+    h2, _ = llama_forward(jparams, cfg_nw, emb[jnp.asarray(ids)],
+                          jnp.asarray(mask), jnp.arange(T)[None, :].repeat(2, 0))
+    logits2 = np.asarray(h2 @ t(hf.lm_head.weight).T)
+    assert np.abs(logits2 - ref_logits).max() > 1e-3
+
+
+def test_bakllava_end_to_end_greedy_matches_hf():
+    """Full BakLLaVA arch (LLaVA + Mistral decoder, sliding window) through
+    the SAME import + generate path used for real checkpoints."""
+    import dataclasses
+
+    from transformers import (CLIPVisionConfig, LlavaConfig as HFLlavaConfig,
+                              LlavaForConditionalGeneration, MistralConfig)
+
+    from cullavo_tpu.models.llava.config import LlamaConfig, tiny_llava_config
+
+    base = tiny_llava_config(VOCAB)
+    cfg = dataclasses.replace(base, text=LlamaConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=160,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, sliding_window=6))
+    hf_cfg = HFLlavaConfig(
+        vision_config=CLIPVisionConfig(
+            hidden_size=base.vision.hidden_size,
+            intermediate_size=base.vision.intermediate_size,
+            num_hidden_layers=base.vision.num_hidden_layers,
+            num_attention_heads=base.vision.num_attention_heads,
+            image_size=base.vision.image_size,
+            patch_size=base.vision.patch_size),
+        text_config=MistralConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=160,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256, rms_norm_eps=1e-5, sliding_window=6,
+            attn_implementation="eager"),
+        image_token_index=cfg.image_token_id,
+        vision_feature_layer=cfg.vision_feature_layer,
+        vision_feature_select_strategy=cfg.vision_feature_select_strategy)
+    torch.manual_seed(7)
+    hf = LlavaForConditionalGeneration(hf_cfg).eval().float()
+    params = jax.tree.map(jnp.asarray, import_torch_module(hf, cfg))
+
+    ids, mask, pixels = _make_inputs(cfg, batch=1, text_len=9, seed=11)
+    new_tokens = 10
+    with torch.no_grad():
+        ref = hf.generate(input_ids=torch.tensor(ids),
+                          pixel_values=torch.tensor(pixels),
+                          attention_mask=torch.tensor(mask),
+                          max_new_tokens=new_tokens, do_sample=False,
+                          use_cache=True, eos_token_id=999, pad_token_id=0)
+    ref_new = ref[:, ids.shape[1]:].numpy()
+    gen = GenerationConfig(max_new_tokens=new_tokens, do_sample=False,
+                           eos_token_id=-1)
+    out = generate(params, cfg, jnp.asarray(ids), jnp.asarray(pixels),
+                   jnp.asarray(mask), gen, max_len=ids.shape[1] + new_tokens)
+    np.testing.assert_array_equal(np.asarray(out)[0, :ref_new.shape[1]],
+                                  ref_new[0])
