@@ -511,8 +511,8 @@ def nf4_dequant_planar_pallas(q: dict, d_in: int, d_out: int,
     scale = q["scale"].reshape(d_in, d_out // BLOCK).astype(jnp.float32)
     # scoped-VMEM budget: the [d_in, block_n] bf16 output block double-buffers;
     # keep it ≤ ~2 MB (the 7B down-proj d_in=11008 OOMs the 16 MB scoped VMEM
-    # at block_n=256)
-    block_n = min(block_n, max(BLOCK, (2 * 1024 * 1024 // (d_in * 2)) // BLOCK * BLOCK))
+    # at block_n=256).  Floor 128: Mosaic requires full 128-lane blocks.
+    block_n = min(block_n, max(128, (2 * 1024 * 1024 // (d_in * 2)) // 128 * 128))
     block_n = min(block_n, d_out)
     while d_out % block_n:
         block_n //= 2
