@@ -447,6 +447,11 @@ def nf4_linear_planar(x: jax.Array, q: dict, d_in: int, d_out: int,
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     words = q["q4p"].reshape(d_in // 8, d_out)
     scale = q["scale"].reshape(d_in, d_out // BLOCK).astype(jnp.float32)
+    # large-K tiles (7B down-proj, d_in=11008) sit at the 16 MB scoped-VMEM
+    # line at block_n=256 — halve the N tile there (decode is VPU-bound, so
+    # tile size doesn't change throughput)
+    if d_in > 8192:
+        block_n = min(block_n, 128)
     block_n = min(block_n, d_out)
     while d_out % block_n:
         block_n //= 2
