@@ -15,6 +15,7 @@ import dataclasses
 from typing import Optional, Union
 
 from cullavo_tpu.models.llava.config import LlamaConfig
+from cullavo_tpu.models.blip2.t5 import T5Config, tiny_t5_config
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,13 +79,29 @@ class OptConfig:
 class Blip2Config:
     vision: Blip2VisionConfig = dataclasses.field(default_factory=Blip2VisionConfig)
     qformer: QFormerConfig = dataclasses.field(default_factory=QFormerConfig)
-    # OPT (BLIP-2 opt-*) or LLaMA/Vicuna (InstructBLIP vicuna-*)
-    text: Union[OptConfig, LlamaConfig] = dataclasses.field(default_factory=OptConfig)
+    # OPT (blip2-opt-*), LLaMA/Vicuna (instructblip-vicuna-*) or
+    # Flan-T5 (blip2-flan-t5-*, the reference's headline BLIP-2 checkpoint)
+    text: Union[OptConfig, LlamaConfig, T5Config] = dataclasses.field(
+        default_factory=OptConfig)
     num_query_tokens: int = 32
 
     @property
     def text_is_opt(self) -> bool:
         return isinstance(self.text, OptConfig)
+
+    @property
+    def text_is_t5(self) -> bool:
+        return isinstance(self.text, T5Config)
+
+    @property
+    def lm_hidden_size(self) -> int:
+        return self.text.d_model if self.text_is_t5 else self.text.hidden_size
+
+
+def blip2_flant5xl_config() -> Blip2Config:
+    """Salesforce/blip2-flan-t5-xl — the checkpoint the reference evaluates
+    in pipeline/BLIP2VQAVALPipeline.py."""
+    return Blip2Config(text=T5Config())
 
 
 def instructblip_vicuna7b_config() -> Blip2Config:
@@ -111,6 +128,8 @@ def tiny_blip2_config(text: str = "opt") -> Blip2Config:
         txt = OptConfig(vocab_size=120, hidden_size=32, ffn_dim=64,
                         num_hidden_layers=2, num_attention_heads=4,
                         max_position_embeddings=128)
+    elif text == "t5":
+        txt = tiny_t5_config()
     else:
         txt = LlamaConfig(vocab_size=120, hidden_size=32, intermediate_size=64,
                           num_hidden_layers=2, num_attention_heads=4,

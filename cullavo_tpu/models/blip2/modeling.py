@@ -28,7 +28,7 @@ from cullavo_tpu.models.blip2.vision import (blip2_vision_forward,
 def init_blip2_params(cfg: Blip2Config, key, dtype=jnp.float32):
     kv, kq, kt, kp, kqt = jax.random.split(key, 5)
     D_q = cfg.qformer.hidden_size
-    D_lm = cfg.text.hidden_size
+    D_lm = cfg.lm_hidden_size
     params = {
         "vision": init_blip2_vision_params(cfg.vision, kv, dtype),
         "qformer": init_qformer_params(cfg.qformer, kq, dtype),
@@ -40,6 +40,10 @@ def init_blip2_params(cfg: Blip2Config, key, dtype=jnp.float32):
     }
     if cfg.text_is_opt:
         params["language_model"] = init_opt_params(cfg.text, kt, dtype)
+    elif cfg.text_is_t5:
+        from cullavo_tpu.models.blip2.t5 import init_t5_params
+
+        params["language_model"] = init_t5_params(cfg.text, kt, dtype)
     else:
         from cullavo_tpu.models.llava.llama import init_llama_params
 
@@ -87,10 +91,23 @@ def _lm_forward(params, cfg: Blip2Config, embeds, mask, pos, cache=None,
 
 def blip2_forward(params, cfg: Blip2Config, pixel_values, input_ids,
                   attention_mask, qformer_text_ids=None,
-                  qformer_text_mask=None, compute_dtype=None):
-    """Full forward: returns logits [B, Q+T, V]."""
+                  qformer_text_mask=None, decoder_input_ids=None,
+                  compute_dtype=None):
+    """Full forward.  Decoder-only towers return logits [B, Q+T, V]; the T5
+    tower encodes [queries; prompt] and returns decoder logits [B, Td, V]
+    over ``decoder_input_ids`` (flan-t5 BLIP-2 is encoder-decoder)."""
     lang_img = encode_image(params, cfg, pixel_values, qformer_text_ids,
                             qformer_text_mask, compute_dtype)
+    if cfg.text_is_t5:
+        from cullavo_tpu.models.blip2.t5 import t5_forward
+
+        lm = params["language_model"]
+        text = lm["embed_tokens"][input_ids].astype(lang_img.dtype)
+        embeds = jnp.concatenate([lang_img, text], axis=1)
+        mask = jnp.concatenate(
+            [jnp.ones(lang_img.shape[:2], attention_mask.dtype), attention_mask],
+            axis=1)
+        return t5_forward(lm, cfg.text, embeds, mask, decoder_input_ids)
     text = _lm_embed(params, cfg, input_ids).astype(lang_img.dtype)
     embeds = jnp.concatenate([lang_img, text], axis=1)
     Q = lang_img.shape[1]
@@ -118,6 +135,17 @@ def blip2_generate(params, cfg: Blip2Config, pixel_values, input_ids,
     the pad repeat, as in HF greedy with early stop disabled)."""
     lang_img = encode_image(params, cfg, pixel_values, qformer_text_ids,
                             qformer_text_mask, compute_dtype)
+    if cfg.text_is_t5:
+        from cullavo_tpu.models.blip2.t5 import t5_generate
+
+        lm = params["language_model"]
+        text = lm["embed_tokens"][input_ids].astype(lang_img.dtype)
+        embeds = jnp.concatenate([lang_img, text], axis=1)
+        mask = jnp.concatenate(
+            [jnp.ones(lang_img.shape[:2], attention_mask.dtype), attention_mask],
+            axis=1)
+        return t5_generate(lm, cfg.text, embeds, mask, max_new_tokens,
+                           eos_token_id)
     B, Q = lang_img.shape[:2]
     text = _lm_embed(params, cfg, input_ids).astype(lang_img.dtype)
     embeds = jnp.concatenate([lang_img, text], axis=1)
@@ -261,6 +289,13 @@ def import_blip2_torch(hf_model, cfg: Blip2Config, dtype=np.float32) -> dict:
         "projection": {"w": t("language_projection.weight"),
                        "b": g("language_projection.bias")},
     }
+
+    if cfg.text_is_t5:
+        from cullavo_tpu.models.blip2.t5 import import_t5_torch
+
+        params["language_model"] = import_t5_torch(
+            hf_model.language_model, cfg.text, dtype=dtype)
+        return params
 
     Lt = cfg.text.num_hidden_layers
     if cfg.text_is_opt:

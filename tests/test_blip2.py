@@ -186,3 +186,115 @@ def test_instructblip_vicuna_greedy_matches_hf():
         new, qformer_text_ids=jnp.asarray(q_ids),
         qformer_text_mask=jnp.asarray(q_mask)))
     np.testing.assert_array_equal(out, ref_new)
+
+
+def test_t5_logits_and_greedy_match_hf():
+    """Flan-T5 (gated-gelu v1.1) tower vs HF T5ForConditionalGeneration."""
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration
+
+    from cullavo_tpu.models.blip2.t5 import (import_t5_torch, t5_forward,
+                                             t5_generate, tiny_t5_config)
+
+    cfg = tiny_t5_config()
+    hf_cfg = HFT5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
+        num_heads=cfg.num_heads, d_ff=cfg.d_ff, num_layers=cfg.num_layers,
+        num_decoder_layers=cfg.num_decoder_layers,
+        relative_attention_num_buckets=cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=cfg.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        dropout_rate=0.0, attn_implementation="eager",
+        decoder_start_token_id=0)
+    torch.manual_seed(5)
+    hf = T5ForConditionalGeneration(hf_cfg).eval().float()
+    hf.set_attn_implementation("eager")
+    params = jax.tree.map(jnp.asarray, import_t5_torch(hf, cfg))
+
+    rng = np.random.default_rng(6)
+    B, Te, Td = 2, 9, 5
+    enc_ids = rng.integers(3, cfg.vocab_size - 2, size=(B, Te)).astype(np.int64)
+    enc_mask = np.ones((B, Te), np.int64)
+    enc_mask[1, -3:] = 0
+    dec_ids = rng.integers(3, cfg.vocab_size - 2, size=(B, Td)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(enc_ids),
+                 attention_mask=torch.tensor(enc_mask),
+                 decoder_input_ids=torch.tensor(dec_ids)).logits.numpy()
+    enc_embeds = params["embed_tokens"][jnp.asarray(enc_ids)]
+    out = np.asarray(t5_forward(params, cfg, enc_embeds, jnp.asarray(enc_mask),
+                                jnp.asarray(dec_ids)))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=2e-3)
+
+    new = 6
+    with torch.no_grad():
+        gen = hf.generate(input_ids=torch.tensor(enc_ids),
+                          attention_mask=torch.tensor(enc_mask),
+                          max_new_tokens=new, do_sample=False, use_cache=True,
+                          eos_token_id=None, pad_token_id=0, min_length=new + 1)
+    ref_new = gen[:, 1:1 + new].numpy()   # drop decoder_start
+    out = np.asarray(t5_generate(params, cfg, enc_embeds,
+                                 jnp.asarray(enc_mask), new, eos_token_id=-1))
+    np.testing.assert_array_equal(out, ref_new)
+
+
+def test_blip2_flant5_logits_and_greedy_match_hf():
+    """End-to-end BLIP-2 with the flan-t5 tower (the reference's headline
+    BLIP-2 eval checkpoint family)."""
+    from transformers import T5Config as HFT5Config
+
+    cfg = tiny_blip2_config("t5")
+    t5 = cfg.text
+    text_cfg = HFT5Config(
+        vocab_size=t5.vocab_size, d_model=t5.d_model, d_kv=t5.d_kv,
+        num_heads=t5.num_heads, d_ff=t5.d_ff, num_layers=t5.num_layers,
+        num_decoder_layers=t5.num_decoder_layers,
+        relative_attention_num_buckets=t5.relative_attention_num_buckets,
+        relative_attention_max_distance=t5.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        dropout_rate=0.0, decoder_start_token_id=0)
+    from transformers import Blip2Config as HFBlip2Config
+
+    base = _hf_cfg(tiny_blip2_config("opt"))   # only vision/qformer reused
+    hf_cfg = HFBlip2Config(
+        vision_config=base.vision_config.to_dict(),
+        qformer_config=base.qformer_config.to_dict(),
+        text_config=text_cfg.to_dict(),
+        num_query_tokens=cfg.num_query_tokens,
+        image_token_index=t5.vocab_size - 1)
+    torch.manual_seed(9)
+    hf = transformers.Blip2ForConditionalGeneration(hf_cfg).eval().float()
+    hf.set_attn_implementation("eager")
+    params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
+
+    rng = np.random.default_rng(9)
+    pix = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
+    ids = rng.integers(3, t5.vocab_size - 2, size=(2, 6)).astype(np.int64)
+    mask = np.ones_like(ids)
+    dec_ids = rng.integers(3, t5.vocab_size - 2, size=(2, 4)).astype(np.int64)
+    img_tok = np.full((2, cfg.num_query_tokens), t5.vocab_size - 1, ids.dtype)
+    hf_ids = np.concatenate([img_tok, ids], axis=1)
+    hf_mask = np.concatenate([np.ones_like(img_tok), mask], axis=1)
+
+    with torch.no_grad():
+        ref = hf(pixel_values=torch.tensor(pix), input_ids=torch.tensor(hf_ids),
+                 attention_mask=torch.tensor(hf_mask),
+                 decoder_input_ids=torch.tensor(dec_ids)).logits.numpy()
+    out = np.asarray(blip2_forward(params, cfg, jnp.asarray(pix),
+                                   jnp.asarray(ids), jnp.asarray(mask),
+                                   decoder_input_ids=jnp.asarray(dec_ids)))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=2e-3)
+
+    new = 5
+    with torch.no_grad():
+        gen = hf.generate(pixel_values=torch.tensor(pix),
+                          input_ids=torch.tensor(hf_ids),
+                          attention_mask=torch.tensor(hf_mask),
+                          max_new_tokens=new, do_sample=False, use_cache=True,
+                          eos_token_id=None, pad_token_id=0,
+                          min_new_tokens=new)
+    ref_new = gen[:, 1:1 + new].numpy()
+    out = np.asarray(blip2_generate(params, cfg, jnp.asarray(pix),
+                                    jnp.asarray(ids), jnp.asarray(mask), new,
+                                    eos_token_id=-1))
+    np.testing.assert_array_equal(out, ref_new)
