@@ -93,20 +93,32 @@ class SemSegMetrics:
 
 
 @register_pipeline("XDecoderPipeline")
+def _bucket_hw(h: int, w: int, step: int = 128) -> tuple:
+    """Round (h, w) up to multiples of ``step`` — each bucket compiles ONE
+    eval program, so variable-size eval sets reuse a handful of programs
+    instead of retracing per image (XLA static shapes; the reference's
+    dynamic per-image shapes are free on GPU but would recompile here)."""
+    return (-(-h // step) * step, -(-w // step) * step)
+
+
 class XDecoderPipeline:
     def __init__(self, cfg, model_cfg: XDecoderModelConfig, params,
-                 text_class_embeds, tasks: EvalTasks = EvalTasks()):
+                 text_class_embeds, tasks: EvalTasks = EvalTasks(),
+                 bucket_step: int = 128):
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.params = params
         self.text_class_embeds = text_class_embeds
         self.tasks = tasks
-        self._eval_fn = None
+        self.bucket_step = bucket_step
+        self._eval_fns: dict = {}
 
-    def _build(self, out_size):
-        cfgm = self.model_cfg
-        self._eval_fn = jax.jit(lambda p, im, t: forward_eval(
-            p, cfgm, im, t, out_size=out_size))
+    def _fn_for(self, out_size):
+        if out_size not in self._eval_fns:
+            cfgm = self.model_cfg
+            self._eval_fns[out_size] = jax.jit(lambda p, im, t: forward_eval(
+                p, cfgm, im, t, out_size=out_size))
+        return self._eval_fns[out_size]
 
     def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
                        thing_ids=frozenset(), warmup: int = 1) -> dict:
@@ -121,14 +133,19 @@ class XDecoderPipeline:
         data_t, compute_t, eval_t = [], [], []
         t_last = time.perf_counter()
         for i, row in enumerate(rows):
-            img = row["image"][None]
-            if self._eval_fn is None:
-                self._build(img.shape[1:3])
+            h, w = row["image"].shape[:2]
+            bh, bw = _bucket_hw(h, w, self.bucket_step)
+            img = np.zeros((1, bh, bw, row["image"].shape[2]),
+                           row["image"].dtype)
+            img[0, :h, :w] = row["image"]
+            fn = self._fn_for((bh, bw))
             t0 = time.perf_counter()
             data_t.append(t0 - t_last)
-            mask_cls, mask_pred, boxes = self._eval_fn(
+            mask_cls, mask_pred, boxes = fn(
                 self.params, jnp.asarray(img), self.text_class_embeds)
             mask_cls.block_until_ready()
+            # crop the padded margin back off before any metric
+            mask_pred = mask_pred[:, :, :h, :w]
             t1 = time.perf_counter()
             compute_t.append(t1 - t0)
             if self.tasks.semantic and "sem_seg" in row:
