@@ -96,6 +96,93 @@ def native_bakllava_answer_fn(model_dir: str, max_new_tokens: int = 128):
     return answer
 
 
+def native_blip2_answer_fn(hf_model_dir: str, kind: str = "flant5",
+                           max_new_tokens: int = 10):
+    """TPU-native BLIP-2 / InstructBLIP: load the HF checkpoint once through
+    import_blip2_torch, answer via the JAX greedy generate.
+
+    ``kind``: "flant5" (blip2-flan-t5-*), "opt" (blip2-opt-*) or
+    "instructblip" (instructblip-vicuna-*, instruction-aware Q-Former)."""
+    import jax
+    import jax.numpy as jnp
+    import transformers
+
+    from cullavo_tpu.data.image_processing import preprocess_numpy
+    from cullavo_tpu.models.blip2 import blip2_generate, import_blip2_torch
+    from cullavo_tpu.models.blip2.config import (Blip2Config,
+                                                 blip2_flant5xl_config,
+                                                 instructblip_vicuna7b_config)
+
+    if kind == "flant5":
+        cfg, cls = blip2_flant5xl_config(), "Blip2ForConditionalGeneration"
+    elif kind == "opt":
+        cfg, cls = Blip2Config(), "Blip2ForConditionalGeneration"
+    else:
+        cfg, cls = (instructblip_vicuna7b_config(),
+                    "InstructBlipForConditionalGeneration")
+    hf = getattr(transformers, cls).from_pretrained(hf_model_dir)
+    params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
+    proc = transformers.AutoProcessor.from_pretrained(hf_model_dir)
+    del hf
+
+    def answer(question: str, image) -> str:
+        text = MODEL_SPECS["blip2" if kind != "instructblip"
+                           else "instructblip"].prompt.format(q=question)
+        enc = proc.tokenizer(text, return_tensors="np")
+        pix = preprocess_numpy([np.asarray(image)], cfg.vision.image_size)
+        kwargs = {}
+        if kind == "instructblip":
+            q = proc.qformer_tokenizer(text, return_tensors="np")
+            kwargs = {"qformer_text_ids": jnp.asarray(q["input_ids"]),
+                      "qformer_text_mask": jnp.asarray(q["attention_mask"])}
+        out = blip2_generate(params, cfg, jnp.asarray(pix),
+                             jnp.asarray(enc["input_ids"].astype(np.int32)),
+                             jnp.asarray(enc["attention_mask"].astype(np.int32)),
+                             max_new_tokens,
+                             eos_token_id=proc.tokenizer.eos_token_id or -1,
+                             **kwargs)
+        return proc.tokenizer.decode(np.asarray(out)[0],
+                                     skip_special_tokens=True).strip()
+
+    return answer
+
+
+def native_kosmos2_answer_fn(hf_model_dir: str, max_new_tokens: int = 10):
+    """TPU-native KOSMOS-2 (models/kosmos2.py) behind the zoo harness."""
+    import jax
+    import jax.numpy as jnp
+    import transformers
+
+    from cullavo_tpu.data.image_processing import preprocess_numpy
+    from cullavo_tpu.models.kosmos2 import (Kosmos2Config,
+                                            import_kosmos2_torch,
+                                            kosmos2_generate)
+
+    cfg = Kosmos2Config()
+    hf = transformers.Kosmos2ForConditionalGeneration.from_pretrained(hf_model_dir)
+    params = jax.tree.map(jnp.asarray, import_kosmos2_torch(hf, cfg))
+    proc = transformers.AutoProcessor.from_pretrained(hf_model_dir)
+    del hf
+
+    def answer(question: str, image) -> str:
+        text = MODEL_SPECS["kosmos2"].prompt.format(q=question)
+        from PIL import Image
+
+        im = image if isinstance(image, Image.Image) else Image.fromarray(
+            np.asarray(image))
+        enc = proc(images=im, text=text, return_tensors="np")
+        out = kosmos2_generate(
+            params, cfg, jnp.asarray(np.asarray(enc["pixel_values"])),
+            jnp.asarray(enc["input_ids"].astype(np.int32)),
+            jnp.asarray(enc["image_embeds_position_mask"].astype(np.int32)),
+            jnp.asarray(enc["attention_mask"].astype(np.int32)),
+            max_new_tokens)
+        return proc.tokenizer.decode(np.asarray(out)[0],
+                                     skip_special_tokens=True).strip()
+
+    return answer
+
+
 @register_pipeline("VLZooVQAPipeline")
 class VLZooVQAPipeline:
     """Runs any MODEL_SPECS entry (or a custom spec) on the VQA harness."""
