@@ -63,3 +63,29 @@ def test_sharded_forward_logits_match():
             jax.device_put(jnp.asarray(mask), bs))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_sharded_int8_generate_matches_single_device():
+    """Quantized serving path: int8 LLM weights sharded over the mesh decode
+    identically (the 7B int8 deployment layout on a v5e-8 slice)."""
+    from cullavo_tpu.models.llava.lora import quantize_llm_weights
+
+    cfg = tiny_llava_config(128)
+    params = quantize_llm_weights(
+        init_llava_params(cfg, jax.random.PRNGKey(3)), bits=8)
+    ids, mask, pix = _inputs(cfg, seed=4)
+    gen = GenerationConfig(max_new_tokens=5, do_sample=False, eos_token_id=-1)
+    max_len = ids.shape[1] + 5
+
+    ref = np.asarray(generate(params, cfg, jnp.asarray(ids), jnp.asarray(pix),
+                              jnp.asarray(mask), gen, max_len=max_len))
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    sharded = shard_params(params, mesh)
+    bs = batch_sharding(mesh)
+    with mesh:
+        out = np.asarray(generate(sharded, cfg,
+                                  jax.device_put(jnp.asarray(ids), bs),
+                                  jax.device_put(jnp.asarray(pix), bs),
+                                  jax.device_put(jnp.asarray(mask), bs),
+                                  gen, max_len=max_len))
+    np.testing.assert_array_equal(out, ref)
