@@ -54,7 +54,7 @@ class XDecoderConfig:
 # ---------------------------------------------------------------------------
 
 def init_xdecoder_params(cfg: XDecoderConfig, key: jax.Array, dtype=jnp.float32):
-    ks = iter(jax.random.split(key, 64))
+    ks = iter(jax.random.split(key, 1024))  # sized for real configs (9-layer decoder / 6-layer encoder), not just tests
     D, F = cfg.hidden_dim, cfg.dim_feedforward
 
     def dense(shape):

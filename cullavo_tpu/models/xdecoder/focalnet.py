@@ -54,7 +54,10 @@ def _dense(key, shape, dtype):
 
 
 def init_focalnet_params(cfg: FocalNetConfig, key: jax.Array, dtype=jnp.float32):
-    keys = jax.random.split(key, 64)
+    # ~8 dense inits per block + focal/dw kernels + stem/downsamples; size the
+    # key pool from the config (64 was exhausted by real depths like (2,2,6,2))
+    n_keys = 8 + sum(d * (8 + max(cfg.focal_levels) + 3) for d in cfg.depths)
+    keys = jax.random.split(key, n_keys)
     ki = iter(keys)
     params: dict = {"stages": []}
 

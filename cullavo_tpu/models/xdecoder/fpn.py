@@ -39,7 +39,7 @@ def _conv_kernel(key, k, cin, cout, dtype):
 
 
 def init_fpn_params(cfg: FPNConfig, key: jax.Array, dtype=jnp.float32):
-    ks = iter(jax.random.split(key, 64))
+    ks = iter(jax.random.split(key, 256))  # sized for real configs (9-layer decoder / 6-layer encoder), not just tests
     D = cfg.conv_dim
 
     def gn():

@@ -167,3 +167,46 @@ def test_grad_accumulation_equivalence():
         if x is None:
             continue
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5, rtol=1e-4)
+
+
+def test_train_step_seeded_determinism():
+    """Same seeds → bit-identical metrics across two fresh runs (SURVEY §7
+    item 8: seeded determinism as a first-class trainer property)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.lora import (LoraConfig, init_lora_params,
+                                               strip_trainable,
+                                               trainable_partition)
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+    from cullavo_tpu.trainer.optimizer import cullavo_optimizer
+    from cullavo_tpu.trainer.step import TrainState, make_train_step
+
+    def run():
+        cfg = tiny_llava_config(128)
+        lora_cfg = LoraConfig(r=4, vision_layer_start=1, vision_layer_stop=2)
+        params = init_llava_params(cfg, jax.random.PRNGKey(0))
+        lora = init_lora_params(params, cfg, lora_cfg, jax.random.PRNGKey(1))
+        trainable = trainable_partition(params, lora)
+        frozen = strip_trainable(params)
+        tx = cullavo_optimizer(base_lr=1e-4, total_steps=10, grad_clip=10.0)
+        state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
+        step = jax.jit(make_train_step(cfg, lora_cfg, tx))
+        rng = np.random.default_rng(7)
+        n_img = cfg.num_image_tokens
+        ids = rng.integers(4, 120, size=(2, 6 + n_img)).astype(np.int32)
+        ids[:, 1:1 + n_img] = cfg.image_token_id
+        batch = {"input_ids": ids, "attention_mask": np.ones_like(ids),
+                 "labels": ids.copy(),
+                 "pixel_values": rng.normal(size=(2, 3, 28, 28)).astype(np.float32),
+                 "weights": np.ones((2,), np.float32)}
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        ms = []
+        for i in range(3):
+            state, m = step(state, frozen, batch, jax.random.PRNGKey(100 + i))
+            ms.append(float(m["loss_llm"]))
+        return ms
+
+    a, b = run(), run()
+    assert a == b, (a, b)
