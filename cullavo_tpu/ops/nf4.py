@@ -571,6 +571,13 @@ def _nf4p_fwd(x, q, d_in, d_out):
 
 
 def _nf4p_bwd(d_in, d_out, q, dy):
+    # backward dx = dy @ W^T: decode once via the Pallas kernel on TPU (the
+    # giant XLA unpack graph is slow and crashes the axon AOT helper at 7B);
+    # XLA path elsewhere (CPU tests run the interpreter otherwise)
+    if jax.default_backend() == "tpu":
+        w = nf4_dequant_planar_pallas(q, d_in, d_out, jnp.bfloat16)
+        return ((dy.astype(jnp.bfloat16) @ w.T).astype(dy.dtype),
+                jax.tree.map(jnp.zeros_like, q))
     w = dequant_linear_planar(q, d_in, d_out, dy.dtype)
     return (dy @ w.T, jax.tree.map(jnp.zeros_like, q))
 
