@@ -73,7 +73,7 @@ def tiny_kosmos2_config() -> Kosmos2Config:
 def init_kosmos2_params(cfg: Kosmos2Config, key, dtype=jnp.float32):
     tc = cfg.text
     D, F, L = tc.embed_dim, tc.ffn_dim, tc.layers
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 14)
     s = 0.02
 
     def nrm(k, shape):
@@ -107,8 +107,8 @@ def init_kosmos2_params(cfg: Kosmos2Config, key, dtype=jnp.float32):
             "attn_ln": attn_ln, "attn_ln_b": attn_ln_b,
             "inner_ln": inner_ln, "inner_ln_b": inner_ln_b,
             "final_ln": final_ln, "final_ln_b": final_ln_b,
-            "fc1": nrm(ks[2], (L, D, F)), "fc1_b": jnp.zeros((L, F), dtype),
-            "fc2": nrm(ks[3], (L, F, D)), "fc2_b": jnp.zeros((L, D), dtype),
+            "fc1": nrm(ks[12], (L, D, F)), "fc1_b": jnp.zeros((L, F), dtype),
+            "fc2": nrm(ks[13], (L, F, D)), "fc2_b": jnp.zeros((L, D), dtype),
             "ffn_ln": ffn_ln, "ffn_ln_b": ffn_ln_b,
         },
     }
