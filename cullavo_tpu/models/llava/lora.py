@@ -40,7 +40,25 @@ class LoraConfig:
 
 
 def _shapes_of(layers: dict, targets) -> dict:
-    return {t: layers[t].shape for t in targets if t in layers}
+    """Logical [L, d_in, d_out] shapes — also for already-quantized weights
+    (the production order loads → quantizes → THEN attaches LoRA,
+    load_cullavo.py:65-112, so adapters must init from quantized bases)."""
+    out = {}
+    for t in targets:
+        if t not in layers:
+            continue
+        w = layers[t]
+        if isinstance(w, dict):
+            if "q4p" in w:                 # planar NF4: q4p [L, d_in/8, d_out]
+                L, k8, d_out = w["q4p"].shape
+                out[t] = (L, k8 * 8, d_out)
+            elif "q8" in w:                # int8 keeps the logical shape
+                out[t] = w["q8"].shape
+            else:
+                out[t] = None              # flat q4: caller supplies cfg dims
+        else:
+            out[t] = w.shape
+    return out
 
 
 def init_lora_params(params: Any, cfg: LlavaConfig, lora: LoraConfig,
@@ -49,7 +67,17 @@ def init_lora_params(params: Any, cfg: LlavaConfig, lora: LoraConfig,
     out: dict = {"language_model": {}, "vision_tower": {}}
     keys = iter(jax.random.split(key, 32))
 
+    tc = cfg.text
+    cfg_dims = {"q": (tc.hidden_size, tc.num_attention_heads * tc.head_dim),
+                "k": (tc.hidden_size, tc.num_key_value_heads * tc.head_dim),
+                "v": (tc.hidden_size, tc.num_key_value_heads * tc.head_dim),
+                "o": (tc.num_attention_heads * tc.head_dim, tc.hidden_size),
+                "gate": (tc.hidden_size, tc.intermediate_size),
+                "up": (tc.hidden_size, tc.intermediate_size),
+                "down": (tc.intermediate_size, tc.hidden_size)}
     for t, shape in _shapes_of(params["language_model"]["layers"], LLM_TARGETS).items():
+        if shape is None:                  # flat-packed NF4: use config dims
+            shape = (tc.num_hidden_layers,) + cfg_dims[t]
         L, d_in, d_out = shape
         out["language_model"][t] = {
             "a": (jax.random.normal(next(keys), (L, d_in, lora.r)) * (d_in ** -0.5)).astype(dtype),

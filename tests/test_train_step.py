@@ -210,3 +210,23 @@ def test_train_step_seeded_determinism():
 
     a, b = run(), run()
     assert a == b, (a, b)
+
+
+def test_lora_init_from_quantized_base():
+    """Production order: quantize first, then attach adapters
+    (load_cullavo.py:65-112) — shapes must come from the quantized dicts."""
+    import jax
+
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.lora import (LoraConfig, init_lora_params,
+                                               quantize_llm_weights)
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+
+    cfg = tiny_llava_config(128)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    for bits in (8, 4):
+        qparams = quantize_llm_weights(params, bits=bits)
+        lora = init_lora_params(qparams, cfg, LoraConfig(r=4),
+                                jax.random.PRNGKey(1))
+        a = lora["language_model"]["q"]["a"]
+        assert a.shape == (cfg.text.num_hidden_layers, cfg.text.hidden_size, 4)
