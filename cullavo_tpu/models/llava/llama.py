@@ -275,7 +275,9 @@ def llama_forward(
     if lora:
         scanned_in["lora"] = lora
     if dropout_rng is not None and lora_dropout > 0.0:
-        L = params["layers"]["q"].shape[0]
+        # input_ln is always a dense [L, D] array, even when the matmul
+        # weights are quantized dicts (Q-LoRA training on an NF4 base)
+        L = params["layers"]["input_ln"].shape[0]
         scanned_in["rng"] = jax.random.split(dropout_rng, L)
     if cache is not None:
         scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})

@@ -1,0 +1,94 @@
+"""Full-7B NF4 Q-LoRA training step on one real TPU chip.
+
+Run from anywhere: ``python scripts/train7b_probe.py`` — random weights at
+the exact LLaVA-1.5-7B architecture, NF4 base (C++ quantizer), LoRA r=64,
+reference trainable set, AdamW+cosine, remat backward.
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+os.environ["CULLAVO_NF4_PALLAS"] = "1"
+import jax
+import jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/cullavo_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from cullavo_tpu.models.llava.config import LlavaConfig, LlamaConfig
+from cullavo_tpu.models.llava.clip_vit import init_clip_vision_params
+from cullavo_tpu.models.llava.lora import (LoraConfig, init_lora_params,
+                                           strip_trainable, trainable_partition)
+from cullavo_tpu.native import nf4_quantize_planar_native
+from cullavo_tpu.trainer.optimizer import cullavo_optimizer
+from cullavo_tpu.trainer.step import TrainState, make_train_step
+
+def log(*a): print(*a, file=sys.stderr, flush=True)
+
+cfg = LlavaConfig()
+tc: LlamaConfig = cfg.text
+L, D, I = tc.num_hidden_layers, tc.hidden_size, tc.intermediate_size
+H, KV, hd = tc.num_attention_heads, tc.num_key_value_heads, tc.head_dim
+shapes = {"q": (L, D, H*hd), "k": (L, D, KV*hd), "v": (L, D, KV*hd),
+          "o": (L, H*hd, D), "gate": (L, D, I), "up": (L, D, I), "down": (L, I, D)}
+t0 = time.time()
+layers = {}
+for i, (name, shape) in enumerate(shapes.items()):
+    host_rng = np.random.default_rng(i)
+    n_el = int(np.prod(shape))
+    block = host_rng.standard_normal(1 << 20, dtype=np.float32) * (shape[-2] ** -0.5)
+    w = np.tile(block, n_el // (1 << 20) + 1)[:n_el].reshape(shape)
+    q = nf4_quantize_planar_native(w); del w
+    layers[name] = jax.device_put(jax.tree.map(jnp.asarray, q))
+    jax.block_until_ready(layers[name]); log(f"  {name} quantized+uploaded")
+layers["input_ln"] = jnp.ones((L, D), jnp.bfloat16)
+layers["post_ln"] = jnp.ones((L, D), jnp.bfloat16)
+small = jax.jit(lambda k: {
+    "vision_tower": init_clip_vision_params(cfg.vision, k, jnp.bfloat16),
+    "projector": {
+        "linear_1": {"kernel": jax.random.normal(k, (cfg.vision.hidden_size, D)).astype(jnp.bfloat16) * 0.02,
+                     "bias": jnp.zeros((D,), jnp.bfloat16)},
+        "linear_2": {"kernel": jax.random.normal(k, (D, D)).astype(jnp.bfloat16) * 0.02,
+                     "bias": jnp.zeros((D,), jnp.bfloat16)}},
+    "embed_tokens": (jax.random.normal(k, (tc.vocab_size, D)) * 0.02).astype(jnp.bfloat16),
+    "lm_head": (jax.random.normal(k, (D, tc.vocab_size)) * 0.02).astype(jnp.bfloat16),
+    "norm": jnp.ones((D,), jnp.bfloat16)})(jax.random.PRNGKey(99))
+small = jax.block_until_ready(small)
+params = {"vision_tower": small["vision_tower"], "projector": small["projector"],
+          "language_model": {"embed_tokens": small["embed_tokens"],
+                             "lm_head": small["lm_head"], "norm": small["norm"],
+                             "layers": layers}}
+log(f"7B NF4 base built in {time.time()-t0:.0f}s")
+
+lora_cfg = LoraConfig()   # r=64, alpha=16, reference target set
+lora = jax.jit(lambda k: init_lora_params(params, cfg, lora_cfg, k))(jax.random.PRNGKey(1))
+lora = jax.block_until_ready(lora)
+trainable = trainable_partition(params, lora)
+frozen = strip_trainable(params)
+tx = cullavo_optimizer(base_lr=2e-5, total_steps=100, grad_clip=10.0)
+state = TrainState(trainable, jax.jit(tx.init)(trainable), jnp.zeros((), jnp.int32))
+log("LoRA + optimizer ready")
+
+B, text_len = 2, 71
+n_img = cfg.num_image_tokens
+T = 1 + n_img + text_len
+rng = np.random.default_rng(0)
+ids = rng.integers(4, 32000, size=(B, T)).astype(np.int32)
+ids[:, 1:1+n_img] = cfg.image_token_id
+labels = ids.copy(); labels[:, :1+n_img+8] = -100
+batch = {"input_ids": jnp.asarray(ids),
+         "attention_mask": jnp.ones((B, T), jnp.int32),
+         "labels": jnp.asarray(labels),
+         "pixel_values": jnp.asarray(rng.normal(size=(B, 3, 336, 336)).astype(np.float32)),
+         "weights": jnp.ones((B,), jnp.float32)}
+step = jax.jit(make_train_step(cfg, lora_cfg, tx))
+log("compiling 7B Q-LoRA train step...")
+t0 = time.time()
+state, m = step(state, frozen, batch, jax.random.PRNGKey(2))
+loss0 = float(m["loss_llm"]); log(f"compile+step1: {time.time()-t0:.0f}s loss={loss0:.4f}")
+times, losses = [], [loss0]
+for i in range(4):
+    t0 = time.time()
+    state, m = step(state, frozen, batch, jax.random.PRNGKey(3+i))
+    losses.append(float(m["loss_llm"]))   # float() = host sync
+    times.append(time.time()-t0)
+print(f"7B Q-LoRA steps: losses={['%.4f'%l for l in losses]} "
+      f"step_time p50={np.median(times):.2f}s grad_norm={float(m['grad_norm']):.3f}")

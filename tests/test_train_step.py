@@ -230,3 +230,50 @@ def test_lora_init_from_quantized_base():
                                 jax.random.PRNGKey(1))
         a = lora["language_model"]["q"]["a"]
         assert a.shape == (cfg.text.num_hidden_layers, cfg.text.hidden_size, 4)
+
+
+def test_train_step_on_quantized_base_decreases_loss():
+    """Q-LoRA over an NF4-quantized base (the production configuration,
+    load_cullavo.py:65-112): quantize -> attach adapters -> train, with
+    LoRA dropout active (exercises the per-layer rng split over quantized
+    layer dicts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.lora import (LoraConfig, init_lora_params,
+                                               quantize_llm_weights,
+                                               strip_trainable,
+                                               trainable_partition)
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+    from cullavo_tpu.trainer.optimizer import cullavo_optimizer
+    from cullavo_tpu.trainer.step import TrainState, make_train_step
+
+    cfg = tiny_llava_config(128)
+    params = quantize_llm_weights(init_llava_params(cfg, jax.random.PRNGKey(0)),
+                                  bits=4)
+    lora_cfg = LoraConfig(r=4, dropout=0.05, vision_layer_start=1,
+                          vision_layer_stop=2)
+    lora = init_lora_params(params, cfg, lora_cfg, jax.random.PRNGKey(1))
+    trainable = trainable_partition(params, lora)
+    frozen = strip_trainable(params)
+    tx = cullavo_optimizer(base_lr=5e-3, total_steps=20, grad_clip=10.0)
+    state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(cfg, lora_cfg, tx))
+
+    rng = np.random.default_rng(5)
+    n_img = cfg.num_image_tokens
+    ids = rng.integers(4, 120, size=(2, 6 + n_img)).astype(np.int32)
+    ids[:, 1:1 + n_img] = cfg.image_token_id
+    batch = {"input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.ones_like(jnp.asarray(ids)),
+             "labels": jnp.asarray(ids.copy()),
+             "pixel_values": jnp.asarray(
+                 rng.normal(size=(2, 3, 28, 28)).astype(np.float32)),
+             "weights": jnp.ones((2,), jnp.float32)}
+    losses = []
+    for i in range(6):
+        state, m = step(state, frozen, batch, jax.random.PRNGKey(10 + i))
+        losses.append(float(m["loss_llm"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
