@@ -40,7 +40,8 @@ class DataLoader:
     def __init__(self, records: Sequence, mapper: Callable, collate: Callable,
                  batch_size: int, shuffle: bool = True, seed: int = 0,
                  num_workers: int = 4, prefetch: int = 2,
-                 drop_incomplete: bool = True, infinite: bool = False):
+                 drop_incomplete: bool = True, infinite: bool = False,
+                 device_prefetch: bool = False, sharding=None):
         self.records = records
         self.mapper = mapper
         self.collate = collate
@@ -51,6 +52,12 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_incomplete = drop_incomplete
         self.infinite = infinite
+        # device_prefetch: H2D transfer happens in the producer thread so the
+        # upload of batch N+1 overlaps the compute of batch N (the torch
+        # equivalent is pin_memory+non_blocking; here it is an early
+        # jax.device_put, optionally with a NamedSharding for SPMD input).
+        self.device_prefetch = device_prefetch
+        self.sharding = sharding
 
     def _batches_of_indices(self):
         if self.infinite:
@@ -84,7 +91,14 @@ class DataLoader:
                             return
                         mapped = list(pool.map(
                             lambda i: self.mapper(self.records[i]), idxs))
-                        q.put(self.collate(mapped))
+                        batch = self.collate(mapped)
+                        if self.device_prefetch:
+                            import jax
+
+                            batch = jax.tree.map(
+                                lambda a: jax.device_put(a, self.sharding)
+                                if hasattr(a, "shape") else a, batch)
+                        q.put(batch)
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:

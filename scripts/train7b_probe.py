@@ -79,7 +79,9 @@ batch = {"input_ids": jnp.asarray(ids),
          "labels": jnp.asarray(labels),
          "pixel_values": jnp.asarray(rng.normal(size=(B, 3, 336, 336)).astype(np.float32)),
          "weights": jnp.ones((B,), jnp.float32)}
-step = jax.jit(make_train_step(cfg, lora_cfg, tx))
+step = jax.jit(make_train_step(cfg, lora_cfg, tx), donate_argnums=(0,))
+# donation: trainable+opt state update in place (fp32 embed/lm_head +
+# AdamW moments are ~8 GB at 7B; an undonated copy OOMs the 16 GB HBM)
 log("compiling 7B Q-LoRA train step...")
 t0 = time.time()
 state, m = step(state, frozen, batch, jax.random.PRNGKey(2))

@@ -193,3 +193,18 @@ def test_native_nf4_quantizer_matches_numpy():
     b = quantize_linear_planar_numpy(w)
     np.testing.assert_array_equal(a["q4p"], b["q4p"])
     np.testing.assert_allclose(a["scale"], b["scale"], rtol=1e-6)
+
+
+def test_loader_device_prefetch():
+    import jax
+
+    from cullavo_tpu.data.loader import DataLoader
+
+    records = list(range(8))
+    dl = DataLoader(records, mapper=lambda r: {"x": np.full((2,), r, np.float32)},
+                    collate=lambda rows: {"x": np.stack([r["x"] for r in rows])},
+                    batch_size=4, shuffle=False, device_prefetch=True)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert isinstance(batches[0]["x"], jax.Array)
+    np.testing.assert_array_equal(np.asarray(batches[0]["x"])[:, 0], [0, 1, 2, 3])
