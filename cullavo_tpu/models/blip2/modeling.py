@@ -355,3 +355,30 @@ def import_blip2_torch(hf_model, cfg: Blip2Config, dtype=np.float32) -> dict:
             },
         }
     return params
+
+
+def blip2_image_embed(params, cfg: Blip2Config, pixel_values,
+                      compute_dtype=None):
+    """L2-normalized pooled query embedding [B, D_q] — the image branch of
+    the zoo ImageNet classification eval (cosine vs qformer text encodes)."""
+    img = blip2_vision_forward(params["vision"], cfg.vision, pixel_values,
+                               compute_dtype)
+    B = img.shape[0]
+    queries = jnp.broadcast_to(params["query_tokens"],
+                               (B,) + params["query_tokens"].shape)
+    qh = qformer_forward(params["qformer"], cfg.qformer, queries, img,
+                         compute_dtype=compute_dtype)
+    pooled = qh[:, 0]
+    return pooled / jnp.linalg.norm(pooled.astype(jnp.float32), axis=-1,
+                                    keepdims=True).astype(pooled.dtype)
+
+
+def blip2_text_embed(params, cfg: Blip2Config, text_ids, text_mask,
+                     compute_dtype=None):
+    """L2-normalized pooled Q-Former text embedding [B, D_q]."""
+    from cullavo_tpu.models.blip2.qformer import qformer_encode_text
+
+    pooled = qformer_encode_text(params["qformer"], cfg.qformer, text_ids,
+                                 text_mask, compute_dtype)
+    return pooled / jnp.linalg.norm(pooled.astype(jnp.float32), axis=-1,
+                                    keepdims=True).astype(pooled.dtype)

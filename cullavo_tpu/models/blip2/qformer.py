@@ -131,3 +131,27 @@ def qformer_forward(
         else:
             h = hq
     return h[:, :Q]
+
+
+def qformer_encode_text(params, cfg: QFormerConfig, text_ids, text_mask,
+                        compute_dtype=None):
+    """Text-only Q-Former pass (no queries, no cross-attention) → pooled
+    [B, D] (first-token state).  This is the text branch of the zoo
+    ImageNet classification evals (pipeline/BLIP2ImageNetPipeline.py:127-134:
+    'This is {class}' texts through the Q-Former, cosine vs pooled image
+    queries).  Requires ``use_text_input`` weights (stage-1 ITC checkpoints).
+    """
+    assert cfg.use_text_input, "text encode needs the text-input Q-Former"
+    dtype = compute_dtype or params["word_emb"].dtype
+    eps = cfg.layer_norm_eps
+    act = _act(cfg.hidden_act)
+    Tt = text_ids.shape[1]
+    h = params["word_emb"].astype(dtype)[text_ids]
+    h = h + params["pos_emb"].astype(dtype)[jnp.arange(Tt)][None]
+    h = layer_norm(h, params["layernorm"]["g"], params["layernorm"]["b"], eps)
+    bias = jnp.where(text_mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+    for w in params["layers"]:
+        h = _mha(h, h, w["att"], bias, cfg.num_attention_heads, cfg.head_dim,
+                 eps, dtype)
+        h = _ffn(h, w["ffn_t"], act, eps, dtype)
+    return h[:, 0]

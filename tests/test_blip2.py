@@ -298,3 +298,34 @@ def test_blip2_flant5_logits_and_greedy_match_hf():
                                     jnp.asarray(ids), jnp.asarray(mask), new,
                                     eos_token_id=-1))
     np.testing.assert_array_equal(out, ref_new)
+
+
+def test_blip2_qformer_classification_harness():
+    """Zoo ImageNet capability: Q-Former image/text embeddings drive the
+    CLIP-style classification pipeline (BLIP2ImageNetPipeline behavior)."""
+    from cullavo_tpu.models.blip2 import init_blip2_params
+    from cullavo_tpu.models.blip2.modeling import (blip2_image_embed,
+                                                   blip2_text_embed)
+    from cullavo_tpu.pipelines.imagenet_pipeline import ImageNetPipeline
+
+    cfg = tiny_blip2_config("llama_text")   # text-input qformer weights
+    params = init_blip2_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    C = 5
+    t_ids = jnp.asarray(rng.integers(3, cfg.qformer.vocab_size - 1,
+                                     size=(C, 6)))
+    class_embeds = blip2_text_embed(params, cfg, t_ids,
+                                    jnp.ones((C, 6), jnp.int32))
+    assert class_embeds.shape == (C, cfg.qformer.hidden_size)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(class_embeds), axis=-1), 1.0, atol=1e-5)
+
+    pipe = ImageNetPipeline(
+        cfg=None,
+        image_embed_fn=lambda pix: blip2_image_embed(params, cfg, pix),
+        class_embeds=class_embeds,
+        class_names=[f"c{i}" for i in range(C)], batch_size=2)
+    data = [{"pixel_values": rng.normal(size=(3, 28, 28)).astype(np.float32),
+             "label": i % C} for i in range(4)]
+    out = pipe.evaluate_model(data)
+    assert out["n"] == 4 and 0.0 <= out["top1"] <= 100.0
