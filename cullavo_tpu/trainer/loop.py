@@ -18,7 +18,6 @@ import time
 from typing import Any, Callable, Iterable, Optional
 
 import jax
-import numpy as np
 
 from cullavo_tpu.checkpoint.store import save_checkpoint
 from cullavo_tpu.trainer.step import TrainState

@@ -14,7 +14,6 @@ arch_cullavo.py:135,309).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax

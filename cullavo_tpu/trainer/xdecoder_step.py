@@ -8,10 +8,8 @@ same NamedSharding rules.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from cullavo_tpu.models.xdecoder.model import (XDecoderModelConfig,
