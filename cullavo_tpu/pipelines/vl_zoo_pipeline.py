@@ -259,3 +259,48 @@ class COCOCaptionPipeline:
         if out_path:
             self.evaluator.dump_results(out_path)
         return self.evaluator.results()
+
+
+def native_blip2_imagenet_fns(hf_model_dir: str, class_names: list,
+                              kind: str = "flant5"):
+    """(image_embed_fn, class_embeds) for ImageNetPipeline — the TPU-native
+    equivalent of BLIP2/InstructBLIPImageNetPipeline: Q-Former 'This is
+    {class}' text encodes vs pooled image-query embeddings, cosine scored."""
+    import jax
+    import jax.numpy as jnp
+    import transformers
+
+    from cullavo_tpu.models.blip2 import import_blip2_torch
+    from cullavo_tpu.models.blip2.config import (Blip2Config,
+                                                 blip2_flant5xl_config,
+                                                 instructblip_vicuna7b_config)
+    from cullavo_tpu.models.blip2.modeling import (blip2_image_embed,
+                                                   blip2_text_embed)
+
+    if kind == "flant5":
+        cfg, cls = blip2_flant5xl_config(), "Blip2ForConditionalGeneration"
+    elif kind == "opt":
+        cfg, cls = Blip2Config(), "Blip2ForConditionalGeneration"
+    else:
+        cfg, cls = (instructblip_vicuna7b_config(),
+                    "InstructBlipForConditionalGeneration")
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, qformer=dataclasses.replace(cfg.qformer, use_text_input=True))
+    hf = getattr(transformers, cls).from_pretrained(hf_model_dir)
+    params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
+    proc = transformers.AutoProcessor.from_pretrained(hf_model_dir)
+    del hf
+
+    tok = getattr(proc, "qformer_tokenizer", None) or proc.tokenizer
+    enc = tok([f"This is {c}" for c in class_names], padding=True,
+              return_tensors="np")
+    class_embeds = blip2_text_embed(
+        params, cfg, jnp.asarray(enc["input_ids"].astype(np.int32)),
+        jnp.asarray(enc["attention_mask"].astype(np.int32)))
+
+    def image_embed_fn(pixel_values):
+        return blip2_image_embed(params, cfg, pixel_values)
+
+    return image_embed_fn, class_embeds
