@@ -419,6 +419,7 @@ def _nf4_planar_kernel(x_ref, w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
     # helper; fp32 selects are the working configuration.
     st = s_ref[:].T                                              # [K, 8]
     cbid = jax.lax.broadcasted_iota(jnp.int32, (k8, block_n), 1) // BLOCK
+    cb_masks = [cbid == c for c in range(nsc)]   # hoisted out of the plane loop
     acc = jnp.zeros((bm, block_n), jnp.float32)
     for i in range(8):
         nib = (w_ref[:] >> (4 * i)) & 0xF                        # [K8, bn]
@@ -426,7 +427,7 @@ def _nf4_planar_kernel(x_ref, w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
         st_i = st[i * k8:(i + 1) * k8, :]                        # [K8, 8]
         scale_exp = jnp.zeros((k8, block_n), jnp.float32)
         for c in range(nsc):
-            scale_exp = jnp.where(cbid == c, st_i[:, c:c + 1], scale_exp)
+            scale_exp = jnp.where(cb_masks[c], st_i[:, c:c + 1], scale_exp)
         vals = (vals * scale_exp).astype(jnp.bfloat16)
         acc += jnp.dot(x_ref[:, pl.ds(i * k8, k8)].astype(jnp.bfloat16), vals,
                        preferred_element_type=jnp.float32)
@@ -493,13 +494,14 @@ def _nf4_dequant_kernel(w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
     nsc = block_n // BLOCK
     st = s_ref[:].T                                              # [K, 8]
     cbid = jax.lax.broadcasted_iota(jnp.int32, (k8, block_n), 1) // BLOCK
+    cb_masks = [cbid == c for c in range(nsc)]   # hoisted out of the plane loop
     for i in range(8):
         nib = (w_ref[:] >> (4 * i)) & 0xF                        # [K8, bn]
         vals = _codebook_lookup(nib)
         st_i = st[i * k8:(i + 1) * k8, :]                        # [K8, 8]
         scale_exp = jnp.zeros((k8, block_n), jnp.float32)
         for c in range(nsc):
-            scale_exp = jnp.where(cbid == c, st_i[:, c:c + 1], scale_exp)
+            scale_exp = jnp.where(cb_masks[c], st_i[:, c:c + 1], scale_exp)
         o_ref[i * k8:(i + 1) * k8, :] = (vals * scale_exp).astype(out_dtype)
 
 
