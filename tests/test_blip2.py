@@ -329,3 +329,81 @@ def test_blip2_qformer_classification_harness():
              "label": i % C} for i in range(4)]
     out = pipe.evaluate_model(data)
     assert out["n"] == 4 and 0.0 <= out["top1"] <= 100.0
+
+
+def test_opt_padded_batch_logits_match_hf():
+    """OPT tower standalone vs HF, with right-padded rows — exercises the
+    mask-cumsum learned-position path (OPTLearnedPositionalEmbedding)."""
+    from transformers import OPTConfig as HFOPTConfig
+    from transformers import OPTForCausalLM
+
+    from cullavo_tpu.models.blip2.config import OptConfig
+    from cullavo_tpu.models.blip2.opt import opt_forward, opt_position_ids
+
+    cfg = OptConfig(vocab_size=120, hidden_size=32, ffn_dim=64,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    max_position_embeddings=128)
+    hf_cfg = HFOPTConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        ffn_dim=cfg.ffn_dim, num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        word_embed_proj_dim=cfg.hidden_size, dropout=0.0,
+        activation_function="relu", attn_implementation="eager")
+    torch.manual_seed(11)
+    hf = OPTForCausalLM(hf_cfg).eval().float()
+
+    sd = {f"language_model.{k}": v for k, v in hf.state_dict().items()}
+
+    def t(name):
+        return np.ascontiguousarray(sd[name].detach().numpy().T)
+
+    def g(name):
+        return sd[name].detach().numpy()
+
+    base = "language_model.model.decoder"
+    L = cfg.num_hidden_layers
+
+    def ostack(fmt, transpose=True):
+        return np.stack([t(fmt.format(i)) if transpose else g(fmt.format(i))
+                         for i in range(L)])
+
+    params = {
+        "embed_tokens": g(f"{base}.embed_tokens.weight"),
+        "embed_positions": g(f"{base}.embed_positions.weight"),
+        "final_ln": g(f"{base}.final_layer_norm.weight"),
+        "final_ln_b": g(f"{base}.final_layer_norm.bias"),
+        "layers": {
+            "q": ostack(base + ".layers.{}.self_attn.q_proj.weight"),
+            "q_b": ostack(base + ".layers.{}.self_attn.q_proj.bias", False),
+            "k": ostack(base + ".layers.{}.self_attn.k_proj.weight"),
+            "k_b": ostack(base + ".layers.{}.self_attn.k_proj.bias", False),
+            "v": ostack(base + ".layers.{}.self_attn.v_proj.weight"),
+            "v_b": ostack(base + ".layers.{}.self_attn.v_proj.bias", False),
+            "o": ostack(base + ".layers.{}.self_attn.out_proj.weight"),
+            "o_b": ostack(base + ".layers.{}.self_attn.out_proj.bias", False),
+            "attn_ln": ostack(base + ".layers.{}.self_attn_layer_norm.weight", False),
+            "attn_ln_b": ostack(base + ".layers.{}.self_attn_layer_norm.bias", False),
+            "fc1": ostack(base + ".layers.{}.fc1.weight"),
+            "fc1_b": ostack(base + ".layers.{}.fc1.bias", False),
+            "fc2": ostack(base + ".layers.{}.fc2.weight"),
+            "fc2_b": ostack(base + ".layers.{}.fc2.bias", False),
+            "final_ln": ostack(base + ".layers.{}.final_layer_norm.weight", False),
+            "final_ln_b": ostack(base + ".layers.{}.final_layer_norm.bias", False),
+        },
+    }
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(12)
+    ids = rng.integers(3, 119, size=(2, 9)).astype(np.int64)
+    mask = np.ones((2, 9), np.int64)
+    mask[1, -3:] = 0                       # right padding on row 1
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).logits.numpy()
+    emb = params["embed_tokens"][jnp.asarray(ids)]
+    pos = opt_position_ids(jnp.asarray(mask))
+    h, _ = opt_forward(params, cfg, emb, jnp.asarray(mask), pos)
+    logits = np.asarray(h @ params["embed_tokens"].T)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(logits[valid], ref[valid], atol=3e-4, rtol=2e-3)
