@@ -207,7 +207,16 @@ def llama_forward(
             else:
                 y = nf4_ops.nf4_linear(x, w, *dims)
         elif nf4_ops.is_quantized_int8(w):
-            y = nf4_ops.int8_linear(x, w)
+            import os
+
+            if jax.default_backend() == "tpu" and os.environ.get(
+                    "CULLAVO_INT8_PALLAS", "0") == "1":
+                # opt-in: measured SLOWER end-to-end than the XLA path at 7B
+                # (5.0 vs 6.1 img/s) — XLA already streams the int8 weights
+                # without materializing bf16; kept for future tile tuning
+                y = nf4_ops.int8_linear_fused_vjp(x, w)
+            else:
+                y = nf4_ops.int8_linear(x, w)
         else:
             y = x @ w
         if ad is None:

@@ -614,3 +614,73 @@ def quantize_linear_planar_numpy(w: "np.ndarray") -> dict:
         scale_all[l] = absmax.reshape(d_in, d_out // BLOCK)
     return {"q4p": words_all.reshape(tuple(lead) + (k8, d_out)),
             "scale": scale_all.reshape(tuple(lead) + (d_in, d_out // BLOCK))}
+
+
+# ---------------------------------------------------------------------------
+# fused int8 dequant-matmul (per-out-channel scale)
+# ---------------------------------------------------------------------------
+# XLA materializes ``q8.astype(bf16) * scale`` as a full bf16 weight in HBM
+# before the matmul, tripling decode-phase weight traffic (int8 read + bf16
+# write + bf16 read ≈ 26 ms/token measured at 7B vs ~8 ms for the int8
+# stream alone).  This kernel keeps the weight int8 through HBM and converts
+# tiles in VMEM.
+
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
+    w = w_ref[:].astype(jnp.bfloat16) * s_ref[0:1, :].astype(jnp.bfloat16)
+    o_ref[:] = jnp.dot(x_ref[:].astype(jnp.bfloat16), w,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def int8_linear_pallas(x: jax.Array, q: dict, block_n: int = 256,
+                       block_m: int = 512) -> jax.Array:
+    """x [..., K] @ dequant(q8 [K, N], scale8 [1, N]) with int8 HBM stream."""
+    *lead_shape, d_in = x.shape
+    d_out = q["q8"].shape[-1]
+    M = 1
+    for s in lead_shape:
+        M *= s
+    x2 = x.reshape(M, d_in)
+    block_m = min(block_m if d_in <= 8192 else 128, max(8, M))
+    Mp = -(-M // block_m) * block_m
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    block_n = min(block_n, d_out)
+    while d_out % block_n:
+        block_n //= 2
+    w = q["q8"].reshape(d_in, d_out)
+    scale = jnp.pad(q["scale8"].reshape(1, d_out).astype(jnp.float32),
+                    ((0, 7), (0, 0)))                      # sublane-pad to 8
+    out = pl.pallas_call(
+        _int8_matmul_kernel,
+        grid=(Mp // block_m, d_out // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, d_in), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, d_out), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(x2, w, scale)
+    return out[:M].reshape(*lead_shape, d_out)
+
+
+@jax.custom_vjp
+def int8_linear_fused_vjp(x: jax.Array, q: dict):
+    return int8_linear_pallas(x, q)
+
+
+def _int8f_fwd(x, q):
+    return int8_linear_pallas(x, q), q
+
+
+def _int8f_bwd(q, dy):
+    w = q["q8"].astype(dy.dtype) * q["scale8"].astype(dy.dtype)
+    return (dy @ w.T, jax.tree.map(jnp.zeros_like, q))
+
+
+int8_linear_fused_vjp.defvjp(_int8f_fwd, _int8f_bwd)

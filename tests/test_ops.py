@@ -257,3 +257,20 @@ def test_nf4_planar_auto_paths_agree():
     big = np.asarray(nf4_linear_planar_auto(x, q, 128, 192))
     fused = np.asarray(nf4_linear_planar(x, q, 128, 192))
     np.testing.assert_allclose(big, fused, atol=2e-2, rtol=2e-2)
+
+
+def test_int8_fused_matches_xla():
+    from cullavo_tpu.ops.nf4 import (int8_linear, int8_linear_fused_vjp,
+                                     quantize_linear_int8)
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.normal(size=(128, 192)).astype(np.float32) * 0.1)
+    q = quantize_linear_int8(w)
+    x = jnp.asarray(rng.normal(size=(9, 128)).astype(np.float32))
+    ref = np.asarray(int8_linear(x, q))
+    out = np.asarray(int8_linear_fused_vjp(x, q))
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+    # grads flow to x only
+    g = jax.grad(lambda x: int8_linear_fused_vjp(x, q).sum())(x)
+    gref = jax.grad(lambda x: int8_linear(x, q).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=2e-2,
+                               rtol=2e-2)
