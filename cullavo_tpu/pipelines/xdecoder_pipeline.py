@@ -201,6 +201,15 @@ class RefCOCOPipeline:
         self.class_names = class_names or []
         self.total = GroundingMetrics()
         self.per_class: dict = {}
+        self._fns: dict = {}
+
+    def _fn_for(self, out_size):
+        if out_size not in self._fns:
+            cfgm = self.model_cfg
+            self._fns[out_size] = jax.jit(
+                lambda p, im, ids, m: evaluate_grounding(
+                    p, cfgm, im, ids, m, out_size=out_size))
+        return self._fns[out_size]
 
     def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
                        out_dir: Optional[str] = None) -> dict:
@@ -209,11 +218,20 @@ class RefCOCOPipeline:
             rows = rows[:limit]
         for row in rows:
             ids, mask = self.tokenize([row["text"]])
-            pred = evaluate_grounding(
-                self.params, self.model_cfg, jnp.asarray(row["image"][None]),
-                jnp.asarray(ids[None]), jnp.asarray(mask[None]),
-                out_size=row["gt_mask"].shape)
-            pred = np.asarray(pred[0])
+            # bucketed shapes: one compiled program per (image-bucket,
+            # text-bucket) pair instead of a retrace per sample
+            h, w = row["image"].shape[:2]
+            bh, bw = _bucket_hw(h, w)
+            img = np.zeros((1, bh, bw, row["image"].shape[2]),
+                           row["image"].dtype)
+            img[0, :h, :w] = row["image"]
+            tlen = -(-len(ids) // 16) * 16
+            ids = np.pad(np.asarray(ids), (0, tlen - len(ids)))
+            mask = np.pad(np.asarray(mask), (0, tlen - mask.shape[-1]))
+            pred = self._fn_for((bh, bw))(
+                self.params, jnp.asarray(img), jnp.asarray(ids[None]),
+                jnp.asarray(mask[None]))
+            pred = np.asarray(pred[0])[:h, :w]
             self.total.add(pred, row["gt_mask"])
             cls = row.get("category")
             if cls is not None:
