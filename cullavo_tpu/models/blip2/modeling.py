@@ -163,8 +163,12 @@ def blip2_generate(params, cfg: Blip2Config, pixel_values, input_ids,
 
     h, cache = _lm_forward(params, cfg, embeds, full_mask, pos0, cache,
                            jnp.int32(0), key_pos)
-    last_pos = pos0[:, -1]
-    logits = _lm_logits(params, cfg, h[:, -1])
+    # sample from each row's LAST VALID position (right-padded rows end
+    # before the buffer edge)
+    rows = jnp.arange(B)
+    last_idx = jnp.sum(mask0, axis=1).astype(jnp.int32) - 1
+    last_pos = pos0[rows, last_idx]
+    logits = _lm_logits(params, cfg, h[rows, last_idx])
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def body(state):

@@ -276,8 +276,13 @@ def kosmos2_generate(params, cfg: Kosmos2Config, pixel_values, input_ids,
         [pos0, jnp.zeros((B, max_new_tokens), pos0.dtype)], axis=1)
     h, cache = kosmos2_text_forward(params, tc, emb, full_mask, pos0, cache,
                                     jnp.int32(0), key_pos)
-    last_pos = pos0[:, -1]
-    tok0 = jnp.argmax(h[:, -1] @ params["embed_tokens"].T, -1).astype(jnp.int32)
+    # sample from each row's LAST VALID position (right-padded rows end
+    # before the buffer edge)
+    last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
+    rows = jnp.arange(B)
+    last_pos = pos0[rows, last_idx]
+    h_last = h[rows, last_idx]
+    tok0 = jnp.argmax(h_last @ params["embed_tokens"].T, -1).astype(jnp.int32)
 
     def body(state):
         i, tok, cache, full_mask, key_pos, last_pos, out, done = state

@@ -407,3 +407,28 @@ def test_opt_padded_batch_logits_match_hf():
     logits = np.asarray(h @ params["embed_tokens"].T)
     valid = mask.astype(bool)
     np.testing.assert_allclose(logits[valid], ref[valid], atol=3e-4, rtol=2e-3)
+
+
+def test_blip2_padded_batch_matches_per_row():
+    """Right-padded batched greedy decode equals per-row decode (the
+    last-valid-position sampling fix)."""
+    from cullavo_tpu.models.blip2 import init_blip2_params
+
+    cfg = tiny_blip2_config("opt")
+    params = init_blip2_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(8)
+    T = 8
+    ids = rng.integers(3, cfg.text.vocab_size - 2, size=(2, T)).astype(np.int32)
+    mask = np.ones((2, T), np.int32)
+    mask[1, -3:] = 0
+    pix = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
+    new = 5
+    batched = np.asarray(blip2_generate(params, cfg, jnp.asarray(pix),
+                                        jnp.asarray(ids), jnp.asarray(mask), new))
+    for b in range(2):
+        keep = T if b == 0 else T - 3
+        solo = np.asarray(blip2_generate(
+            params, cfg, jnp.asarray(pix[b:b + 1]),
+            jnp.asarray(ids[b:b + 1, :keep]),
+            jnp.asarray(mask[b:b + 1, :keep]), new))
+        np.testing.assert_array_equal(batched[b], solo[0], err_msg=f"row {b}")

@@ -87,3 +87,34 @@ def test_kosmos2_greedy_matches_hf(hf_and_jax):
                                       jnp.asarray(ids), jnp.asarray(img_mask),
                                       jnp.asarray(mask), new))
     np.testing.assert_array_equal(out, ref_new)
+
+
+def test_kosmos2_padded_batch_matches_per_row():
+    """Right-padded batched greedy decode equals per-row decode (logical
+    key positions under the sinusoidal-position convention)."""
+    from cullavo_tpu.models.kosmos2 import init_kosmos2_params
+
+    cfg = tiny_kosmos2_config()
+    params = init_kosmos2_params(cfg, jax.random.PRNGKey(8))
+    rng = np.random.default_rng(9)
+    N = cfg.latent_query_num
+    T = N + 7
+    ids = rng.integers(4, cfg.text.vocab_size - 2, size=(2, T)).astype(np.int32)
+    img_mask = np.zeros((2, T), np.int32)
+    img_mask[:, :N] = 1
+    mask = np.ones((2, T), np.int32)
+    mask[1, -3:] = 0                      # row 1 right-padded
+    pix = rng.normal(size=(2, 3, cfg.vision.image_size,
+                           cfg.vision.image_size)).astype(np.float32)
+    new = 5
+    batched = np.asarray(kosmos2_generate(
+        params, cfg, jnp.asarray(pix), jnp.asarray(ids), jnp.asarray(img_mask),
+        jnp.asarray(mask), new))
+    for b in range(2):
+        keep = T if b == 0 else T - 3
+        solo = np.asarray(kosmos2_generate(
+            params, cfg, jnp.asarray(pix[b:b + 1]),
+            jnp.asarray(ids[b:b + 1, :keep]),
+            jnp.asarray(img_mask[b:b + 1, :keep]),
+            jnp.asarray(mask[b:b + 1, :keep]), new))
+        np.testing.assert_array_equal(batched[b], solo[0], err_msg=f"row {b}")
