@@ -29,36 +29,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
+def build_llava7b_params(quant_mode: str, cfg=None):
+    """Random-weight LLaVA-1.5-7B params with a quantized LLM (int8 or nf4).
 
-    # persistent compilation cache: the 7B prefill/decode programs take
-    # minutes to compile through the axon AOT helper; cache across runs
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/cullavo_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    Staged init: each stacked weight is created+quantized in its own jit call
+    so bf16 and quantized copies never coexist on the 16 GB chip.  Shared by
+    bench.py and scripts/decode_probe.py.
+    """
+    import jax
     import jax.numpy as jnp
 
     from cullavo_tpu.models.llava.config import LlavaConfig
-    from cullavo_tpu.models.llava.modeling import (GenerationConfig,
-                                                   generate_decode,
-                                                   generate_prefill)
 
-    from cullavo_tpu.models.llava.lora import quantize_llm_weights
-
-    cfg = LlavaConfig()
-    dev = jax.devices()[0]
-    log("device:", dev, "building 7B params (bf16 init → NF4 LLM)...")
-
+    if cfg is None:
+        cfg = LlavaConfig()
     t0 = time.time()
-    # Stage the init so bf16 and NF4 copies of the LLM never coexist:
-    # each stacked weight is created+quantized in its own jit call (the bf16
-    # original frees between calls); non-LLM towers init bf16 directly.
     from cullavo_tpu.models.llava.config import LlamaConfig
-    from cullavo_tpu.models.llava.lora import LLM_TARGETS
-    from cullavo_tpu.ops.nf4 import quantize_linear
 
     tc: LlamaConfig = cfg.text
     L, D, I = tc.num_hidden_layers, tc.hidden_size, tc.intermediate_size
@@ -67,13 +53,7 @@ def main():
               "o": (L, H * hd, D), "gate": (L, D, I), "up": (L, D, I),
               "down": (L, I, D)}
 
-    import os
-    # int8 default: NF4's bit-unpack+gather graph crashes the axon AOT
-    # compile helper at 7B scale (Pallas fused dequant kernel is the fix);
-    # int8 compiles in seconds and matches the reference's 8-bit eval mode.
-    quant_mode = os.environ.get("BENCH_QUANT", "int8")
-    from cullavo_tpu.ops.nf4 import (quantize_linear_int8,
-                                     quantize_linear_planar_numpy)
+    from cullavo_tpu.ops.nf4 import quantize_linear_int8
 
     layers = {}
     for i, (name, shape) in enumerate(shapes.items()):
@@ -127,6 +107,35 @@ def main():
     }
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
     log(f"leaves hold {n_params/1e9:.2f}B elements in {time.time()-t0:.1f}s")
+    return params
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: the 7B prefill/decode programs take
+    # minutes to compile through the axon AOT helper; cache across runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/cullavo_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    import os
+
+    import jax.numpy as jnp
+
+    from cullavo_tpu.models.llava.config import LlavaConfig
+    from cullavo_tpu.models.llava.modeling import (GenerationConfig,
+                                                   generate_decode,
+                                                   generate_prefill)
+
+    cfg = LlavaConfig()
+    log("device:", jax.devices()[0], "building 7B params...")
+    # int8 default: NF4's bit-unpack+gather graph crashes the axon AOT
+    # compile helper at 7B scale (Pallas fused dequant kernel is the fix);
+    # int8 compiles in seconds and matches the reference's 8-bit eval mode.
+    quant_mode = os.environ.get("BENCH_QUANT", "int8")
+    params = build_llava7b_params(quant_mode, cfg)
 
     B = BATCH
     n_img = cfg.num_image_tokens

@@ -209,13 +209,22 @@ def llama_forward(
         elif nf4_ops.is_quantized_int8(w):
             import os
 
-            if jax.default_backend() == "tpu" and os.environ.get(
-                    "CULLAVO_INT8_PALLAS", "0") == "1":
-                # opt-in: measured SLOWER end-to-end than the XLA path at 7B
-                # (5.0 vs 6.1 img/s) — XLA already streams the int8 weights
-                # without materializing bf16; kept for future tile tuning
+            mode = os.environ.get("CULLAVO_INT8_PALLAS", "0")
+            if jax.default_backend() == "tpu" and mode == "1":
+                # fused everywhere: measured SLOWER end-to-end (5.0 vs 6.1
+                # img/s) because prefill-M tiles re-read the weight; kept for
+                # kernel benchmarking
                 y = nf4_ops.int8_linear_fused_vjp(x, w)
+            elif jax.default_backend() == "tpu" and mode == "auto":
+                # phase-aware: fused Pallas at decode M, XLA at prefill M.
+                # Also measured slower (42.6 vs 25.6 ms/token decode,
+                # scripts/decode_probe.py) — XLA's convert-in-dot stream
+                # beats the Pallas kernel at M=8; kept for tile tuning.
+                y = nf4_ops.int8_linear_auto_vjp(x, w)
             else:
+                # default: XLA path — per-output-channel scale folded in
+                # after the matmul so the weight operand is a pure int8→bf16
+                # convert fused into the dot (see int8_linear)
                 y = nf4_ops.int8_linear(x, w)
         else:
             y = x @ w

@@ -269,9 +269,15 @@ def quantize_linear_int8(w: jax.Array) -> dict:
 
 
 def int8_linear(x: jax.Array, q: dict) -> jax.Array:
-    """x @ dequant(q8) with the scale folded in after the int8 matmul feed."""
-    w = q["q8"].astype(x.dtype) * q["scale8"].astype(x.dtype)
-    return x @ w
+    """x @ dequant(q8), scale applied per output channel AFTER the matmul.
+
+    ``(x @ q8) * scale == x @ (q8 * scale)`` since the scale is constant per
+    output column — but applying it after keeps the weight operand a pure
+    int8→bf16 convert that XLA fuses into the dot's weight stream, where the
+    pre-multiplied form materializes a full bf16 weight in HBM (3× decode
+    weight traffic).  Also avoids bf16-rounding the dequantized weights."""
+    y = x @ q["q8"].astype(x.dtype)
+    return y * q["scale8"].reshape(1, -1).astype(x.dtype)
 
 
 def is_quantized_int8(w) -> bool:
@@ -679,8 +685,39 @@ def _int8f_fwd(x, q):
 
 
 def _int8f_bwd(q, dy):
-    w = q["q8"].astype(dy.dtype) * q["scale8"].astype(dy.dtype)
-    return (dy @ w.T, jax.tree.map(jnp.zeros_like, q))
+    # dx = dy @ (q8*scale)^T == (dy * scale) @ q8^T — scale is per column of
+    # the forward weight, so fold it into dy and keep q8 an int8 stream
+    dys = dy * q["scale8"].reshape(1, -1).astype(dy.dtype)
+    return (dys @ q["q8"].astype(dy.dtype).T, jax.tree.map(jnp.zeros_like, q))
 
 
 int8_linear_fused_vjp.defvjp(_int8f_fwd, _int8f_bwd)
+
+
+# M at or below this → fused Pallas kernel (weight stays int8 through HBM);
+# above → XLA path (matmul is MXU-bound at prefill M, so the one-time bf16
+# materialization is amortized).  Mirrors _NF4_DEQ_M_THRESHOLD.
+_INT8_FUSED_M_THRESHOLD = int(__import__("os").environ.get("CULLAVO_INT8_FUSED_M", 64))
+
+
+def _int8_linear_auto(x: jax.Array, q: dict) -> jax.Array:
+    """Phase-aware dispatch: decode-sized M keeps the weight int8 in HBM via
+    the Pallas kernel; prefill-sized M takes the XLA dense path."""
+    M = 1
+    for s in x.shape[:-1]:
+        M *= s
+    if M <= _INT8_FUSED_M_THRESHOLD and jax.default_backend() == "tpu":
+        return int8_linear_pallas(x, q)
+    return int8_linear(x, q)
+
+
+@jax.custom_vjp
+def int8_linear_auto_vjp(x: jax.Array, q: dict):
+    return _int8_linear_auto(x, q)
+
+
+def _int8a_fwd(x, q):
+    return _int8_linear_auto(x, q), q
+
+
+int8_linear_auto_vjp.defvjp(_int8a_fwd, _int8f_bwd)

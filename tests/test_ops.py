@@ -274,3 +274,22 @@ def test_int8_fused_matches_xla():
     gref = jax.grad(lambda x: int8_linear(x, q).sum())(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=2e-2,
                                rtol=2e-2)
+
+
+def test_int8_auto_dispatch_matches_xla():
+    """Phase-aware dispatch (Pallas at decode M, XLA at prefill M) is
+    numerically identical to the plain path and keeps x-grads."""
+    from cullavo_tpu.ops.nf4 import (int8_linear, int8_linear_auto_vjp,
+                                     quantize_linear_int8)
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.normal(size=(128, 192)).astype(np.float32) * 0.1)
+    q = quantize_linear_int8(w)
+    for m in (4, 512):  # decode-sized and prefill-sized M
+        x = jnp.asarray(rng.normal(size=(m, 128)).astype(np.float32))
+        ref = np.asarray(int8_linear(x, q))
+        out = np.asarray(int8_linear_auto_vjp(x, q))
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+        g = jax.grad(lambda x: int8_linear_auto_vjp(x, q).sum())(x)
+        gref = jax.grad(lambda x: int8_linear(x, q).sum())(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=2e-2,
+                                   rtol=2e-2)
