@@ -108,6 +108,33 @@ def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     return jnp.repeat(x, n_rep, axis=1)
 
 
+def sdpa_decode_stale(q, k_cache, v_cache, k_cur, v_cur, bias):
+    """One-token decode attention over a READ-ONLY cache plus the current
+    token's k/v handled out-of-band (joint fp32 softmax over S+1 positions).
+
+    Avoids the per-layer cache copy+restack that a scan-carried
+    ``dynamic_update_slice`` cache costs (~2.8 GB/step at 7B batch 4): the
+    cache is only read here; the caller scatters ``k_cur/v_cur`` into the
+    cache once per decode step as an in-place while-carry update.
+
+    q, k_cur, v_cur: [B, H, 1, hd]; k_cache, v_cache: [B, H, S, hd];
+    bias: [B, 1, 1, S] additive (NEG_INF on invalid/stale-unwritten slots).
+    """
+    scale = q.shape[-1] ** -0.5
+    s_cache = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
+                         preferred_element_type=jnp.float32) * scale + bias
+    s_self = jnp.sum(q.astype(jnp.float32) * k_cur.astype(jnp.float32),
+                     axis=-1, keepdims=True) * scale          # [B, H, 1, 1]
+    m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True), s_self)
+    e_c = jnp.exp(s_cache - m)
+    e_s = jnp.exp(s_self - m)
+    denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
+    out = jnp.einsum("bhqk,bhkd->bhqd", (e_c / denom).astype(q.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
+    out = out + (e_s / denom) * v_cur.astype(jnp.float32)
+    return out.astype(q.dtype)
+
+
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     L, KV, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     return {
@@ -134,6 +161,7 @@ def llama_forward(
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     use_flash: Optional[bool] = None,         # None = auto (TPU only)
+    stale_cache: bool = False,
 ):
     """Run the decoder stack; returns (final_hidden, new_cache).
 
@@ -143,11 +171,20 @@ def llama_forward(
     causality compares *logical* positions (``key_position_ids``) because
     with right-padded prompts a cache slot's buffer index differs from its
     token position.
+
+    ``stale_cache`` (decode fast path, T must be 1): the cache is READ-ONLY —
+    ``attention_mask`` must NOT yet include the current position; the current
+    token's k/v are folded into attention out-of-band (``sdpa_decode_stale``)
+    and returned as ``{"k_new", "v_new"}: [L, B, KV, 1, hd]`` for the caller
+    to scatter into its cache carry (one in-place ``dynamic_update_slice``
+    per step instead of a per-layer cache copy+restack).
     """
     B, T, D = inputs_embeds.shape
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     n_rep = H // KV
     compute_dtype = inputs_embeds.dtype
+    if stale_cache:
+        assert cache is not None and T == 1, "stale_cache is a 1-token decode path"
     if use_flash is None:
         # Opt-in: the Pallas flash kernel is parity-tested (interpret mode)
         # but the axon AOT compile helper currently crashes lowering it at
@@ -250,6 +287,7 @@ def llama_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        ys = None
         if cache is None:
             if use_flash:
                 from cullavo_tpu.ops.flash_attention import flash_attention
@@ -268,8 +306,14 @@ def llama_forward(
                                   w["down"], ad.get("down"), get_rng(6),
                                   (cfg.intermediate_size, D))
                 return h, None
-            k_all, v_all = k, v
-            new_k, new_v = k, v
+            attn = sdpa(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
+        elif stale_cache:
+            k_buf, v_buf = scanned["k_cache"], scanned["v_cache"]
+            attn = sdpa_decode_stale(
+                q, repeat_kv(k_buf.astype(compute_dtype), n_rep),
+                repeat_kv(v_buf.astype(compute_dtype), n_rep),
+                repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
+            ys = {"k_new": k.astype(k_buf.dtype), "v_new": v.astype(v_buf.dtype)}
         else:
             k_buf, v_buf = scanned["k_cache"], scanned["v_cache"]
             idx = cache_index
@@ -277,10 +321,10 @@ def llama_forward(
                                                  (0, 0, idx, 0))
             new_v = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype),
                                                  (0, 0, idx, 0))
-            k_all = new_k.astype(compute_dtype)
-            v_all = new_v.astype(compute_dtype)
+            attn = sdpa(q, repeat_kv(new_k.astype(compute_dtype), n_rep),
+                        repeat_kv(new_v.astype(compute_dtype), n_rep), bias)
+            ys = {"k_cache": new_k, "v_cache": new_v}
 
-        attn = sdpa(q, repeat_kv(k_all, n_rep), repeat_kv(v_all, n_rep), bias)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
         h = residual + mm(attn, w["o"], ad.get("o"), get_rng(3), (H * hd, D))
 
@@ -289,7 +333,7 @@ def llama_forward(
         gate = jax.nn.silu(mm(x, w["gate"], ad.get("gate"), get_rng(4), (D, cfg.intermediate_size)).astype(jnp.float32)).astype(compute_dtype)
         h = residual + mm(gate * mm(x, w["up"], ad.get("up"), get_rng(5), (D, cfg.intermediate_size)),
                           w["down"], ad.get("down"), get_rng(6), (cfg.intermediate_size, D))
-        return h, {"k_cache": new_k, "v_cache": new_v} if cache is not None else None
+        return h, ys
 
     scanned_in = {"w": params["layers"]}
     if lora:
@@ -306,7 +350,13 @@ def llama_forward(
     final = rms_norm(final, params["norm"], cfg.rms_norm_eps)
     new_cache = None
     if cache is not None:
-        new_cache = {"k": scanned_out["k_cache"], "v": scanned_out["v_cache"]}
+        if stale_cache:
+            # [L, B, KV, 1, hd] per-layer fresh k/v — caller scatters these
+            # into its cache carry at the write index
+            new_cache = {"k_new": scanned_out["k_new"],
+                         "v_new": scanned_out["v_new"]}
+        else:
+            new_cache = {"k": scanned_out["k_cache"], "v": scanned_out["v_cache"]}
     return final, new_cache
 
 

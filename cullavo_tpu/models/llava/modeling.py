@@ -137,6 +137,7 @@ def llava_forward(
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     last_logit_only: bool = False,
+    stale_cache: bool = False,
 ):
     embed = params["language_model"]["embed_tokens"]
     inputs_embeds = jnp.take(embed, jnp.clip(input_ids, 0, embed.shape[0] - 1), axis=0)
@@ -153,7 +154,8 @@ def llava_forward(
                                       lora=(lora or {}).get("language_model"),
                                       lora_scaling=lora_scaling,
                                       lora_dropout=lora_dropout,
-                                      dropout_rng=dropout_rng)
+                                      dropout_rng=dropout_rng,
+                                      stale_cache=stale_cache)
     if last_logit_only:
         # only the last valid position feeds sampling — skips the [B, T, V]
         # logits tensor during prefill (vocab matmul over one position)
@@ -269,11 +271,21 @@ def generate(
 
     def body(state):
         step, tok, cur_pos, write_idx, full_mask, key_pos, cache, out, rng, done = state
+        # stale-cache decode: attention reads the cache as-is (current token
+        # folded in out-of-band), then ONE scatter per step updates the cache
+        # in place as a while-loop carry — no per-layer cache copy+restack
+        pos = cur_pos[:, None]
+        logits, kv_new = llava_forward(lm, cfg, tok[:, None], None,
+                                       None, pos, cache, write_idx, full_mask,
+                                       key_pos, stale_cache=True)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
+                                              (0, 0, 0, write_idx, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
+                                              (0, 0, 0, write_idx, 0)),
+        }
         full_mask = full_mask.at[:, write_idx].set(1)
         key_pos = key_pos.at[:, write_idx].set(cur_pos)
-        pos = cur_pos[:, None]
-        logits, cache = llava_forward(lm, cfg, tok[:, None], None,
-                                      None, pos, cache, write_idx, full_mask, key_pos)
         rng, sub = jax.random.split(rng)
         nxt = _sample_token(logits[:, 0], gen, sub)
         nxt = jnp.where(done, gen.eos_token_id, nxt)
@@ -336,11 +348,19 @@ def generate_decode(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig
 
     def step(carry, _):
         tok, cur_pos, write_idx, full_mask, key_pos, cache, rng, done = carry
+        # stale-cache decode (see generate.body): read-only cache attention +
+        # one in-place scatter per step
+        logits, kv_new = llava_forward(lm, cfg, tok[:, None], None, None,
+                                       cur_pos[:, None], cache, write_idx,
+                                       full_mask, key_pos, stale_cache=True)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
+                                              (0, 0, 0, write_idx, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
+                                              (0, 0, 0, write_idx, 0)),
+        }
         full_mask = full_mask.at[:, write_idx].set(1)
         key_pos = key_pos.at[:, write_idx].set(cur_pos)
-        logits, cache = llava_forward(lm, cfg, tok[:, None], None, None,
-                                      cur_pos[:, None], cache, write_idx,
-                                      full_mask, key_pos)
         rng, sub = jax.random.split(rng)
         nxt = _sample_token(logits[:, 0], gen, sub)
         nxt = jnp.where(done, gen.eos_token_id, nxt)

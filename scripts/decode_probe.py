@@ -43,7 +43,7 @@ def main():
     quant_mode = os.environ.get("BENCH_QUANT", "int8")
     batch = int(os.environ.get("BENCH_BATCH", 4))
     decode_tokens = int(os.environ.get("PROBE_DECODE_TOKENS", 16))
-    int8_mode = os.environ.get("CULLAVO_INT8_PALLAS", "auto")
+    int8_mode = os.environ.get("CULLAVO_INT8_PALLAS", "0")  # mirror llama.py default
 
     cfg = LlavaConfig()
     log(f"quant={quant_mode} batch={batch} int8_mode={int8_mode} "
