@@ -78,15 +78,17 @@ def _lm_logits(params, cfg: Blip2Config, hidden):
 
 
 def _lm_forward(params, cfg: Blip2Config, embeds, mask, pos, cache=None,
-                cache_index=None, key_position_ids=None):
+                cache_index=None, key_position_ids=None, stale_cache=False):
     lm = params["language_model"]
     if cfg.text_is_opt:
         return opt_forward(lm, cfg.text, embeds, mask, pos, cache,
-                           cache_index, key_position_ids)
+                           cache_index, key_position_ids,
+                           stale_cache=stale_cache)
     from cullavo_tpu.models.llava.llama import llama_forward
 
     return llama_forward(lm, cfg.text, embeds, mask, pos, cache,
-                         cache_index, key_position_ids)
+                         cache_index, key_position_ids,
+                         stale_cache=stale_cache)
 
 
 def blip2_forward(params, cfg: Blip2Config, pixel_values, input_ids,
@@ -176,15 +178,24 @@ def blip2_generate(params, cfg: Blip2Config, pixel_values, input_ids,
         out = out.at[:, i].set(jnp.where(done, out[:, i], tok))
         done = done | (tok == eos_token_id)
         idx = T + i
-        full_mask = full_mask.at[:, idx].set(1)
         new_pos = last_pos + 1
-        key_pos = key_pos.at[:, idx].set(new_pos)
         emb = _lm_embed(params, cfg, tok[:, None]).astype(embeds.dtype)
-        h, new_cache = _lm_forward(params, cfg, emb, full_mask,
-                                   new_pos[:, None], cache, idx, key_pos)
+        # stale-cache decode: read-only cache attention + one in-place
+        # scatter per step (no per-layer cache copy+restack)
+        h, kv_new = _lm_forward(params, cfg, emb, full_mask,
+                                new_pos[:, None], cache, idx, key_pos,
+                                stale_cache=True)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
+                                              (0, 0, 0, idx, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
+                                              (0, 0, 0, idx, 0)),
+        }
+        full_mask = full_mask.at[:, idx].set(1)
+        key_pos = key_pos.at[:, idx].set(new_pos)
         logits = _lm_logits(params, cfg, h[:, -1])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (i + 1, nxt, new_cache, full_mask, key_pos, new_pos, out, done)
+        return (i + 1, nxt, cache, full_mask, key_pos, new_pos, out, done)
 
     def cond(state):
         i, _, _, _, _, _, _, done = state

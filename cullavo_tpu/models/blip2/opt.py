@@ -59,8 +59,14 @@ def opt_forward(
     cache: Optional[dict] = None,
     cache_index: Optional[jax.Array] = None,
     key_position_ids: Optional[jax.Array] = None,
+    stale_cache: bool = False,
 ):
-    """Returns (hidden [B, T, D] after final LN, new_cache)."""
+    """Returns (hidden [B, T, D] after final LN, new_cache).
+
+    ``stale_cache``: 1-token decode fast path — the cache is read-only
+    (``attention_mask`` must NOT include the current position); returns
+    ``{"k_new", "v_new"}: [L, B, H, 1, hd]`` for the caller to scatter into
+    its cache carry.  See llava/llama.py::sdpa_decode_stale."""
     B, T, D = inputs_embeds.shape
     H, hd = cfg.num_attention_heads, cfg.head_dim
     dtype = inputs_embeds.dtype
@@ -87,14 +93,23 @@ def opt_forward(
         k = (x @ w["k"].astype(dtype) + w["k_b"].astype(dtype)).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         v = (x @ w["v"].astype(dtype) + w["v_b"].astype(dtype)).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         out_cache = {}
-        if cache is not None:
-            kc = jax.lax.dynamic_update_slice(scanned["k_cache"], k, (0, 0, cache_index, 0))
-            vc = jax.lax.dynamic_update_slice(scanned["v_cache"], v, (0, 0, cache_index, 0))
-            out_cache = {"k": kc, "v": vc}
-            k, v = kc, vc
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (hd ** -0.5)
-        att = jax.nn.softmax(att + bias, axis=-1).astype(dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", att, v).transpose(0, 2, 1, 3).reshape(B, T, D)
+        if cache is not None and stale_cache:
+            from cullavo_tpu.models.llava.llama import sdpa_decode_stale
+
+            o = sdpa_decode_stale(q, scanned["k_cache"].astype(dtype),
+                                  scanned["v_cache"].astype(dtype), k, v, bias)
+            out_cache = {"k_new": k.astype(scanned["k_cache"].dtype),
+                         "v_new": v.astype(scanned["v_cache"].dtype)}
+        else:
+            if cache is not None:
+                kc = jax.lax.dynamic_update_slice(scanned["k_cache"], k, (0, 0, cache_index, 0))
+                vc = jax.lax.dynamic_update_slice(scanned["v_cache"], v, (0, 0, cache_index, 0))
+                out_cache = {"k": kc, "v": vc}
+                k, v = kc, vc
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (hd ** -0.5)
+            att = jax.nn.softmax(att + bias, axis=-1).astype(dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, T, D)
         h = residual + (o @ w["o"].astype(dtype) + w["o_b"].astype(dtype))
         residual = h
         x = layer_norm(h, w["final_ln"], w["final_ln_b"], eps)
@@ -110,7 +125,8 @@ def opt_forward(
     h = layer_norm(h, params["final_ln"], params["final_ln_b"], eps)
     new_cache = None
     if cache is not None:
-        new_cache = {"k": caches["k"], "v": caches["v"]}
+        new_cache = ({"k_new": caches["k_new"], "v_new": caches["v_new"]}
+                     if stale_cache else {"k": caches["k"], "v": caches["v"]})
     return h, new_cache
 
 

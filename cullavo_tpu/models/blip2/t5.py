@@ -162,9 +162,16 @@ def t5_encode(params, cfg: T5Config, input_embeds, attention_mask):
 
 def t5_decode_step(params, cfg: T5Config, dec_embeds, enc_hidden, enc_mask,
                    position_ids, self_cache=None, cache_index=None,
-                   max_len: Optional[int] = None):
+                   max_len: Optional[int] = None, stale_cache: bool = False):
     """Decoder forward.  Without a cache: full causal pass over dec_embeds.
-    With a cache: dec_embeds are T new tokens written at cache_index."""
+    With a cache: dec_embeds are T new tokens written at cache_index.
+
+    ``stale_cache``: 1-token decode fast path — the self-attn cache is
+    read-only and the fresh k/v come back as ``{"k_new","v_new"}:
+    [L, B, H, 1, dk]`` for the caller to scatter into its carry (see
+    llava/llama.py::sdpa_decode_stale).  T5 specifics: unscaled attention
+    (scale=1) and the relative-position bucket-0 bias on the self position.
+    """
     B, T, D = dec_embeds.shape
     H, dk = cfg.num_heads, cfg.d_kv
     dtype = dec_embeds.dtype
@@ -178,9 +185,16 @@ def t5_decode_step(params, cfg: T5Config, dec_embeds, enc_hidden, enc_mask,
                                        key_pos, False, cfg)
     causal = position_ids[:, None] >= key_pos[None, :]
     if self_cache is not None:
-        causal = causal & (key_pos[None, :] <= (cache_index + T - 1))
+        # valid cache slots: written positions only — the current position is
+        # excluded in stale mode (it is folded in out-of-band)
+        last_valid = cache_index - 1 if stale_cache else cache_index + T - 1
+        causal = causal & (key_pos[None, :] <= last_valid)
     self_bias = self_bias + jnp.where(causal[None, None], 0.0, NEG_INF)
     cross_bias = jnp.where(enc_mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+    if stale_cache:
+        # [1, H, 1, 1] bucket-0 relative bias for the (pos, pos) self pair
+        self0_bias = relative_position_bias(params["dec_rel_bias"],
+                                            position_ids, position_ids, False, cfg)
 
     def layer(carry, scanned):
         h = carry
@@ -190,14 +204,24 @@ def t5_decode_step(params, cfg: T5Config, dec_embeds, enc_hidden, enc_mask,
         k = (x @ w["k"]).reshape(B, T, H, dk).transpose(0, 2, 1, 3)
         v = (x @ w["v"]).reshape(B, T, H, dk).transpose(0, 2, 1, 3)
         out_cache = {}
-        if self_cache is not None:
-            kc = jax.lax.dynamic_update_slice(scanned["k_cache"], k, (0, 0, cache_index, 0))
-            vc = jax.lax.dynamic_update_slice(scanned["v_cache"], v, (0, 0, cache_index, 0))
-            out_cache = {"k": kc, "v": vc}
-            k, v = kc, vc
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) + self_bias
-        att = jax.nn.softmax(att, axis=-1).astype(dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", att, v).transpose(0, 2, 1, 3).reshape(B, T, -1)
+        if self_cache is not None and stale_cache:
+            from cullavo_tpu.models.llava.llama import sdpa_decode_stale
+
+            o = sdpa_decode_stale(q, scanned["k_cache"].astype(dtype),
+                                  scanned["v_cache"].astype(dtype), k, v,
+                                  self_bias, self_bias=self0_bias, scale=1.0)
+            out_cache = {"k_new": k.astype(scanned["k_cache"].dtype),
+                         "v_new": v.astype(scanned["v_cache"].dtype)}
+        else:
+            if self_cache is not None:
+                kc = jax.lax.dynamic_update_slice(scanned["k_cache"], k, (0, 0, cache_index, 0))
+                vc = jax.lax.dynamic_update_slice(scanned["v_cache"], v, (0, 0, cache_index, 0))
+                out_cache = {"k": kc, "v": vc}
+                k, v = kc, vc
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) + self_bias
+            att = jax.nn.softmax(att, axis=-1).astype(dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, T, -1)
         h = h + o @ w["o"]
         x = t5_layer_norm(h, w["ln_cross"], eps)
         h = h + _attn(x, enc_hidden, w["cq"], w["ck"], w["cv"], w["co"],
@@ -211,8 +235,10 @@ def t5_decode_step(params, cfg: T5Config, dec_embeds, enc_hidden, enc_mask,
         scanned_in.update({"k_cache": self_cache["k"], "v_cache": self_cache["v"]})
     h, caches = jax.lax.scan(layer, dec_embeds, scanned_in)
     h = t5_layer_norm(h, params["dec_final_ln"], eps)
-    new_cache = ({"k": caches["k"], "v": caches["v"]}
-                 if self_cache is not None else None)
+    new_cache = None
+    if self_cache is not None:
+        new_cache = ({"k_new": caches["k_new"], "v_new": caches["v_new"]}
+                     if stale_cache else {"k": caches["k"], "v": caches["v"]})
     return h, new_cache
 
 
@@ -241,8 +267,17 @@ def t5_generate(params, cfg: T5Config, enc_embeds, enc_mask,
 
     def step(tok, cache, i):
         emb = params["embed_tokens"][tok]
-        h, cache = t5_decode_step(params, cfg, emb, enc, enc_mask,
-                                  jnp.full((1,), i, jnp.int32), cache, i)
+        # stale-cache decode: read-only cache attention + one in-place
+        # scatter per step (no per-layer cache copy+restack)
+        h, kv_new = t5_decode_step(params, cfg, emb, enc, enc_mask,
+                                   jnp.full((1,), i, jnp.int32), cache, i,
+                                   stale_cache=True)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
+                                              (0, 0, 0, i, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
+                                              (0, 0, 0, i, 0)),
+        }
         nxt = jnp.argmax(h[:, -1] @ params["lm_head"], -1).astype(jnp.int32)
         return nxt, cache
 

@@ -145,6 +145,7 @@ def kosmos2_text_forward(
     cache: Optional[dict] = None,
     cache_index: Optional[jax.Array] = None,
     key_position_ids: Optional[jax.Array] = None,
+    stale_cache: bool = False,
 ):
     B, T, D = inputs_embeds.shape
     H, hd = cfg.attention_heads, cfg.head_dim
@@ -172,14 +173,23 @@ def kosmos2_text_forward(
         k = (x @ w["k"] + w["k_b"]).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         v = (x @ w["v"] + w["v_b"]).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         out_cache = {}
-        if cache is not None:
-            kc = jax.lax.dynamic_update_slice(scanned["k_cache"], k, (0, 0, cache_index, 0))
-            vc = jax.lax.dynamic_update_slice(scanned["v_cache"], v, (0, 0, cache_index, 0))
-            out_cache = {"k": kc, "v": vc}
-            k, v = kc, vc
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (hd ** -0.5)
-        att = jax.nn.softmax(att + bias, axis=-1).astype(dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", att, v).transpose(0, 2, 1, 3).reshape(B, T, D)
+        if cache is not None and stale_cache:
+            from cullavo_tpu.models.llava.llama import sdpa_decode_stale
+
+            o = sdpa_decode_stale(q, scanned["k_cache"].astype(dtype),
+                                  scanned["v_cache"].astype(dtype), k, v, bias)
+            out_cache = {"k_new": k.astype(scanned["k_cache"].dtype),
+                         "v_new": v.astype(scanned["v_cache"].dtype)}
+        else:
+            if cache is not None:
+                kc = jax.lax.dynamic_update_slice(scanned["k_cache"], k, (0, 0, cache_index, 0))
+                vc = jax.lax.dynamic_update_slice(scanned["v_cache"], v, (0, 0, cache_index, 0))
+                out_cache = {"k": kc, "v": vc}
+                k, v = kc, vc
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (hd ** -0.5)
+            att = jax.nn.softmax(att + bias, axis=-1).astype(dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, T, D)
         o = layer_norm(o, w["inner_ln"], w["inner_ln_b"], eps)
         h = residual + (o @ w["o"] + w["o_b"])
         residual = h
@@ -195,7 +205,10 @@ def kosmos2_text_forward(
         scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})
     h, caches = jax.lax.scan(layer, h, scanned_in)
     h = layer_norm(h, params["final_ln"], params["final_ln_b"], eps)
-    new_cache = {"k": caches["k"], "v": caches["v"]} if cache is not None else None
+    new_cache = None
+    if cache is not None:
+        new_cache = ({"k_new": caches["k_new"], "v_new": caches["v_new"]}
+                     if stale_cache else {"k": caches["k"], "v": caches["v"]})
     return h, new_cache
 
 
@@ -289,12 +302,21 @@ def kosmos2_generate(params, cfg: Kosmos2Config, pixel_values, input_ids,
         out = out.at[:, i].set(jnp.where(done, out[:, i], tok))
         done = done | (tok == eos_token_id)
         idx = T + i
-        full_mask = full_mask.at[:, idx].set(1)
         new_pos = last_pos + 1
-        key_pos = key_pos.at[:, idx].set(new_pos)
         emb = params["embed_tokens"][tok[:, None]]
-        h, cache = kosmos2_text_forward(params, tc, emb, full_mask,
-                                        new_pos[:, None], cache, idx, key_pos)
+        # stale-cache decode: read-only cache attention + one in-place
+        # scatter per step (no per-layer cache copy+restack)
+        h, kv_new = kosmos2_text_forward(params, tc, emb, full_mask,
+                                         new_pos[:, None], cache, idx, key_pos,
+                                         stale_cache=True)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
+                                              (0, 0, 0, idx, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
+                                              (0, 0, 0, idx, 0)),
+        }
+        full_mask = full_mask.at[:, idx].set(1)
+        key_pos = key_pos.at[:, idx].set(new_pos)
         nxt = jnp.argmax(h[:, -1] @ params["embed_tokens"].T, -1).astype(jnp.int32)
         return (i + 1, nxt, cache, full_mask, key_pos, new_pos, out, done)
 

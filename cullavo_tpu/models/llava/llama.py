@@ -108,7 +108,8 @@ def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     return jnp.repeat(x, n_rep, axis=1)
 
 
-def sdpa_decode_stale(q, k_cache, v_cache, k_cur, v_cur, bias):
+def sdpa_decode_stale(q, k_cache, v_cache, k_cur, v_cur, bias,
+                      self_bias=None, scale=None):
     """One-token decode attention over a READ-ONLY cache plus the current
     token's k/v handled out-of-band (joint fp32 softmax over S+1 positions).
 
@@ -118,13 +119,18 @@ def sdpa_decode_stale(q, k_cache, v_cache, k_cur, v_cur, bias):
     cache once per decode step as an in-place while-carry update.
 
     q, k_cur, v_cur: [B, H, 1, hd]; k_cache, v_cache: [B, H, S, hd];
-    bias: [B, 1, 1, S] additive (NEG_INF on invalid/stale-unwritten slots).
+    bias: [B|1, H|1, 1, S] additive (NEG_INF on invalid/unwritten slots);
+    self_bias: optional [B|1, H|1, 1, 1] additive bias on the current
+    position (T5 relative-position bucket 0); scale: query scaling, default
+    1/sqrt(hd) (pass 1.0 for T5's unscaled attention).
     """
-    scale = q.shape[-1] ** -0.5
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
     s_cache = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
                          preferred_element_type=jnp.float32) * scale + bias
     s_self = jnp.sum(q.astype(jnp.float32) * k_cur.astype(jnp.float32),
                      axis=-1, keepdims=True) * scale          # [B, H, 1, 1]
+    if self_bias is not None:
+        s_self = s_self + self_bias
     m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True), s_self)
     e_c = jnp.exp(s_cache - m)
     e_s = jnp.exp(s_self - m)

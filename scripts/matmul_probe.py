@@ -84,6 +84,17 @@ def main():
           lambda c, w, s: c @ (w.astype(jnp.bfloat16) * s.astype(jnp.bfloat16)),
           (w8, scale), bytes_i8)
 
+    # transposed weight storage [N, K]: contraction on the rhs MINOR dim —
+    # tests whether the convert-in-dot stream prefers lane-major K
+    w8t = jnp.swapaxes(w8, 1, 2)  # [L, N, K]
+
+    def conv_t(c, wt, s):
+        y = jax.lax.dot_general(c, wt.astype(jnp.bfloat16),
+                                (((1,), (1,)), ((), ())))
+        return y * s[0].astype(jnp.bfloat16)
+
+    timed("conv_t", conv_t, (w8t, scale), bytes_i8)
+
     def s8s8(c, w, s):
         cm = jnp.max(jnp.abs(c), axis=-1, keepdims=True).astype(jnp.float32)
         ci = jnp.clip(jnp.round(c.astype(jnp.float32) / cm * 127), -127, 127).astype(jnp.int8)
