@@ -293,3 +293,40 @@ def test_int8_auto_dispatch_matches_xla():
         gref = jax.grad(lambda x: int8_linear(x, q).sum())(x)
         np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=2e-2,
                                    rtol=2e-2)
+
+
+def test_sdpa_decode_stale_matches_full_attention():
+    """Stale-cache decode attention == softmax over [cached keys; current key]
+    computed the plain way, including the T5 options (self bias, scale=1)."""
+    from cullavo_tpu.models.llava.llama import NEG_INF, sdpa_decode_stale
+
+    rng = np.random.default_rng(7)
+    B, H, S, hd = 2, 3, 16, 8
+    n_valid = [5, 11]  # written cache slots per row
+    q = jnp.asarray(rng.normal(size=(B, H, 1, hd)).astype(np.float32))
+    kc = jnp.asarray(rng.normal(size=(B, H, S, hd)).astype(np.float32))
+    vc = jnp.asarray(rng.normal(size=(B, H, S, hd)).astype(np.float32))
+    k1 = jnp.asarray(rng.normal(size=(B, H, 1, hd)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(B, H, 1, hd)).astype(np.float32))
+    valid = np.zeros((B, 1, 1, S), np.float32)
+    for b, n in enumerate(n_valid):
+        valid[b, ..., :n] = 1.0
+    bias = jnp.asarray(np.where(valid > 0, 0.0, NEG_INF).astype(np.float32))
+
+    for scale, self_bias in [(None, None), (1.0, jnp.asarray(
+            rng.normal(size=(1, H, 1, 1)).astype(np.float32)))]:
+        out = sdpa_decode_stale(q, kc, vc, k1, v1, bias,
+                                self_bias=self_bias, scale=scale)
+        # reference: concat current key/value as position S, full softmax
+        k_full = jnp.concatenate([kc, k1], axis=2)
+        v_full = jnp.concatenate([vc, v1], axis=2)
+        sc = hd ** -0.5 if scale is None else scale
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_full) * sc
+        sb = jnp.zeros((1, H, 1, 1)) if self_bias is None else self_bias
+        scores = scores + jnp.concatenate(
+            [jnp.broadcast_to(bias, (B, H, 1, S)),
+             jnp.broadcast_to(sb, (B, H, 1, 1))], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", probs, v_full)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
