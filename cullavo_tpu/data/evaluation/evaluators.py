@@ -75,6 +75,105 @@ class PanopticEvaluator:
                 "n_categories": int(valid.sum())}
 
 
+class InstanceSegEvaluator:
+    """COCO-style mask AP (AP@[.5:.95], AP50, AP75) — the used subset of the
+    reference's ``InstanceSegEvaluator`` (datasets/evaluation/
+    instance_evaluation.py → detectron2 COCOEvaluator → pycocotools).
+
+    Pure-numpy reimplementation of pycocotools' matching/accumulation:
+    per image+class, detections sorted by score greedily match the unmatched
+    GT with the highest IoU above the threshold; PR curves accumulate over
+    score-sorted detections across images; AP is the 101-point interpolated
+    mean precision; classes average only where GT exists.  Area ranges and
+    maxDets variants are omitted (the reference reports the 'all'/100 cell).
+    """
+
+    def __init__(self, iou_thresholds=None):
+        self.thrs = (np.arange(0.5, 0.955, 0.05) if iou_thresholds is None
+                     else np.asarray(iou_thresholds, np.float64))
+        # per class: list of (score, iou_row [n_gt]) per image, and gt counts
+        self.dets = defaultdict(list)    # cls -> [(score, img_id, ious[n_gt])]
+        self.n_gt = Counter()            # cls -> total gt instances
+        self._img = 0
+
+    @staticmethod
+    def _mask_iou(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+        """pred [N, H, W] bool, gt [M, H, W] bool → IoU [N, M]."""
+        p = pred.reshape(pred.shape[0], -1).astype(np.float32)
+        g = gt.reshape(gt.shape[0], -1).astype(np.float32)
+        inter = p @ g.T
+        union = p.sum(1)[:, None] + g.sum(1)[None, :] - inter
+        return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+
+    def add(self, pred_masks, pred_classes, pred_scores, gt_masks, gt_classes):
+        """One image.  pred_masks [N, H, W] bool, gt_masks [M, H, W] bool."""
+        img_id = self._img
+        self._img += 1
+        pred_classes = np.asarray(pred_classes)
+        gt_classes = np.asarray(gt_classes)
+        for c in np.unique(gt_classes):
+            self.n_gt[int(c)] += int((gt_classes == c).sum())
+        if len(pred_classes) == 0:
+            return
+        pred_masks = np.asarray(pred_masks)
+        gt_masks = (np.asarray(gt_masks)
+                    if len(gt_classes) else np.zeros((0,) + pred_masks.shape[1:], bool))
+        for c in np.unique(pred_classes):
+            p_idx = np.where(pred_classes == c)[0]
+            g_idx = np.where(gt_classes == c)[0]
+            ious = (self._mask_iou(pred_masks[p_idx], gt_masks[g_idx])
+                    if len(g_idx) else np.zeros((len(p_idx), 0)))
+            for row, pi in enumerate(p_idx):
+                self.dets[int(c)].append(
+                    (float(pred_scores[pi]), img_id, ious[row]))
+
+    def _ap_for_class(self, c: int) -> np.ndarray:
+        """AP per IoU threshold for one class (101-point interpolation)."""
+        dets = sorted(self.dets.get(c, []), key=lambda d: -d[0])
+        n_gt = self.n_gt[c]
+        T = len(self.thrs)
+        aps = np.zeros(T)
+        if n_gt == 0:
+            return aps  # excluded from the mean by the caller
+        for t, thr in enumerate(self.thrs):
+            matched = defaultdict(set)  # img_id -> matched gt indices
+            tp = np.zeros(len(dets))
+            for i, (score, img_id, ious) in enumerate(dets):
+                best, best_g = thr, -1
+                for g in range(len(ious)):
+                    if g in matched[img_id]:
+                        continue
+                    if ious[g] >= best:
+                        best, best_g = ious[g], g
+                if best_g >= 0:
+                    matched[img_id].add(best_g)
+                    tp[i] = 1.0
+            cum_tp = np.cumsum(tp)
+            recall = cum_tp / n_gt
+            precision = cum_tp / np.arange(1, len(dets) + 1)
+            # monotone-nonincreasing precision envelope
+            for i in range(len(precision) - 1, 0, -1):
+                precision[i - 1] = max(precision[i - 1], precision[i])
+            rec_pts = np.linspace(0, 1, 101)
+            idx = np.searchsorted(recall, rec_pts, side="left")
+            aps[t] = float(np.mean(
+                [precision[i] if i < len(precision) else 0.0 for i in idx]))
+        return aps
+
+    def results(self) -> dict:
+        classes = sorted(set(self.n_gt) | set(self.dets))
+        per_thr = [self._ap_for_class(c) for c in classes if self.n_gt[c] > 0]
+        if not per_thr:
+            return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0}
+        per_thr = np.stack(per_thr)             # [n_cls, n_thr]
+        mean = per_thr.mean(axis=0)
+        i50 = int(np.argmin(np.abs(self.thrs - 0.5)))
+        i75 = int(np.argmin(np.abs(self.thrs - 0.75)))
+        return {"AP": 100.0 * float(mean.mean()),
+                "AP50": 100.0 * float(mean[i50]),
+                "AP75": 100.0 * float(mean[i75])}
+
+
 class RetrievalEvaluator:
     """Image↔text retrieval recall@k (datasets/evaluation/retrieval_evaluation.py)."""
 

@@ -130,6 +130,11 @@ class XDecoderPipeline:
         sem_metrics = SemSegMetrics(self.model_cfg.num_classes)
         pan_outputs = []
         inst_outputs = []
+        inst_metrics = None
+        if self.tasks.instance:
+            from cullavo_tpu.data.evaluation.evaluators import InstanceSegEvaluator
+
+            inst_metrics = InstanceSegEvaluator()
         data_t, compute_t, eval_t = [], [], []
         t_last = time.perf_counter()
         for i, row in enumerate(rows):
@@ -169,6 +174,13 @@ class XDecoderPipeline:
                     "classes": np.asarray(inst["classes"]),
                     "masks": np.asarray(inst["masks"]),
                 })
+                if inst_metrics is not None and "instances_gt" in row:
+                    gt = row["instances_gt"]  # {"masks" [M,H,W], "classes" [M]}
+                    inst_metrics.add(np.asarray(inst["masks"]) > 0.5,
+                                     np.asarray(inst["classes"]),
+                                     np.asarray(inst["scores"]),
+                                     np.asarray(gt["masks"]).astype(bool),
+                                     np.asarray(gt["classes"]))
             t_last = time.perf_counter()
             eval_t.append(t_last - t1)
         out: dict = {}
@@ -178,6 +190,8 @@ class XDecoderPipeline:
             out["panoptic_outputs"] = pan_outputs
         if self.tasks.instance:
             out["instance_outputs"] = inst_outputs
+            if inst_metrics is not None and inst_metrics.n_gt:
+                out["instance_ap"] = inst_metrics.results()
         w = min(warmup, max(len(rows) - 1, 0))
         out["timing"] = {
             "data_s": float(np.mean(data_t[w:])) if data_t[w:] else 0.0,

@@ -98,3 +98,44 @@ def test_cider_orders_quality():
     bad.add(2, "submarine cheese", refs[1])
     assert good.results()["CIDEr"] > bad.results()["CIDEr"]
     assert bad.results()["CIDEr"] >= 0.0
+
+
+def test_instance_seg_ap_perfect_and_partial():
+    import numpy as np
+
+    from cullavo_tpu.data.evaluation.evaluators import InstanceSegEvaluator
+
+    def disk(cx, cy, r, H=32, W=32):
+        yy, xx = np.mgrid[:H, :W]
+        return (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+
+    # perfect predictions -> AP 100 at every threshold
+    ev = InstanceSegEvaluator()
+    gt = np.stack([disk(8, 8, 5), disk(24, 24, 6)])
+    ev.add(gt.copy(), [1, 2], [0.9, 0.8], gt, [1, 2])
+    r = ev.results()
+    assert r["AP"] == 100.0 and r["AP50"] == 100.0 and r["AP75"] == 100.0
+
+    # one perfect, one missed GT of the same class -> recall caps at 0.5;
+    # 101-pt AP ~= 50 (51/101 exactly)
+    ev = InstanceSegEvaluator()
+    ev.add(gt[:1], [1], [0.9], gt, [1, 1])
+    r = ev.results()
+    assert abs(r["AP50"] - 100 * 51 / 101) < 1e-6
+
+    # detection with IoU ~0.6 counts only at thresholds <= 0.6:
+    # AP50 > 0, AP75 == 0
+    ev = InstanceSegEvaluator()
+    a = np.zeros((32, 32), bool); a[:, :20] = True     # pred
+    b = np.zeros((32, 32), bool); b[:, 5:25] = True    # gt: inter 15, union 25 -> IoU 0.6
+    ev.add(a[None], [3], [0.9], b[None], [3])
+    r = ev.results()
+    assert r["AP50"] > 0 and r["AP75"] == 0.0
+
+    # a high-scoring false positive before the true positive drags AP50
+    # below 100 (precision envelope at low recall < 1)
+    ev = InstanceSegEvaluator()
+    fp = np.zeros((32, 32), bool); fp[:4, :4] = True
+    ev.add(np.stack([fp, gt[0]]), [1, 1], [0.95, 0.9], gt[:1], [1])
+    r = ev.results()
+    assert 0 < r["AP50"] < 100
