@@ -35,6 +35,41 @@ class EvalTasks:
     panoptic: bool = False
 
 
+# the reference's hook_switcher mapping (pipeline/utils/misc.py:31-55) as data
+_SEM_ONLY = {"cityscapes_fine_sem_seg_val", "scannet_21_val_seg",
+             "scannet_38_val_seg", "scannet_41_val_seg", "sunrgbd_37_val_seg",
+             "context_59_val_seg", "context_459_val_seg", "voc_2012_val_seg",
+             "bdd10k_val_sem_seg", "ade20k_full_sem_seg_val"}
+_INST_ONLY = {"cityscapes_fine_instance_seg_val"}
+_SEM_PANO = {"cityscapes_fine_panoptic_val", "scannet_21_panoptic_val",
+             "bdd10k_40_panoptic_val"}
+_ALL_ON = {"coco_2017_val_panoptic_with_sem_seg", "ade20k_panoptic_val",
+           "coco_2017_test-dev"}
+_NO_SEG = {"vlp_val", "vlp_captioning_val", "vlp_val2017",
+           "vlp_captioning_val2017", "imagenet_val", "refcocog_val_google",
+           "phrasecut_val", "phrasecut_test", "refcocop_val_unc",
+           "refcoco_val_unc", "refcocog_val_umd", "pascalvoc_val_Point",
+           "grounding_coco_entity_val", "vlp_coco_entity_val", "vqav2_train",
+           "vqav2_test", "vqav2_test-dev", "vqav2_val", "sharegpt4v"}
+
+
+def tasks_for_dataset(name: str) -> EvalTasks:
+    """Per-dataset semantic/instance/panoptic toggles — the reference mutates
+    model attributes per dataset (hook_switcher); here it's a pure function
+    feeding XDecoderPipeline(tasks=...)."""
+    if name in _SEM_ONLY:
+        return EvalTasks(semantic=True, instance=False, panoptic=False)
+    if name in _INST_ONLY or "seginw" in name:
+        return EvalTasks(semantic=False, instance=True, panoptic=False)
+    if name in _SEM_PANO:
+        return EvalTasks(semantic=True, instance=False, panoptic=True)
+    if name in _ALL_ON:
+        return EvalTasks(semantic=True, instance=True, panoptic=True)
+    if name in _NO_SEG:
+        return EvalTasks(semantic=False, instance=False, panoptic=False)
+    raise ValueError(f"dataset switcher is not defined for {name!r}")
+
+
 class GroundingMetrics:
     """cIoU / mIoU / precision@{0.5..0.9} accumulator
     (datasets/evaluation/grounding_evaluation.py:17-105)."""

@@ -91,3 +91,19 @@ def test_imagenet_pipeline():
     out = pipe.evaluate_model(rows)
     assert out["top1"] == 100.0
     assert out["n"] == 4
+
+
+def test_tasks_for_dataset_mapping():
+    from cullavo_tpu.pipelines.xdecoder_pipeline import tasks_for_dataset
+
+    t = tasks_for_dataset("coco_2017_val_panoptic_with_sem_seg")
+    assert t.semantic and t.instance and t.panoptic
+    t = tasks_for_dataset("ade20k_full_sem_seg_val")
+    assert t.semantic and not t.instance and not t.panoptic
+    t = tasks_for_dataset("seginw_anything")
+    assert t.instance and not t.semantic
+    t = tasks_for_dataset("vqav2_val")
+    assert not (t.semantic or t.instance or t.panoptic)
+    import pytest
+    with pytest.raises(ValueError):
+        tasks_for_dataset("not_a_dataset")
