@@ -154,7 +154,10 @@ def main():
     def run():
         state = generate_prefill(params, cfg, jids, jpix, jmask, max_len,
                                  compute_dtype=jnp.bfloat16)
-        out = generate_decode(params, cfg, state, gen, compute_dtype=jnp.bfloat16)
+        # return_state=True lets the donated prefill cache alias the output
+        # cache (in-place decode; one cache-sized buffer instead of two)
+        out, _ = generate_decode(params, cfg, state, gen,
+                                 compute_dtype=jnp.bfloat16, return_state=True)
         return np.asarray(out)  # host transfer = true completion barrier
 
     log("compiling prefill...")

@@ -168,6 +168,7 @@ def llama_forward(
     dropout_rng: Optional[jax.Array] = None,
     use_flash: Optional[bool] = None,         # None = auto (TPU only)
     stale_cache: bool = False,
+    prefill_pad_len: Optional[int] = None,    # cache-building prefill (see below)
 ):
     """Run the decoder stack; returns (final_hidden, new_cache).
 
@@ -184,6 +185,15 @@ def llama_forward(
     and returned as ``{"k_new", "v_new"}: [L, B, KV, 1, hd]`` for the caller
     to scatter into its cache carry (one in-place ``dynamic_update_slice``
     per step instead of a per-layer cache copy+restack).
+
+    ``prefill_pad_len`` (prefill fast path, requires ``cache is None``):
+    attention runs the plain causal-over-T path, and each layer additionally
+    emits its k/v zero-padded to ``prefill_pad_len`` slots, so the scan's
+    stacked ys ARE the full-length KV cache ``{"k", "v"}: [L, B, KV, P, hd]``.
+    This builds the cache in ONE buffer — the previous scheme threaded a
+    zero-initialized full-length cache through the scan as xs and stacked an
+    updated copy as ys, holding TWO full cache-sized buffers (5.5 GB at 7B
+    batch 8) at prefill peak, which was the batch-8 OOM.
     """
     B, T, D = inputs_embeds.shape
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -295,6 +305,14 @@ def llama_forward(
 
         ys = None
         if cache is None:
+            if prefill_pad_len is not None:
+                # cache-building prefill: pad this layer's k/v to the full
+                # cache length; the scan stacks them into the cache directly
+                zeros = jnp.zeros((B, KV, prefill_pad_len, hd), compute_dtype)
+                ys = {"k_cache": jax.lax.dynamic_update_slice(
+                          zeros, k.astype(compute_dtype), (0, 0, 0, 0)),
+                      "v_cache": jax.lax.dynamic_update_slice(
+                          zeros, v.astype(compute_dtype), (0, 0, 0, 0))}
             if use_flash:
                 from cullavo_tpu.ops.flash_attention import flash_attention
 
@@ -311,7 +329,7 @@ def llama_forward(
                                             (D, cfg.intermediate_size)),
                                   w["down"], ad.get("down"), get_rng(6),
                                   (cfg.intermediate_size, D))
-                return h, None
+                return h, ys
             attn = sdpa(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
         elif stale_cache:
             k_buf, v_buf = scanned["k_cache"], scanned["v_cache"]
@@ -355,7 +373,9 @@ def llama_forward(
     final, scanned_out = jax.lax.scan(layer, inputs_embeds, scanned_in)
     final = rms_norm(final, params["norm"], cfg.rms_norm_eps)
     new_cache = None
-    if cache is not None:
+    if cache is None and prefill_pad_len is not None:
+        new_cache = {"k": scanned_out["k_cache"], "v": scanned_out["v_cache"]}
+    elif cache is not None:
         if stale_cache:
             # [L, B, KV, 1, hd] per-layer fresh k/v — caller scatters these
             # into its cache carry at the write index

@@ -138,6 +138,7 @@ def llava_forward(
     dropout_rng: Optional[jax.Array] = None,
     last_logit_only: bool = False,
     stale_cache: bool = False,
+    prefill_pad_len: Optional[int] = None,
 ):
     embed = params["language_model"]["embed_tokens"]
     inputs_embeds = jnp.take(embed, jnp.clip(input_ids, 0, embed.shape[0] - 1), axis=0)
@@ -155,7 +156,8 @@ def llava_forward(
                                       lora_scaling=lora_scaling,
                                       lora_dropout=lora_dropout,
                                       dropout_rng=dropout_rng,
-                                      stale_cache=stale_cache)
+                                      stale_cache=stale_cache,
+                                      prefill_pad_len=prefill_pad_len)
     if last_logit_only:
         # only the last valid position feeds sampling — skips the [B, T, V]
         # logits tensor during prefill (vocab matmul over one position)
@@ -240,7 +242,6 @@ def generate(
     lm = jax.tree.map(lambda a: a.astype(compute_dtype)
                       if a.dtype in (jnp.float32, jnp.bfloat16, jnp.float16) else a, params)
 
-    cache = init_kv_cache(cfg.text, B, max_len, compute_dtype)
     full_mask = jnp.zeros((B, max_len), jnp.int32)
     full_mask = jax.lax.dynamic_update_slice(full_mask, attention_mask.astype(jnp.int32), (0, 0))
 
@@ -249,9 +250,12 @@ def generate(
     key_pos = jnp.zeros((B, max_len), jnp.int32)
     key_pos = jax.lax.dynamic_update_slice(key_pos, position_ids.astype(jnp.int32), (0, 0))
 
+    # cache-building prefill: the layer scan's stacked ys ARE the cache — one
+    # full-length buffer instead of zero-init xs + updated-copy ys (see
+    # llama_forward's prefill_pad_len doc; this was the batch-8 prefill OOM)
     logits, cache = llava_forward(lm, cfg, input_ids, pixel_values, attention_mask,
-                                  position_ids, cache, jnp.int32(0), full_mask, key_pos,
-                                  last_logit_only=True)
+                                  position_ids, last_logit_only=True,
+                                  prefill_pad_len=max_len)
     last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
     next_logits = logits[:, 0]
 
@@ -317,27 +321,36 @@ def generate_prefill(params, cfg: LlavaConfig, input_ids, pixel_values,
     B, T = input_ids.shape
     lm = jax.tree.map(lambda a: a.astype(compute_dtype)
                       if a.dtype in (jnp.float32, jnp.float16) else a, params)
-    cache = init_kv_cache(cfg.text, B, max_len, compute_dtype)
     full_mask = jnp.zeros((B, max_len), jnp.int32)
     full_mask = jax.lax.dynamic_update_slice(full_mask,
                                              attention_mask.astype(jnp.int32), (0, 0))
     position_ids = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
     key_pos = jnp.zeros((B, max_len), jnp.int32)
     key_pos = jax.lax.dynamic_update_slice(key_pos, position_ids.astype(jnp.int32), (0, 0))
+    # cache-building prefill (one cache-sized buffer; see llama_forward doc)
     logits, cache = llava_forward(lm, cfg, input_ids, pixel_values, attention_mask,
-                                  position_ids, cache, jnp.int32(0), full_mask,
-                                  key_pos, last_logit_only=True)
+                                  position_ids, last_logit_only=True,
+                                  prefill_pad_len=max_len)
     last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
     return {"logits": logits[:, 0], "cache": cache, "full_mask": full_mask,
             "key_pos": key_pos, "cur_pos": last_idx + 1,
             "write_idx": jnp.int32(T)}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "gen", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "compute_dtype",
+                                             "return_state"),
+                   donate_argnums=(2,))
 def generate_decode(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig,
-                    rng=None, compute_dtype=jnp.bfloat16):
+                    rng=None, compute_dtype=jnp.bfloat16, return_state=False):
     """Decode phase: fixed-length ``lax.scan`` over max_new_tokens (all rows
-    run to the end; finished rows emit eos)."""
+    run to the end; finished rows emit eos).
+
+    The prefill ``state`` is DONATED and unusable after this call.  With
+    ``return_state=True`` the final decode state is returned alongside the
+    tokens — XLA then aliases the multi-GB input KV cache to the output
+    cache and updates it in place; without a matching output the donation
+    cannot alias and decode holds TWO cache-sized buffers at entry (the
+    aliasing is what buys batch ≥10 on a 16 GB chip)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     lm = jax.tree.map(lambda a: a.astype(compute_dtype)
@@ -370,5 +383,11 @@ def generate_decode(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig
 
     carry = (first, state["cur_pos"], state["write_idx"], state["full_mask"],
              state["key_pos"], state["cache"], rng, done0)
-    _, rest = jax.lax.scan(step, carry, None, length=gen.max_new_tokens - 1)
-    return jnp.concatenate([first[:, None], rest.T], axis=1)
+    carry, rest = jax.lax.scan(step, carry, None, length=gen.max_new_tokens - 1)
+    tokens = jnp.concatenate([first[:, None], rest.T], axis=1)
+    if return_state:
+        final_state = {"logits": state["logits"], "cache": carry[5],
+                       "full_mask": carry[3], "key_pos": carry[4],
+                       "cur_pos": carry[1], "write_idx": carry[2]}
+        return tokens, final_state
+    return tokens
