@@ -190,3 +190,215 @@ def load_ade20k_sem(image_dir: str, ann_dir: str) -> list:
 def register_ade20k_sem(name: str, image_dir: str, ann_dir: str):
     register_dataset(name, lambda: load_ade20k_sem(image_dir, ann_dir),
                      {"num_classes": 150, "ignore_label": 255})
+
+
+# ---------------------------------------------------------------------------
+# Remaining segmentation registrations
+# (capability parity with datasets/registration/register_{scannet,sunrgbd,
+#  bdd100k,ade20k_panoptic,ade20k_instance,ade20k_full,coco_stuff_10k,
+#  pascalvoc_eval}.py — same dataset names, detectron2-free loaders)
+# ---------------------------------------------------------------------------
+
+def load_semseg_pairs(image_dir: str, ann_dir: str, image_ext: str = ".jpg",
+                      ann_ext: str = ".png") -> list:
+    """Generic image/annotation directory pairing (detectron2 ``load_sem_seg``
+    as used by register_coco_stuff_10k.py:211 and register_ade20k_full.py)."""
+    rows = []
+    for fn in sorted(os.listdir(image_dir)):
+        if not fn.endswith(image_ext):
+            continue
+        stem = fn[: -len(image_ext)]
+        ann = os.path.join(ann_dir, stem + ann_ext)
+        if os.path.exists(ann):
+            rows.append({"file_name": os.path.join(image_dir, fn),
+                         "sem_seg_file_name": ann})
+    return rows
+
+
+def load_scannet_semseg(dirname: str, split: str, label_folder: str) -> list:
+    """ScanNet frames: ``meta/{split}.txt`` lists relative color-image paths;
+    labels live beside them with ``color``→``label*`` and jpg→png swapped
+    (register_scannet_semseg.py:29-51)."""
+    rows = []
+    with open(os.path.join(dirname, "meta", split + ".txt")) as f:
+        fileids = [ln.split()[0] for ln in f if ln.strip()]
+    for rel in fileids:
+        image_path = os.path.join(dirname, "images", rel)
+        sem = image_path.replace("color", label_folder).replace(".jpg", ".png")
+        rows.append({"file_name": image_path, "sem_seg_file_name": sem,
+                     "image_id": rel.replace("/", "_").rsplit(".", 1)[0]})
+    return rows
+
+
+_SCANNET_LABEL_FOLDERS = {"scannet_41_val_seg": ("label41", "SCAN_40"),
+                          "scannet_38_val_seg": ("label38", "SCAN_37"),
+                          "scannet_21_val_seg": ("label21", "SCAN_20")}
+
+
+def register_scannet_semseg(root: str):
+    for name, (folder, const) in _SCANNET_LABEL_FOLDERS.items():
+        register_dataset(
+            name,
+            (lambda folder=folder: load_scannet_semseg(
+                os.path.join(root, "scannet_frames_25k"), "val", folder)),
+            {"class_names_key": const, "ignore_label": 0,
+             "evaluator_type": "sem_seg"})
+
+
+def load_sunrgbd_semseg(dirname: str, split: str) -> list:
+    """SUN-RGBD: image/{split} dir + label37/{split} (register_sunrgbd_semseg
+    .py:21-47)."""
+    image_dir = os.path.join(dirname, "image", split)
+    ann_dir = os.path.join(dirname, "label37", split)
+    return load_semseg_pairs(image_dir, ann_dir, ".jpg", ".png")
+
+
+def register_sunrgbd_semseg(root: str):
+    register_dataset("sunrgbd_37_val_seg",
+                     lambda: load_sunrgbd_semseg(os.path.join(root, "sun_rgbd"), "val"),
+                     {"class_names_key": "SUN_RGBD_37", "ignore_label": 0,
+                      "evaluator_type": "sem_seg"})
+
+
+def register_bdd_semseg(root: str):
+    """BDD100k 10k semantic split (register_bdd100k_semseg.py:21-66)."""
+    base = os.path.join(root, "bdd100k")
+    register_dataset(
+        "bdd10k_val_sem_seg",
+        lambda: load_semseg_pairs(os.path.join(base, "images/10k/val"),
+                                  os.path.join(base, "labels/sem_seg/masks/val"),
+                                  ".jpg", ".png"),
+        {"class_names_key": "BDD_SEM", "ignore_label": 255,
+         "evaluator_type": "sem_seg"})
+
+
+def register_bdd_panoseg(root: str):
+    """BDD100k panoptic (COCO-panoptic-format JSON;
+    register_bdd100k_panoseg.py:116-166)."""
+    from cullavo_tpu.data.coco_panoptic import load_coco_panoptic_json
+
+    base = os.path.join(root, "bdd100k")
+    register_dataset(
+        "bdd10k_40_panoptic_val",
+        lambda: load_coco_panoptic_json(
+            os.path.join(base, "labels/pan_seg/meta_pan.json"),
+            os.path.join(base, "images/10k/val"),
+            os.path.join(base, "labels/pan_seg/bitmasks/val"), {}),
+        {"class_names_key": "BDD_PANO", "evaluator_type": "bdd_panoptic_pano"})
+
+
+def register_ade20k_panoptic(root: str):
+    """ADE20k panoptic val (COCO-panoptic-format JSON;
+    register_ade20k_panoptic.py:217-265,308-390)."""
+    from cullavo_tpu.data.coco_panoptic import load_coco_panoptic_json
+
+    base = os.path.join(root, "ADEChallengeData2016")
+    register_dataset(
+        "ade20k_panoptic_val",
+        lambda: load_coco_panoptic_json(
+            os.path.join(base, "ade20k_panoptic_val.json"),
+            os.path.join(base, "images/validation"),
+            os.path.join(base, "ade20k_panoptic_val"), {}),
+        {"class_names_key": "ADE_PANOPTIC_CLASSES",
+         "evaluator_type": "ade20k_panoptic_seg"})
+
+
+def load_coco_instance_json(json_file: str, image_dir: str) -> list:
+    """COCO-instances-format JSON → rows with per-image annotation lists
+    (detectron2 ``load_coco_json`` subset used by register_ade20k_instance)."""
+    with open(json_file) as f:
+        data = json.load(f)
+    anns_by_img = {}
+    for a in data["annotations"]:
+        anns_by_img.setdefault(a["image_id"], []).append(a)
+    rows = []
+    for img in data["images"]:
+        rows.append({
+            "file_name": os.path.join(image_dir, img["file_name"]),
+            "image_id": img["id"], "height": img["height"],
+            "width": img["width"],
+            "annotations": [
+                {"bbox": a["bbox"], "category_id": a["category_id"],
+                 "segmentation": a.get("segmentation"),
+                 "iscrowd": a.get("iscrowd", 0)}
+                for a in anns_by_img.get(img["id"], [])],
+        })
+    return rows
+
+
+def register_ade20k_instance(root: str):
+    base = os.path.join(root, "ADEChallengeData2016")
+    register_dataset(
+        "ade20k_instance_val",
+        lambda: load_coco_instance_json(
+            os.path.join(base, "ade20k_instance_val.json"),
+            os.path.join(base, "images/validation")),
+        {"class_names_key": "ADE_PANOPTIC_CLASSES", "evaluator_type": "coco"})
+
+
+def register_ade20k_full(root: str):
+    """ADE20k-Full 847-class semantic val (register_ade20k_full.py:944-964)."""
+    base = os.path.join(root, "ADE20K_2021_17_01")
+    register_dataset(
+        "ade20k_full_sem_seg_val",
+        lambda: load_semseg_pairs(os.path.join(base, "images_detectron2/val"),
+                                  os.path.join(base, "annotations_detectron2/val"),
+                                  ".jpg", ".tif"),
+        {"class_names_key": "ADE20K_847", "ignore_label": 65535,
+         "evaluator_type": "sem_seg"})
+
+
+def register_coco_stuff_10k(root: str):
+    """coco-stuff-10k semantic splits (register_coco_stuff_10k.py:196-216)."""
+    base = os.path.join(root, "coco", "coco_stuff_10k")
+    for split in ("train", "test"):
+        register_dataset(
+            f"coco_2017_{split}_stuff_10k_sem_seg",
+            (lambda split=split: load_semseg_pairs(
+                os.path.join(base, "images_detectron2", split),
+                os.path.join(base, "annotations_detectron2", split),
+                ".jpg", ".png")),
+            {"ignore_label": 255, "evaluator_type": "sem_seg"})
+
+
+def load_pascalvoc_interactive(dirname: str, split: str,
+                               slice_size: int = 5) -> list:
+    """PascalVOC interactive-segmentation eval rows: each row carries the
+    instance-mask png + up to ``slice_size`` object ids
+    (register_pascalvoc_eval.py:25-60; the cv2 read happens lazily in the
+    mapper here instead of at registration time)."""
+    with open(os.path.join(dirname, "ImageSets", "Segmentation",
+                           split + ".txt")) as f:
+        fileids = [ln.strip() for ln in f if ln.strip()]
+    rows = []
+    for field in fileids:
+        rows.append({
+            "file_name": os.path.join(dirname, "JPEGImages", field + ".jpg"),
+            "inst_name": os.path.join(dirname, "SegmentationObject", field + ".png"),
+            "semseg_name": os.path.join(dirname, "SegmentationClass", field + ".png"),
+            "slice_size": slice_size,
+        })
+    return rows
+
+
+def register_pascalvoc_interactive(root: str):
+    register_dataset(
+        "pascalvoc_val_Point",
+        lambda: load_pascalvoc_interactive(os.path.join(root, "PascalVOC"), "val"),
+        {"class_names_key": "PASCAL_CLASSES", "evaluator_type": "interactive"})
+
+
+def register_all_segmentation(root: str):
+    """One-call registration of every auxiliary segmentation dataset — the
+    equivalent of importing datasets/registration/__init__.py with
+    ``DATASET`` set (the active configs register COCO/ADE-sem/RefCOCO/VQA/
+    ImageNet explicitly; these cover the rest of the reference's table)."""
+    register_scannet_semseg(root)
+    register_sunrgbd_semseg(root)
+    register_bdd_semseg(root)
+    register_bdd_panoseg(root)
+    register_ade20k_panoptic(root)
+    register_ade20k_instance(root)
+    register_ade20k_full(root)
+    register_coco_stuff_10k(root)
+    register_pascalvoc_interactive(root)

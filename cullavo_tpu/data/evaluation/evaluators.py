@@ -284,3 +284,48 @@ class CaptioningEvaluator:
                 for iid, cand, _ in self.records]
         with open(path, "w") as f:
             json.dump(rows, f)
+
+
+class InteractiveEvaluator:
+    """Point-interactive segmentation metrics: NoC@IoU (mean number of clicks
+    needed to reach an IoU threshold, counting ``max_clicks`` on failure) and
+    mean IoU after ``iou_iter`` clicks.
+
+    Native equivalent of the reference's InteractiveEvaluator
+    (datasets/evaluation/interactive_evaluation.py:16-105): ``add`` takes one
+    sample's per-click IoU trajectory (length ``max_clicks``); ``results``
+    reports ``noc@{0.5,0.8,0.85,0.9}`` and ``iou_max_iter``.
+    """
+
+    def __init__(self, max_clicks: int = 20, iou_iter: int = 1,
+                 iou_thresholds=(0.5, 0.8, 0.85, 0.9)):
+        self.max_clicks = max_clicks
+        self.iou_iter = iou_iter
+        self.iou_thresholds = tuple(iou_thresholds)
+        self.iou_curves: list = []
+
+    def add(self, iou_per_click):
+        curve = np.asarray(iou_per_click, np.float64)
+        if curve.shape[0] != self.max_clicks:
+            raise ValueError(f"expected {self.max_clicks} click IoUs, "
+                             f"got {curve.shape[0]}")
+        self.iou_curves.append(curve)
+
+    @staticmethod
+    def _noc(curve: np.ndarray, thr: float, max_clicks: int) -> int:
+        hits = curve >= thr
+        # reference semantics (interactive_evaluation.py:50-52): first click
+        # index reaching the threshold + 1; max_clicks when never reached
+        return int(np.argmax(hits)) + 1 if hits.any() else max_clicks
+
+    def results(self) -> dict:
+        if not self.iou_curves:
+            return {f"noc@{t}": 0.0 for t in self.iou_thresholds} | {
+                "iou_max_iter": 0.0}
+        out = {}
+        for thr in self.iou_thresholds:
+            out[f"noc@{thr}"] = float(np.mean(
+                [self._noc(c, thr, self.max_clicks) for c in self.iou_curves]))
+        out["iou_max_iter"] = float(np.mean(
+            [c[self.iou_iter - 1] for c in self.iou_curves]))
+        return out
