@@ -210,7 +210,7 @@ def llama_forward(
 
         use_flash = (os.environ.get("CULLAVO_FLASH", "0") == "1"
                      and jax.default_backend() == "tpu" and cache is None
-                     and T % 8 == 0 and hd % 128 == 0
+                     and hd % 128 == 0
                      and cfg.sliding_window is None)
 
     cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)
@@ -316,8 +316,13 @@ def llama_forward(
             if use_flash:
                 from cullavo_tpu.ops.flash_attention import flash_attention
 
+                # q_positions=None → global iota, exact for right-padded
+                # batches (valid tokens are a prefix, so logical position ==
+                # row index; pad-row outputs are masked downstream) and it
+                # selects the iota kernel, the one the axon Mosaic helper
+                # compiles (no dynamic-sublane reads)
                 attn = flash_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
-                                       q_positions=position_ids,
+                                       q_positions=None,
                                        kv_valid=attention_mask, causal=True)
                 attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
                 h = residual + mm(attn, w["o"], ad.get("o"), get_rng(3))

@@ -57,8 +57,35 @@ def flash_attention(q, k, v, q_positions=None, kv_valid=None, causal=True,
     """Fused attention: q,k,v [B, H, T/S, d] (kv heads already repeated).
 
     q_positions: [B, T] logical positions (for padded/packed inputs).
+                 Pass None for right-padded batches — global iota positions
+                 are then used, which is exact for every valid (prefix) row
+                 and selects the axon-safe iota kernel.
     kv_valid:    [B, S] 0/1 key validity.
+
+    T/S need not be tile-aligned: inputs are zero-padded to a multiple of 128
+    (padded keys masked via kv_valid, padded query rows discarded on return),
+    so odd prompt lengths like LLaVA's 641 can use the kernel.  128 rather
+    than 64 because the kv-bias lane slice at ``kb * block_k`` must be
+    statically 128-aligned for the axon Mosaic helper.
     """
+    B, H, T, d = q.shape
+    S = k.shape[2]
+    pad_t = (-T) % 128
+    pad_s = (-S) % 128
+    if pad_t or pad_s:
+        if kv_valid is None:
+            kv_valid = jnp.ones((B, S), jnp.int32)
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pad_s)))
+        if q_positions is not None:
+            # continue each row's position run so padded rows stay causal-legal
+            tail = q_positions[:, -1:] + 1 + jnp.arange(pad_t, dtype=q_positions.dtype)[None]
+            q_positions = jnp.concatenate([q_positions, tail], axis=1)
+        out = _flash_custom(q, k, v, q_positions, kv_valid, causal,
+                            block_q, block_k)
+        return out[:, :, :T]
     return _flash_custom(q, k, v, q_positions, kv_valid, causal, block_q, block_k)
 
 

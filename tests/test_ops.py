@@ -330,3 +330,42 @@ def test_sdpa_decode_stale_matches_full_attention():
         ref = jnp.einsum("bhqk,bhkd->bhqd", probs, v_full)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_flash_unaligned_lengths_pad_internally():
+    """T/S not multiples of 64: the wrapper zero-pads, masks padded keys and
+    slices padded query rows off — parity with the reference at T=S=41 and
+    a rectangular T=23, S=41 (the LLaVA prefill is T=641)."""
+    for (T, S) in ((41, 41), (23, 41)):
+        q, k, v = _qkv(T=T, S=S)
+        out = flash_attention(q, k, v, causal=False)
+        ref = mha_reference(q, k, v, causal=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+    # causal + key padding + iota positions (the llama prefill configuration)
+    B, T = 2, 41
+    q, k, v = _qkv(B=B, T=T, seed=3)
+    kv_valid = np.ones((B, T), np.int32)
+    kv_valid[0, 30:] = 0
+    out = flash_attention(q, k, v, kv_valid=jnp.asarray(kv_valid), causal=True)
+    ref = mha_reference(q, k, v, causal=True, kv_valid=jnp.asarray(kv_valid))
+    np.testing.assert_allclose(np.asarray(out)[0, :, :30], np.asarray(ref)[0, :, :30],
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out)[1], np.asarray(ref)[1],
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_unaligned_backward():
+    q, k, v = _qkv(T=41, seed=5)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5, err_msg=name)
