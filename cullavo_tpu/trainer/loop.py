@@ -49,6 +49,12 @@ class LoopConfig:
     log_every: int = 10
     save_dir: Optional[str] = None
     wandb: bool = False
+    # jax.profiler capture: trace steps [profile_start, profile_start +
+    # profile_steps) into profile_dir (TensorBoard/xprof-loadable).  The
+    # reference has no profiler at all (SURVEY §5); here it is a loop flag.
+    profile_steps: int = 0
+    profile_start: int = 3          # skip compile + warmup steps
+    profile_dir: str = "/tmp/cullavo_trace"
 
 
 def train_loop(
@@ -80,11 +86,16 @@ def train_loop(
         except Exception:
             wandb_run = None
 
+    profiling = False
     for epoch in range(cfg.max_epochs):
         t_last = time.perf_counter()
         for i, batch in enumerate(data_iter_fn(epoch)):
             t_data = time.perf_counter()
             data_time.update(t_data - t_last)
+
+            if cfg.profile_steps and not profiling and global_step == cfg.profile_start:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
 
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, frozen_params, batch, sub)
@@ -96,6 +107,10 @@ def train_loop(
 
             loss_meter.update(loss)
             global_step += 1
+            if profiling and global_step >= cfg.profile_start + cfg.profile_steps:
+                jax.block_until_ready(state.trainable)
+                jax.profiler.stop_trace()
+                profiling = False
             record = {"epoch": epoch, "step": global_step, "loss": loss,
                       **{k: float(v) for k, v in metrics.items()}}
             history.append(record)
