@@ -201,3 +201,24 @@ def quantize_llm_weights(params: Any, bits: int = 4) -> Any:
         layers[t] = quant(layers[t])
     lm["layers"] = layers
     return {**params, "language_model": lm}
+
+
+def add_step2_adapters(params: Any, step1_lora: dict, cfg: LlavaConfig,
+                       lora: LoraConfig, key: jax.Array,
+                       merge_step1: bool = False, dtype=jnp.float32):
+    """Second adapter set for step-2 training — the functional equivalent of
+    the reference's ``add_adapter_for_step2`` (load_cullavo.py:23-59), which
+    attaches a fresh PEFT adapter named 'step2' (making it the active set;
+    the step1 adapters stay loaded but inactive).
+
+    Returns ``(base_params, step2_lora)``: a freshly-initialized adapter set
+    over the same target modules/vision-layer range.  With
+    ``merge_step1=True`` the step1 adapters are folded into the base first
+    (only possible on an unquantized base) — the variant to use when step1's
+    deltas should stay in effect during step2, which PEFT's inactive-adapter
+    semantics silently drop in the reference.
+    """
+    base = params
+    if merge_step1 and step1_lora:
+        base = merge_lora(params, step1_lora, lora)
+    return base, init_lora_params(base, cfg, lora, key, dtype)

@@ -277,3 +277,28 @@ def test_train_step_on_quantized_base_decreases_loss():
         losses.append(float(m["loss_llm"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_add_step2_adapters():
+    """Second adapter set (reference add_adapter_for_step2,
+    load_cullavo.py:23-59): fresh zero-effect adapters over the same targets;
+    merge_step1=True folds step1 deltas into the base first."""
+    from cullavo_tpu.models.llava.lora import add_step2_adapters
+
+    cfg, lora_cfg, params, step1 = _setup()
+    step1 = jax.tree.map(lambda a: a + 0.01 if a.ndim == 3 else a, step1)
+    base2, step2 = add_step2_adapters(params, step1, cfg, lora_cfg,
+                                      jax.random.PRNGKey(7), merge_step1=True)
+    # same adapter structure, fresh B=0 (new set starts as identity)
+    assert set(step2["language_model"]) == set(step1["language_model"])
+    for ab in step2["language_model"].values():
+        assert float(jnp.abs(ab["b"]).max()) == 0.0
+    # merged base2 equals base+step1 applied
+    batch = _batch(cfg, B=2)
+    with_step1, _ = llava_forward(params, cfg, batch["input_ids"],
+                                  batch["pixel_values"], batch["attention_mask"],
+                                  lora=step1, lora_scaling=lora_cfg.scaling)
+    merged_out, _ = llava_forward(base2, cfg, batch["input_ids"],
+                                  batch["pixel_values"], batch["attention_mask"])
+    np.testing.assert_allclose(np.asarray(with_step1), np.asarray(merged_out),
+                               atol=5e-4, rtol=1e-3)
