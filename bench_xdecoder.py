@@ -39,24 +39,44 @@ def main():
         jax.random.PRNGKey(0))
     params = jax.block_until_ready(params)
 
-    B, H, W = 1, 512, 512
+    import os
+
+    B, H, W = int(os.environ.get("BENCH_XDEC_BATCH", 8)), 512, 512
+    # fp32 by default: measured FASTER than bf16 here (17.0 vs 11.2 img/s at
+    # batch 8) — focal modulation is depthwise-conv/elementwise-bound, not
+    # MXU-bound, and the bf16 cast chain costs more than the matmuls save.
+    dtype = jnp.dtype(os.environ.get("BENCH_XDEC_DTYPE", "float32"))
+    params = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    images = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32)).astype(dtype)
     text_embeds = jnp.asarray(
         rng.normal(size=(cfg.num_classes + 1,
-                         cfg.decoder.dim_proj)).astype(np.float32))
+                         cfg.decoder.dim_proj)).astype(np.float32)).astype(dtype)
 
-    fn = jax.jit(lambda p, im, t: forward_eval(p, cfg, im, t, out_size=(H, W)))
+    from cullavo_tpu.models.xdecoder.model import semantic_inference
+
+    def eval_step(p, im, t):
+        cls, masks, boxes = forward_eval(p, cfg, im, t, out_size=(H, W))
+        # the full semantic-eval pipeline stays on device (the reference's
+        # evaluate() path: upsample → per-class probs, xdecoder_model.py:
+        # 452-505+765-772); transferring the argmax map keeps the host
+        # transfer small while depending on every mask logit — the transfer
+        # is the only reliable completion barrier on axon
+        sem = jax.vmap(semantic_inference)(cls, masks)        # [B, C, H, W]
+        return cls, jnp.argmax(sem, axis=1).astype(jnp.int32), boxes
+
+    fn = jax.jit(eval_step)
     log("compiling eval forward...")
     t0 = time.time()
     out = fn(params, images, text_embeds)
-    np.asarray(out[0])       # host transfer = true completion barrier
+    jax.tree.map(np.asarray, out)
     log(f"compile+first: {time.time()-t0:.1f}s")
 
     lat = []
     for _ in range(10):
         t0 = time.time()
-        np.asarray(fn(params, images, text_embeds)[0])
+        jax.tree.map(np.asarray, fn(params, images, text_embeds))
         lat.append(time.time() - t0)
     p50 = float(np.percentile(np.asarray(lat), 50))
     print(json.dumps({
@@ -66,6 +86,8 @@ def main():
         "vs_baseline": None,
         "p50_latency_s": round(p50, 4),
         "image_size": [H, W],
+        "batch": B,
+        "dtype": str(dtype),
         "backbone": "focal-t",
     }))
 

@@ -208,6 +208,99 @@ def blip2_generate(params, cfg: Blip2Config, pixel_values, input_ids,
     return state[6]
 
 
+def blip2_beam_generate(params, cfg: Blip2Config, pixel_values, input_ids,
+                        attention_mask, max_new_tokens: int,
+                        num_beams: int = 5, length_penalty: float = 1.0,
+                        eos_token_id: int = -1, pad_token_id: int = 0,
+                        qformer_text_ids=None, qformer_text_mask=None,
+                        compute_dtype=None):
+    """Beam-search decode — the reference's BLIP-2 / InstructBLIP generation
+    configuration (num_beams=5, length_penalty=-1, ≤10 new tokens;
+    pipeline/BLIP2VQAVALPipeline.py:175, InstructBLIPVQAVALPipeline.py).
+
+    T5 towers route to ``t5_beam_generate``; OPT / Vicuna (decoder-only)
+    towers prefill once per batch row, expand the KV cache to
+    batch×num_beams rows, and run the shared HF-semantics scorer
+    (cullavo_tpu.models.beam)."""
+    from cullavo_tpu.models.beam import beam_search
+
+    lang_img = encode_image(params, cfg, pixel_values, qformer_text_ids,
+                            qformer_text_mask, compute_dtype)
+    if cfg.text_is_t5:
+        from cullavo_tpu.models.blip2.t5 import t5_beam_generate
+
+        lm = params["language_model"]
+        text = lm["embed_tokens"][input_ids].astype(lang_img.dtype)
+        embeds = jnp.concatenate([lang_img, text], axis=1)
+        mask = jnp.concatenate(
+            [jnp.ones(lang_img.shape[:2], attention_mask.dtype), attention_mask],
+            axis=1)
+        return t5_beam_generate(lm, cfg.text, embeds, mask, max_new_tokens,
+                                num_beams=num_beams,
+                                length_penalty=length_penalty,
+                                eos_token_id=eos_token_id)
+
+    B, Q = lang_img.shape[:2]
+    nb = num_beams
+    text = _lm_embed(params, cfg, input_ids).astype(lang_img.dtype)
+    embeds = jnp.concatenate([lang_img, text], axis=1)
+    T = embeds.shape[1]
+    max_len = T + max_new_tokens + 1
+    mask0 = jnp.concatenate(
+        [jnp.ones((B, Q), attention_mask.dtype), attention_mask], axis=1)
+    pos0 = jnp.maximum(jnp.cumsum(mask0, axis=1) * mask0 - 1, 0)
+
+    cache = _init_cache(cfg, B, max_len, embeds.dtype)
+    full_mask = jnp.concatenate(
+        [mask0, jnp.zeros((B, max_new_tokens + 1), mask0.dtype)], axis=1)
+    key_pos = jnp.concatenate(
+        [pos0, jnp.zeros((B, max_new_tokens + 1), pos0.dtype)], axis=1)
+    h, cache = _lm_forward(params, cfg, embeds, full_mask, pos0, cache,
+                           jnp.int32(0), key_pos)
+    rows = jnp.arange(B)
+    last_idx = jnp.sum(mask0, axis=1).astype(jnp.int32) - 1
+    last_pos = pos0[rows, last_idx]
+    init_logits = _lm_logits(params, cfg, h[rows, last_idx]).astype(jnp.float32)
+
+    # expand to contiguous batch×beam rows
+    cache = jax.tree.map(lambda a: jnp.repeat(a, nb, axis=1), cache)
+    full_mask = jnp.repeat(full_mask, nb, axis=0)
+    key_pos = jnp.repeat(key_pos, nb, axis=0)
+    last_pos = jnp.repeat(last_pos, nb, axis=0)
+    init_logits = jnp.repeat(init_logits, nb, axis=0)
+
+    def step_fn(tok, state, step_idx):
+        cache, full_mask, key_pos = state
+        idx = T + step_idx - 1                 # cache slot of the fed token
+        new_pos = last_pos + step_idx
+        emb = _lm_embed(params, cfg, tok[:, None]).astype(embeds.dtype)
+        h, kv_new = _lm_forward(params, cfg, emb, full_mask,
+                                new_pos[:, None], cache, idx, key_pos,
+                                stale_cache=True)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
+                                              (0, 0, 0, idx, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
+                                              (0, 0, 0, idx, 0)),
+        }
+        full_mask = full_mask.at[:, idx].set(1)
+        key_pos = key_pos.at[:, idx].set(new_pos)
+        logits = _lm_logits(params, cfg, h[:, -1]).astype(jnp.float32)
+        return logits, (cache, full_mask, key_pos)
+
+    def reorder_fn(state, flat_parent):
+        cache, full_mask, key_pos = state
+        # masks/positions are identical across beams of a batch (parents never
+        # cross batches), so only the cache needs the gather
+        cache = jax.tree.map(lambda a: jnp.take(a, flat_parent, axis=1), cache)
+        return (cache, full_mask, key_pos)
+
+    return beam_search(step_fn, reorder_fn, init_logits,
+                       (cache, full_mask, key_pos), B, nb, max_new_tokens,
+                       eos_token_id, pad_token_id=pad_token_id,
+                       length_penalty=length_penalty)
+
+
 # ---------------------------------------------------------------------------
 # HF import
 # ---------------------------------------------------------------------------

@@ -301,6 +301,52 @@ def t5_generate(params, cfg: T5Config, enc_embeds, enc_mask,
     return state[3]
 
 
+def t5_beam_generate(params, cfg: T5Config, enc_embeds, enc_mask,
+                     max_new_tokens: int, num_beams: int = 5,
+                     length_penalty: float = 1.0,
+                     eos_token_id: Optional[int] = None):
+    """Beam-search decode — the reference's BLIP-2 generation configuration
+    (pipeline/BLIP2VQAVALPipeline.py:175: num_beams=5, length_penalty=-1,
+    ≤10 new tokens), HF scorer semantics via cullavo_tpu.models.beam."""
+    from cullavo_tpu.models.beam import beam_search
+
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    enc = t5_encode(params, cfg, enc_embeds, enc_mask)
+    B = enc.shape[0]
+    # expand each batch row to num_beams contiguous beam rows
+    enc_x = jnp.repeat(enc, num_beams, axis=0)
+    mask_x = jnp.repeat(enc_mask, num_beams, axis=0)
+    Bn = B * num_beams
+    cache = t5_init_cache(cfg, Bn, max_new_tokens + 1, enc.dtype)
+
+    def decode_one(tok, cache, i):
+        emb = params["embed_tokens"][tok[:, None]]
+        h, kv_new = t5_decode_step(params, cfg, emb, enc_x, mask_x,
+                                   jnp.full((1,), i, jnp.int32), cache, i,
+                                   stale_cache=True)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
+                                              (0, 0, 0, i, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
+                                              (0, 0, 0, i, 0)),
+        }
+        return h[:, -1] @ params["lm_head"], cache
+
+    start = jnp.full((Bn,), cfg.decoder_start_token_id, jnp.int32)
+    init_logits, cache = decode_one(start, cache, jnp.int32(0))
+
+    def step_fn(tok, cache, step_idx):
+        logits, cache = decode_one(tok, cache, step_idx)
+        return logits, cache
+
+    def reorder_fn(cache, flat_parent):
+        return jax.tree.map(lambda a: jnp.take(a, flat_parent, axis=1), cache)
+
+    return beam_search(step_fn, reorder_fn, init_logits, cache, B, num_beams,
+                       max_new_tokens, eos, pad_token_id=cfg.pad_token_id,
+                       length_penalty=length_penalty)
+
+
 # ---------------------------------------------------------------------------
 # HF import (T5ForConditionalGeneration / the language tower of blip2-flan-t5)
 # ---------------------------------------------------------------------------

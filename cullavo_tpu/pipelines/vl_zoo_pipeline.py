@@ -97,9 +97,13 @@ def native_bakllava_answer_fn(model_dir: str, max_new_tokens: int = 128):
 
 
 def native_blip2_answer_fn(hf_model_dir: str, kind: str = "flant5",
-                           max_new_tokens: int = 10):
+                           max_new_tokens: int = 10, num_beams: int = 5,
+                           length_penalty: float = -1.0):
     """TPU-native BLIP-2 / InstructBLIP: load the HF checkpoint once through
-    import_blip2_torch, answer via the JAX greedy generate.
+    import_blip2_torch, answer via the JAX decode — beam search with the
+    reference's settings (num_beams=5, length_penalty=-1,
+    BLIP2VQAVALPipeline.py:175) by default; num_beams=1 falls back to the
+    greedy path.
 
     ``kind``: "flant5" (blip2-flan-t5-*), "opt" (blip2-opt-*) or
     "instructblip" (instructblip-vicuna-*, instruction-aware Q-Former)."""
@@ -112,6 +116,7 @@ def native_blip2_answer_fn(hf_model_dir: str, kind: str = "flant5",
     from cullavo_tpu.models.blip2.config import (Blip2Config,
                                                  blip2_flant5xl_config,
                                                  instructblip_vicuna7b_config)
+    from cullavo_tpu.models.blip2.modeling import blip2_beam_generate
 
     if kind == "flant5":
         cfg, cls = blip2_flant5xl_config(), "Blip2ForConditionalGeneration"
@@ -135,12 +140,19 @@ def native_blip2_answer_fn(hf_model_dir: str, kind: str = "flant5",
             q = proc.qformer_tokenizer(text, return_tensors="np")
             kwargs = {"qformer_text_ids": jnp.asarray(q["input_ids"]),
                       "qformer_text_mask": jnp.asarray(q["attention_mask"])}
-        out = blip2_generate(params, cfg, jnp.asarray(pix),
-                             jnp.asarray(enc["input_ids"].astype(np.int32)),
-                             jnp.asarray(enc["attention_mask"].astype(np.int32)),
-                             max_new_tokens,
-                             eos_token_id=proc.tokenizer.eos_token_id or -1,
-                             **kwargs)
+        eos = proc.tokenizer.eos_token_id or -1
+        ids = jnp.asarray(enc["input_ids"].astype(np.int32))
+        mask = jnp.asarray(enc["attention_mask"].astype(np.int32))
+        if num_beams > 1:
+            out = blip2_beam_generate(params, cfg, jnp.asarray(pix), ids, mask,
+                                      max_new_tokens, num_beams=num_beams,
+                                      length_penalty=length_penalty,
+                                      eos_token_id=eos,
+                                      pad_token_id=proc.tokenizer.pad_token_id or 0,
+                                      **kwargs)
+        else:
+            out = blip2_generate(params, cfg, jnp.asarray(pix), ids, mask,
+                                 max_new_tokens, eos_token_id=eos, **kwargs)
         return proc.tokenizer.decode(np.asarray(out)[0],
                                      skip_special_tokens=True).strip()
 

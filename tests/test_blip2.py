@@ -432,3 +432,88 @@ def test_blip2_padded_batch_matches_per_row():
             jnp.asarray(ids[b:b + 1, :keep]),
             jnp.asarray(mask[b:b + 1, :keep]), new))
         np.testing.assert_array_equal(batched[b], solo[0], err_msg=f"row {b}")
+
+
+def test_t5_beam_search_matches_hf():
+    """Beam-5 / length_penalty=-1 decode (the reference's BLIP-2 generation
+    settings, BLIP2VQAVALPipeline.py:175) vs HF BeamSearchScorer."""
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration
+
+    from cullavo_tpu.models.blip2.t5 import (import_t5_torch, t5_beam_generate,
+                                             tiny_t5_config)
+
+    cfg = tiny_t5_config()
+    hf_cfg = HFT5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
+        num_heads=cfg.num_heads, d_ff=cfg.d_ff, num_layers=cfg.num_layers,
+        num_decoder_layers=cfg.num_decoder_layers,
+        relative_attention_num_buckets=cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=cfg.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        dropout_rate=0.0, attn_implementation="eager",
+        decoder_start_token_id=0)
+    torch.manual_seed(11)
+    hf = T5ForConditionalGeneration(hf_cfg).eval().float()
+    hf.set_attn_implementation("eager")
+    params = jax.tree.map(jnp.asarray, import_t5_torch(hf, cfg))
+
+    rng = np.random.default_rng(13)
+    B, Te, new = 3, 7, 8
+    enc_ids = rng.integers(3, cfg.vocab_size - 2, size=(B, Te)).astype(np.int64)
+    enc_mask = np.ones((B, Te), np.int64)
+    enc_mask[2, -2:] = 0
+    enc_embeds = params["embed_tokens"][jnp.asarray(enc_ids)]
+
+    for lp in (-1.0, 1.0):
+        with torch.no_grad():
+            ref = hf.generate(input_ids=torch.tensor(enc_ids),
+                              attention_mask=torch.tensor(enc_mask),
+                              max_new_tokens=new, num_beams=5,
+                              length_penalty=lp, do_sample=False,
+                              early_stopping=False, use_cache=True,
+                              eos_token_id=1, pad_token_id=0).numpy()
+        out = np.asarray(t5_beam_generate(params, cfg, enc_embeds,
+                                          jnp.asarray(enc_mask), new,
+                                          num_beams=5, length_penalty=lp,
+                                          eos_token_id=1))
+        ref_new = ref[:, 1:]                      # drop decoder_start
+        width = ref_new.shape[1]
+        np.testing.assert_array_equal(out[:, :width], ref_new,
+                                      err_msg=f"length_penalty={lp}")
+        assert (out[:, width:] == 0).all()
+
+
+def test_blip2_opt_beam_search_matches_hf():
+    """Decoder-only beam decode (num_beams=5, length_penalty=-1 — the
+    reference's BLIP-2/InstructBLIP settings) vs HF generate."""
+    from cullavo_tpu.models.blip2.modeling import blip2_beam_generate
+
+    cfg = tiny_blip2_config("opt")
+    torch.manual_seed(21)
+    hf = transformers.Blip2ForConditionalGeneration(_hf_cfg(cfg)).eval().float()
+    params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
+    pix, ids, mask = _inputs(cfg, seed=21)
+    img_tok = np.full((ids.shape[0], cfg.num_query_tokens),
+                      cfg.text.vocab_size - 1, ids.dtype)
+    hf_ids = np.concatenate([img_tok, ids], axis=1)
+    hf_mask = np.concatenate([np.ones_like(img_tok), mask], axis=1)
+
+    new, eos = 8, 1
+    for lp in (-1.0, 1.0):
+        with torch.no_grad():
+            gen = hf.generate(pixel_values=torch.tensor(pix),
+                              input_ids=torch.tensor(hf_ids),
+                              attention_mask=torch.tensor(hf_mask),
+                              max_new_tokens=new, num_beams=5,
+                              length_penalty=lp, do_sample=False,
+                              early_stopping=False, use_cache=True,
+                              eos_token_id=eos, pad_token_id=0).numpy()
+        ref_new = gen[:, hf_ids.shape[1]:]
+        out = np.asarray(blip2_beam_generate(
+            params, cfg, jnp.asarray(pix), jnp.asarray(ids), jnp.asarray(mask),
+            new, num_beams=5, length_penalty=lp, eos_token_id=eos))
+        width = ref_new.shape[1]
+        np.testing.assert_array_equal(out[:, :width], ref_new,
+                                      err_msg=f"length_penalty={lp}")
+        assert (out[:, width:] == 0).all()
