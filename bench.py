@@ -76,8 +76,10 @@ def build_llava7b_params(quant_mode: str, cfg=None):
             jax.block_until_ready(layers[name])
             log(f"  {name}: quantize+upload {time.time()-t_q:.1f}s")
         else:
+            layout = __import__("os").environ.get("BENCH_INT8_LAYOUT", "kn")
             fn = jax.jit(lambda k, s=shape: quantize_linear_int8(
-                (jax.random.normal(k, s) * (s[-2] ** -0.5)).astype(jnp.bfloat16)))
+                (jax.random.normal(k, s) * (s[-2] ** -0.5)).astype(jnp.bfloat16),
+                layout=layout))
             layers[name] = jax.block_until_ready(fn(jax.random.PRNGKey(i)))
     layers["input_ln"] = jnp.ones((L, D), jnp.bfloat16)
     layers["post_ln"] = jnp.ones((L, D), jnp.bfloat16)

@@ -54,6 +54,9 @@ def _shapes_of(layers: dict, targets) -> dict:
                 out[t] = (L, k8 * 8, d_out)
             elif "q8" in w:                # int8 keeps the logical shape
                 out[t] = w["q8"].shape
+            elif "q8t" in w:               # transposed int8 decode layout
+                L, d_out, d_in = w["q8t"].shape
+                out[t] = (L, d_in, d_out)
             else:
                 out[t] = None              # flat q4: caller supplies cfg dims
         else:

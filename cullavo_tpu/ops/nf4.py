@@ -258,13 +258,19 @@ def is_quantized(w) -> bool:
 # pipeline/LLaVAVQAVALPipeline.py:94-102)
 # ---------------------------------------------------------------------------
 
-def quantize_linear_int8(w: jax.Array) -> dict:
+def quantize_linear_int8(w: jax.Array, layout: str = "kn") -> dict:
     """[..., d_in, d_out] → {"q8": int8, "scale8": fp32 per output channel}.
     Per-out-channel absmax symmetric quantization (LLM.int8-style without the
-    outlier decomposition — adequate at bf16 compute for eval parity)."""
+    outlier decomposition — adequate at bf16 compute for eval parity).
+
+    ``layout="nk"`` stores the quantized weight transposed ([..., d_out,
+    d_in], key "q8t") so the dot contracts on the weight's MINOR dimension —
+    an experimental decode-stream layout (see scripts/matmul_probe.py)."""
     absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
     scale = jnp.where(absmax == 0, 1.0, absmax) / 127.0
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    if layout == "nk":
+        return {"q8t": jnp.swapaxes(q, -1, -2), "scale8": scale}
     return {"q8": q, "scale8": scale}
 
 
@@ -276,12 +282,16 @@ def int8_linear(x: jax.Array, q: dict) -> jax.Array:
     int8→bf16 convert that XLA fuses into the dot's weight stream, where the
     pre-multiplied form materializes a full bf16 weight in HBM (3× decode
     weight traffic).  Also avoids bf16-rounding the dequantized weights."""
-    y = x @ q["q8"].astype(x.dtype)
+    if "q8t" in q:
+        wt = q["q8t"].astype(x.dtype)                  # [N, K]
+        y = jax.lax.dot_general(x, wt, (((x.ndim - 1,), (1,)), ((), ())))
+    else:
+        y = x @ q["q8"].astype(x.dtype)
     return y * q["scale8"].reshape(1, -1).astype(x.dtype)
 
 
 def is_quantized_int8(w) -> bool:
-    return isinstance(w, dict) and "q8" in w
+    return isinstance(w, dict) and ("q8" in w or "q8t" in w)
 
 
 def _nf4_linear_kernel(x_ref, q4_ref, scale_ref, o_ref, *, block_n: int, k_dim: int):
