@@ -58,23 +58,39 @@ def build_llava7b_params(quant_mode: str, cfg=None):
     layers = {}
     for i, (name, shape) in enumerate(shapes.items()):
         if quant_mode == "nf4":
-            # host quantize with the C++ core (the production path: imported
-            # weights start on host), then one device_put of the 4-bit stream
-            from cullavo_tpu.native import nf4_quantize_planar_native
+            if __import__("os").environ.get("BENCH_NF4_HOST_QUANT"):
+                # host quantize with the C++ core (the production path:
+                # imported weights start on host) + one device_put of the
+                # 4-bit stream.  NOT the default: the tunnel upload of the
+                # packed stream can crawl at ~1 MB/s (measured 235 s for one
+                # [32,4096,4096] weight), and weight VALUES don't affect a
+                # throughput bench.
+                from cullavo_tpu.native import nf4_quantize_planar_native
 
-            # tile a small random block to the full shape (memcpy-speed; the
-            # bench measures throughput, not weight values)
-            host_rng = np.random.default_rng(i)
-            n_el = int(np.prod(shape))
-            block = (host_rng.standard_normal(1 << 20, dtype=np.float32)
-                     * (shape[-2] ** -0.5))
-            w = np.tile(block, n_el // (1 << 20) + 1)[:n_el].reshape(shape)
-            t_q = time.time()
-            q = nf4_quantize_planar_native(w)
-            del w
-            layers[name] = jax.device_put(jax.tree.map(jnp.asarray, q))
-            jax.block_until_ready(layers[name])
-            log(f"  {name}: quantize+upload {time.time()-t_q:.1f}s")
+                host_rng = np.random.default_rng(i)
+                n_el = int(np.prod(shape))
+                block = (host_rng.standard_normal(1 << 20, dtype=np.float32)
+                         * (shape[-2] ** -0.5))
+                w = np.tile(block, n_el // (1 << 20) + 1)[:n_el].reshape(shape)
+                t_q = time.time()
+                q = nf4_quantize_planar_native(w)
+                del w
+                layers[name] = jax.device_put(jax.tree.map(jnp.asarray, q))
+                jax.block_until_ready(layers[name])
+                log(f"  {name}: quantize+upload {time.time()-t_q:.1f}s")
+            else:
+                # synthesize the planar NF4 dict directly on device: random
+                # packed nibbles + positive block scales — same memory layout
+                # and kernel path as real quantized weights, seconds to build
+                L_, K_, N_ = shape
+                fn = jax.jit(lambda k, L=L_, K=K_, N=N_: {
+                    "q4p": jax.random.randint(k, (L, K // 8, N), -(2 ** 31),
+                                              2 ** 31 - 1, jnp.int32),
+                    "scale": jax.random.uniform(jax.random.fold_in(k, 1),
+                                                (L, K, N // 64),
+                                                jnp.float32, 1e-3, 2e-3),
+                })
+                layers[name] = jax.block_until_ready(fn(jax.random.PRNGKey(i)))
         else:
             layout = __import__("os").environ.get("BENCH_INT8_LAYOUT", "kn")
             fn = jax.jit(lambda k, s=shape: quantize_linear_int8(

@@ -198,3 +198,43 @@ def to_hf_state_dict(params: dict, cfg: LlavaConfig) -> dict:
         out[f"model.multi_modal_projector.{lin}.weight"] = np.asarray(proj[lin]["kernel"]).T
         out[f"model.multi_modal_projector.{lin}.bias"] = np.asarray(proj[lin]["bias"])
     return out
+
+
+def llama_from_causal_lm_state_dict(state: Mapping[str, np.ndarray],
+                                    cfg: LlamaConfig, dtype=np.float32) -> dict:
+    """Text-only LlamaForCausalLM / MistralForCausalLM state dict → the
+    ``language_model`` subtree (stacked layers).  Used by the VQA pipeline's
+    LLaMA-2 question-topic classifier (LLaVAVQAVALPipeline.py:94-97)."""
+    sd = {}
+    for k, v in state.items():
+        k = k[len("model."):] if k.startswith("model.") else k
+        sd[k] = np.asarray(v)
+
+    def get(name):
+        return sd[name].astype(dtype)
+
+    def stack(fmt, n, transpose=False):
+        arrs = [get(fmt.format(i)) for i in range(n)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return np.stack(arrs)
+
+    L = cfg.num_hidden_layers
+    lm = {
+        "embed_tokens": get("embed_tokens.weight"),
+        "layers": {
+            "input_ln": stack("layers.{}.input_layernorm.weight", L),
+            "q": stack("layers.{}.self_attn.q_proj.weight", L, True),
+            "k": stack("layers.{}.self_attn.k_proj.weight", L, True),
+            "v": stack("layers.{}.self_attn.v_proj.weight", L, True),
+            "o": stack("layers.{}.self_attn.o_proj.weight", L, True),
+            "post_ln": stack("layers.{}.post_attention_layernorm.weight", L),
+            "gate": stack("layers.{}.mlp.gate_proj.weight", L, True),
+            "up": stack("layers.{}.mlp.up_proj.weight", L, True),
+            "down": stack("layers.{}.mlp.down_proj.weight", L, True),
+        },
+        "norm": get("norm.weight"),
+    }
+    lm["lm_head"] = (get("lm_head.weight").T if "lm_head.weight" in sd
+                     else lm["embed_tokens"].T)   # tied embeddings
+    return lm

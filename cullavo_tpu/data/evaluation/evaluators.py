@@ -329,3 +329,26 @@ class InteractiveEvaluator:
         out["iou_max_iter"] = float(np.mean(
             [c[self.iou_iter - 1] for c in self.iou_curves]))
         return out
+
+
+class BoxAPEvaluator(InstanceSegEvaluator):
+    """COCO-style box AP (AP/AP50/AP75) — the detection half of the
+    reference's detectron2 ``COCOEvaluator`` (datasets/build.py:428-429,444:
+    evaluator_type "coco" / panoptic INSTANCE_ON).  Same greedy matching and
+    101-point accumulation as the mask evaluator, with xyxy box IoU;
+    ``add(pred_boxes, pred_classes, pred_scores, gt_boxes, gt_classes)``
+    takes [N, 4] boxes in place of masks."""
+
+    @staticmethod
+    def _mask_iou(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+        p = np.asarray(pred, np.float64).reshape(-1, 4)
+        g = np.asarray(gt, np.float64).reshape(-1, 4)
+        x0 = np.maximum(p[:, None, 0], g[None, :, 0])
+        y0 = np.maximum(p[:, None, 1], g[None, :, 1])
+        x1 = np.minimum(p[:, None, 2], g[None, :, 2])
+        y1 = np.minimum(p[:, None, 3], g[None, :, 3])
+        inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
+        area_p = np.clip(p[:, 2] - p[:, 0], 0, None) * np.clip(p[:, 3] - p[:, 1], 0, None)
+        area_g = np.clip(g[:, 2] - g[:, 0], 0, None) * np.clip(g[:, 3] - g[:, 1], 0, None)
+        union = area_p[:, None] + area_g[None, :] - inter
+        return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)

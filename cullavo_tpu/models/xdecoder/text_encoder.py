@@ -167,3 +167,60 @@ def class_embeddings_train(params, cfg, tokenize, class_names, rng: np.random.Ge
         texts.append("A background in coco.")
     ids, mask = tokenize(texts)
     return forward_language(params, cfg, jnp.asarray(ids), jnp.asarray(mask), norm=True)
+
+
+def clip_text_config(width: int = 768, heads: int = 12, layers: int = 12,
+                     dim_lang: int = 768) -> TextEncoderConfig:
+    """HF CLIPTextModelWithProjection geometry (CLIP-L/336 defaults)."""
+    return TextEncoderConfig(width=width, heads=heads, layers=layers,
+                             dim_lang=dim_lang)
+
+
+def import_hf_clip_text(state, cfg: TextEncoderConfig):
+    """Map an HF ``CLIPModel`` / ``CLIPTextModelWithProjection`` state dict
+    (numpy arrays) onto the text-transformer params.  Used by the VQA
+    pipeline's question-topic classifier (LLaVAVQAVALPipeline.py:104-116
+    embeds 'a photo of {class}' with CLIP-L text + projection)."""
+    import numpy as np
+
+    sd = {k.replace("text_model.", ""): np.asarray(v) for k, v in state.items()}
+    L = cfg.layers
+
+    def stack(fmt, transpose=False):
+        arrs = [sd[fmt.format(i)] for i in range(L)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return np.stack(arrs)
+
+    qkv_w = np.concatenate([
+        stack("encoder.layers.{}.self_attn.q_proj.weight", True),
+        stack("encoder.layers.{}.self_attn.k_proj.weight", True),
+        stack("encoder.layers.{}.self_attn.v_proj.weight", True)], axis=2)
+    qkv_b = np.concatenate([
+        stack("encoder.layers.{}.self_attn.q_proj.bias"),
+        stack("encoder.layers.{}.self_attn.k_proj.bias"),
+        stack("encoder.layers.{}.self_attn.v_proj.bias")], axis=1)
+    params = {
+        "token_embedding": sd["embeddings.token_embedding.weight"],
+        "positional_embedding": sd["embeddings.position_embedding.weight"],
+        "layers": {
+            "ln1_s": stack("encoder.layers.{}.layer_norm1.weight"),
+            "ln1_b": stack("encoder.layers.{}.layer_norm1.bias"),
+            "qkv_w": qkv_w, "qkv_b": qkv_b,
+            "o_w": stack("encoder.layers.{}.self_attn.out_proj.weight", True),
+            "o_b": stack("encoder.layers.{}.self_attn.out_proj.bias"),
+            "ln2_s": stack("encoder.layers.{}.layer_norm2.weight"),
+            "ln2_b": stack("encoder.layers.{}.layer_norm2.bias"),
+            "fc_w": stack("encoder.layers.{}.mlp.fc1.weight", True),
+            "fc_b": stack("encoder.layers.{}.mlp.fc1.bias"),
+            "proj_w": stack("encoder.layers.{}.mlp.fc2.weight", True),
+            "proj_b": stack("encoder.layers.{}.mlp.fc2.bias"),
+        },
+        "ln_final": {"scale": sd["final_layer_norm.weight"],
+                     "bias": sd["final_layer_norm.bias"]},
+        "lang_proj": sd["text_projection.weight"].T,
+        "logit_scale": np.zeros(()),
+    }
+    import jax.numpy as _jnp
+
+    return jax.tree.map(_jnp.asarray, params)

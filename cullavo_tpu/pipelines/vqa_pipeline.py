@@ -114,3 +114,94 @@ class VQAPipeline:
                     w.writerow([topic, r["overall"], r["n"]])
                 w.writerow(["TOTAL", results["overall"], results["n"]])
         return results
+
+
+def make_reference_topic_fn(llama_model_dir: str, clip_model_dir: str,
+                            class_names=None, seed: int = 0,
+                            max_new_tokens: int = 10):
+    """The reference's question-topic classifier, TPU-native: LLaMA-2 picks
+    the object word via in-context sampling (LLaVAVQAVALPipeline.py:147-158,
+    temp 0.9, top-p 0.9, ≤10 new tokens), then CLIP-L text embeds
+    'a photo of {word}' and buckets to the nearest class by cosine vs the
+    precomputed 'a photo of {class}' embeddings (:113-116, :159-169).
+
+    Returns ``topic_fn(question) -> class_name`` for VQAPipeline's per-class
+    accuracy CSV.  Model dirs are HF checkpoints (LLaMA-2-7b-chat and
+    CLIP-L/336 in the reference, cullavo/utils/utils.py:3-10)."""
+    import jax
+    import jax.numpy as jnp
+    import transformers
+
+    from cullavo_tpu.checkpoint.hf_import import llama_from_causal_lm_state_dict
+    from cullavo_tpu.models.llava.config import LlamaConfig, LlavaConfig
+    from cullavo_tpu.models.llava.modeling import GenerationConfig, generate
+    from cullavo_tpu.models.xdecoder.text_encoder import (clip_text_config,
+                                                          forward_language,
+                                                          import_hf_clip_text)
+    from cullavo_tpu.utils import constants
+
+    class_names = class_names or [c.split("-")[0] for c in
+                                  constants.COCO_PANOPTIC_CLASSES]
+
+    lt = transformers.AutoTokenizer.from_pretrained(llama_model_dir)
+    lm_hf = transformers.AutoModelForCausalLM.from_pretrained(llama_model_dir)
+    hc = lm_hf.config
+    lcfg = LlamaConfig(
+        vocab_size=hc.vocab_size, hidden_size=hc.hidden_size,
+        intermediate_size=hc.intermediate_size,
+        num_hidden_layers=hc.num_hidden_layers,
+        num_attention_heads=hc.num_attention_heads,
+        num_key_value_heads=getattr(hc, "num_key_value_heads",
+                                    hc.num_attention_heads),
+        max_position_embeddings=hc.max_position_embeddings,
+        rms_norm_eps=hc.rms_norm_eps)
+    state = {k: v.detach().cpu().numpy() for k, v in lm_hf.state_dict().items()}
+    del lm_hf
+    lparams = {"language_model": jax.tree.map(
+        jnp.asarray, llama_from_causal_lm_state_dict(state, lcfg))}
+    del state
+    cfg = LlavaConfig(text=lcfg)
+
+    ct = transformers.AutoTokenizer.from_pretrained(clip_model_dir)
+    clip_hf = transformers.CLIPTextModelWithProjection.from_pretrained(clip_model_dir)
+    ccfg = clip_text_config(width=clip_hf.config.hidden_size,
+                            heads=clip_hf.config.num_attention_heads,
+                            layers=clip_hf.config.num_hidden_layers,
+                            dim_lang=clip_hf.config.projection_dim)
+    cparams = import_hf_clip_text(
+        {k: v.detach().cpu().numpy() for k, v in clip_hf.state_dict().items()}, ccfg)
+    del clip_hf
+
+    enc = ct([f"a photo of {cl}" for cl in class_names], padding=True,
+             return_tensors="np")
+    class_embeds = forward_language(cparams, ccfg,
+                                    jnp.asarray(enc["input_ids"]),
+                                    jnp.asarray(enc["attention_mask"]))
+
+    gen = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=True,
+                           temperature=0.9, top_p=0.9, top_k=0,
+                           eos_token_id=lt.eos_token_id or 2)
+    rng_holder = {"key": jax.random.PRNGKey(seed)}
+
+    def topic_fn(question: str) -> str:
+        prompt = ("Choose object the question asks"
+                  "ex) what color is the man's shirt? shirt. "
+                  "ex) how many bikes have helmets? helmets. "
+                  "ex) were there any books on the table? books. "
+                  "ex) what is he on top of? he. "
+                  f"ex) where are the dogs looking at? dogs. ex) {question}")
+        ids = lt(prompt, return_tensors="np")
+        rng_holder["key"], sub = jax.random.split(rng_holder["key"])
+        T = ids["input_ids"].shape[1]
+        out = generate(lparams, cfg, jnp.asarray(ids["input_ids"].astype("int32")),
+                       None, jnp.asarray(ids["attention_mask"].astype("int32")),
+                       gen, max_len=T + max_new_tokens, rng=sub)
+        word = lt.decode(list(np.asarray(out)[0]),
+                         skip_special_tokens=True).strip().split(".")[0]
+        q = ct([f"a photo of {word}"], return_tensors="np")
+        emb = forward_language(cparams, ccfg, jnp.asarray(q["input_ids"]),
+                               jnp.asarray(q["attention_mask"]))
+        idx = int(jnp.argmax(class_embeds @ emb[0]))
+        return class_names[idx]
+
+    return topic_fn

@@ -146,3 +146,21 @@ def test_interactive_evaluator_rejects_bad_curve():
     ev = InteractiveEvaluator(max_clicks=3)
     with pytest.raises(ValueError):
         ev.add([0.5, 0.6])
+
+
+def test_box_ap_evaluator():
+    from cullavo_tpu.data.evaluation.evaluators import BoxAPEvaluator
+
+    ev = BoxAPEvaluator()
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float64)
+    # perfect detections → AP 100
+    ev.add(gt, [1, 1], [0.9, 0.8], gt, [1, 1])
+    r = ev.results()
+    assert r["AP"] == pytest.approx(100.0)
+    # one hit one miss at IoU .5: second pred barely overlaps its gt
+    ev2 = BoxAPEvaluator(iou_thresholds=[0.5])
+    preds = np.array([[0, 0, 10, 10], [28, 28, 38, 38]], np.float64)
+    ev2.add(preds, [1, 1], [0.9, 0.8], gt, [1, 1])
+    r2 = ev2.results()
+    # recall hits 0.5 with precision 1 → 101-pt AP ≈ 51/101
+    assert r2["AP50"] == pytest.approx(100 * 51 / 101, abs=0.1)

@@ -302,3 +302,43 @@ def test_bakllava_end_to_end_greedy_matches_hf():
                    jnp.asarray(mask), gen, max_len=ids.shape[1] + new_tokens)
     np.testing.assert_array_equal(np.asarray(out)[0, :ref_new.shape[1]],
                                   ref_new[0])
+
+
+def test_llama_causal_lm_import_matches_hf():
+    """Text-only LlamaForCausalLM importer (the VQA topic classifier's
+    LLaMA-2 load path, LLaVAVQAVALPipeline.py:94-97): logits parity."""
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    from cullavo_tpu.checkpoint.hf_import import llama_from_causal_lm_state_dict
+    from cullavo_tpu.models.llava.config import LlamaConfig
+    from cullavo_tpu.models.llava.llama import llama_forward, lm_logits
+
+    cfg = LlamaConfig(vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=128,
+                      rms_norm_eps=1e-6)
+    hf_cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-6,
+        attn_implementation="eager")
+    torch.manual_seed(9)
+    hf = LlamaForCausalLM(hf_cfg).eval().float()
+    lm = jax.tree.map(jnp.asarray, llama_from_causal_lm_state_dict(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, cfg))
+
+    rng = np.random.default_rng(8)
+    B, T = 2, 11
+    ids = rng.integers(2, VOCAB, size=(B, T)).astype(np.int64)
+    mask = np.ones((B, T), np.int64)
+    mask[1, -4:] = 0
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).logits.numpy()
+    emb = jnp.take(lm["embed_tokens"], jnp.asarray(ids), axis=0)
+    pos = jnp.maximum(jnp.cumsum(jnp.asarray(mask), axis=1) - 1, 0)
+    h, _ = llama_forward(lm, cfg, emb, jnp.asarray(mask), pos)
+    out = np.asarray(lm_logits(lm, cfg, h))
+    valid = np.asarray(mask, bool)
+    np.testing.assert_allclose(out[valid], ref[valid], atol=3e-4, rtol=2e-3)

@@ -364,3 +364,42 @@ def test_misc_utils():
     assert stable_hash("cat") == stable_hash("cat") != stable_hash("dog")
     sm = ExponentialSmoothing(0.5)
     assert sm.update(2.0) == 2.0 and sm.update(4.0) == 3.0
+
+
+def test_hf_clip_text_import_matches_hf():
+    """HF CLIPTextModelWithProjection → our text transformer: pooled
+    (projected, normalized) embeddings match — the VQA topic classifier's
+    CLIP scoring path (LLaVAVQAVALPipeline.py:104-116)."""
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    from cullavo_tpu.models.xdecoder.text_encoder import (clip_text_config,
+                                                          forward_language,
+                                                          import_hf_clip_text)
+
+    hf_cfg = CLIPTextConfig(vocab_size=99, hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            max_position_embeddings=77, projection_dim=24,
+                            hidden_act="quick_gelu", eos_token_id=98,
+                            bos_token_id=97, attn_implementation="eager")
+    torch.manual_seed(3)
+    hf = CLIPTextModelWithProjection(hf_cfg).eval().float()
+    cfg = clip_text_config(width=32, heads=4, layers=2, dim_lang=24)
+    params = import_hf_clip_text(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, cfg)
+
+    rng = np.random.default_rng(4)
+    B, T = 3, 9
+    ids = rng.integers(1, 90, size=(B, T)).astype(np.int64)
+    ids[:, -1] = 98                         # eos = max id → argmax pooling
+    mask = np.ones((B, T), np.int64)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).text_embeds.numpy()
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+    out = np.asarray(forward_language(params, cfg, jnp.asarray(ids),
+                                      jnp.asarray(mask)))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-4)
