@@ -54,17 +54,28 @@ def main():
         rng.normal(size=(cfg.num_classes + 1,
                          cfg.decoder.dim_proj)).astype(np.float32)).astype(dtype)
 
-    from cullavo_tpu.models.xdecoder.model import semantic_inference
+    from cullavo_tpu.models.xdecoder.model import semantic_inference_argmax
+
+    # BENCH_XDEC_MODE: full = upsample + semantic inference (the reference's
+    # evaluate() path); up = upsample only; net = network only (low-res
+    # masks).  The staged modes isolate where eval time goes.
+    mode = os.environ.get("BENCH_XDEC_MODE", "full")
 
     def eval_step(p, im, t):
-        cls, masks, boxes = forward_eval(p, cfg, im, t, out_size=(H, W))
-        # the full semantic-eval pipeline stays on device (the reference's
-        # evaluate() path: upsample → per-class probs, xdecoder_model.py:
-        # 452-505+765-772); transferring the argmax map keeps the host
-        # transfer small while depending on every mask logit — the transfer
-        # is the only reliable completion barrier on axon
-        sem = jax.vmap(semantic_inference)(cls, masks)        # [B, C, H, W]
-        return cls, jnp.argmax(sem, axis=1).astype(jnp.int32), boxes
+        cls, masks, boxes = forward_eval(
+            p, cfg, im, t, out_size=(H, W) if mode != "net" else None)
+        if mode == "full":
+            # on-device semantic inference.  The optimization_barrier keeps
+            # XLA from fusing the bilinear mask upsample into the semantic
+            # matmul — fused, the eval runs 2-3x slower (59-150 ms/img vs
+            # ~30; the op itself costs <1 ms/img in isolation,
+            # scripts/seminf_probe.py).  Transferring the argmax map keeps
+            # the host transfer small while depending on every mask logit —
+            # the transfer is the only reliable completion barrier on axon.
+            masks = jax.lax.optimization_barrier(masks)
+            sem = jax.vmap(semantic_inference_argmax)(cls, masks)  # [B, H, W]
+            return cls, sem, boxes
+        return cls, jnp.sum(masks.astype(jnp.float32), axis=(1, 2, 3)), boxes
 
     fn = jax.jit(eval_step)
     log("compiling eval forward...")

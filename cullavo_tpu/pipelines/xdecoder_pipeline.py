@@ -23,7 +23,7 @@ from cullavo_tpu.models.xdecoder.model import (XDecoderModelConfig,
                                                evaluate_grounding, forward_eval,
                                                instance_inference,
                                                panoptic_inference_host,
-                                               semantic_inference)
+                                               semantic_inference_argmax)
 from cullavo_tpu.pipelines.base import register_pipeline
 
 
@@ -189,8 +189,10 @@ class XDecoderPipeline:
             t1 = time.perf_counter()
             compute_t.append(t1 - t0)
             if self.tasks.semantic and "sem_seg" in row:
-                sem = semantic_inference(mask_cls[0], mask_pred[0])
-                pred = np.asarray(jnp.argmax(sem, axis=0))
+                # fused matmul+argmax (equal to argmax(semantic_inference);
+                # ~10x faster at 512² and skips the [C, H, W] fp32 map)
+                pred = np.asarray(semantic_inference_argmax(
+                    mask_cls[0], mask_pred[0]))
                 sem_metrics.add(pred, row["sem_seg"])
             if self.tasks.panoptic:
                 pan, segs = panoptic_inference_host(

@@ -403,3 +403,18 @@ def test_hf_clip_text_import_matches_hf():
     out = np.asarray(forward_language(params, cfg, jnp.asarray(ids),
                                       jnp.asarray(mask)))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-4)
+
+
+def test_semantic_inference_argmax_matches_unfused():
+    import numpy as np
+
+    from cullavo_tpu.models.xdecoder.model import (semantic_inference,
+                                                   semantic_inference_argmax)
+
+    rng = np.random.default_rng(5)
+    Q, C, H, W = 7, 4, 6, 5
+    cls = jnp.asarray(rng.normal(size=(Q, C + 1)).astype(np.float32))
+    masks = jnp.asarray(rng.normal(size=(Q, H, W)).astype(np.float32))
+    ref = np.argmax(np.asarray(semantic_inference(cls, masks)), axis=0)
+    out = np.asarray(semantic_inference_argmax(cls, masks))
+    np.testing.assert_array_equal(out, ref)
