@@ -14,6 +14,7 @@ reference's CPU loop).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -134,6 +135,37 @@ def forward_eval(params, cfg: XDecoderModelConfig, images, text_class_embeds,
         B, Q = mask_pred.shape[:2]
         mask_pred = jax.image.resize(mask_pred, (B, Q, *out_size), method="bilinear")
     return mask_cls, mask_pred, out["pred_boxes"]
+
+
+@functools.lru_cache(maxsize=16)
+def _resize_matrix(src: int, dst: int) -> np.ndarray:
+    """1-D bilinear interpolation as a dense [dst, src] matrix — built by
+    resizing the identity, so it reproduces ``jax.image.resize``'s bilinear
+    weights exactly (resize is linear in its input).  Returned as numpy so
+    the cached value is a safe constant under any jit trace."""
+    eye = np.eye(src, dtype=np.float32)
+    # ensure_compile_time_eval: jax ops stage into any active jit trace even
+    # on concrete inputs — this forces an eager evaluation so the cached
+    # value is a real numpy constant
+    with jax.ensure_compile_time_eval():
+        m = jax.image.resize(jnp.asarray(eye), (dst, src), method="bilinear")
+    return np.asarray(m)
+
+
+def resize_bilinear_matmul(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize of the last two axes via two matmul contractions.
+
+    Numerically equal to ``jax.image.resize(x, (..., out_h, out_w),
+    "bilinear")`` (same separable linear map).  NOTE: measured SLOWER than
+    jax.image.resize inside the 512² eval graph (12.3 vs 18.1 img/s — the
+    einsum intermediates force big layout transposes); kept as a tested
+    utility for shapes where the gather lowering is the bottleneck."""
+    *lead, h, w = x.shape
+    A = jnp.asarray(_resize_matrix(h, out_h))              # [H, h]
+    Bm = jnp.asarray(_resize_matrix(w, out_w))             # [W, w]
+    y = jnp.einsum("Hh,...hw->...Hw", A, x.astype(jnp.float32))
+    y = jnp.einsum("Ww,...Hw->...HW", Bm, y)
+    return y.astype(x.dtype)
 
 
 def semantic_inference(mask_cls, mask_pred, keep_background=False):

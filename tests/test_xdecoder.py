@@ -418,3 +418,21 @@ def test_semantic_inference_argmax_matches_unfused():
     ref = np.argmax(np.asarray(semantic_inference(cls, masks)), axis=0)
     out = np.asarray(semantic_inference_argmax(cls, masks))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_resize_bilinear_matmul_matches_jax_image():
+    import numpy as np
+
+    from cullavo_tpu.models.xdecoder.model import resize_bilinear_matmul
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 3, 16, 12)).astype(np.float32))
+    ref = jax.image.resize(x, (2, 3, 48, 36), method="bilinear")
+    out = resize_bilinear_matmul(x, 48, 36)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # non-integer scale too
+    ref2 = jax.image.resize(x, (2, 3, 21, 29), method="bilinear")
+    out2 = resize_bilinear_matmul(x, 21, 29)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5, rtol=2e-5)
