@@ -517,3 +517,49 @@ def test_blip2_opt_beam_search_matches_hf():
         np.testing.assert_array_equal(out[:, :width], ref_new,
                                       err_msg=f"length_penalty={lp}")
         assert (out[:, width:] == 0).all()
+
+
+def test_blip2_opt_beam_padded_batch_matches_hf():
+    """Mixed prompt lengths: ours right-padded vs HF left-padded (HF's
+    required convention for decoder-only generate) — logical positions make
+    the beams identical."""
+    from cullavo_tpu.models.blip2.modeling import blip2_beam_generate
+
+    cfg = tiny_blip2_config("opt")
+    torch.manual_seed(31)
+    hf = transformers.Blip2ForConditionalGeneration(_hf_cfg(cfg)).eval().float()
+    params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
+    pix, ids, mask = _inputs(cfg, batch=2, text_len=6, seed=31)
+    # row 1 has a shorter prompt: right-pad ours, left-pad HF
+    mask[1, -2:] = 0
+    ids_l = ids.copy()
+    ids_l[1] = np.concatenate([ids[1, -2:] * 0, ids[1, :-2]])   # left-padded
+    mask_l = np.concatenate([np.zeros((1, 2)), np.ones((1, 4))],
+                            axis=1).astype(ids.dtype)
+    img_tok = np.full((2, cfg.num_query_tokens), cfg.text.vocab_size - 1,
+                      ids.dtype)
+    # HF layout: [pad..., image-token block, text] per its left-pad convention
+    hf_ids = np.stack([
+        np.concatenate([img_tok[0], ids[0]]),
+        np.concatenate([ids_l[1, :2], img_tok[1], ids_l[1, 2:]]),
+    ])
+    hf_mask = np.stack([
+        np.ones(hf_ids.shape[1], np.int64),
+        np.concatenate([mask_l[0, :2], np.ones(cfg.num_query_tokens),
+                        mask_l[0, 2:]]),
+    ]).astype(np.int64)
+
+    new, eos = 6, 1
+    with torch.no_grad():
+        gen = hf.generate(pixel_values=torch.tensor(pix),
+                          input_ids=torch.tensor(hf_ids),
+                          attention_mask=torch.tensor(hf_mask),
+                          max_new_tokens=new, num_beams=3, length_penalty=-1.0,
+                          do_sample=False, early_stopping=False, use_cache=True,
+                          eos_token_id=eos, pad_token_id=0).numpy()
+    ref_new = gen[:, hf_ids.shape[1]:]
+    out = np.asarray(blip2_beam_generate(
+        params, cfg, jnp.asarray(pix), jnp.asarray(ids), jnp.asarray(mask),
+        new, num_beams=3, length_penalty=-1.0, eos_token_id=eos))
+    width = ref_new.shape[1]
+    np.testing.assert_array_equal(out[:, :width], ref_new)
