@@ -81,6 +81,7 @@ def clip_vision_forward(
     feature_layer: int = -2,
     lora: "dict | None" = None,   # stacked adapters w/ per-layer masks
     lora_scaling: float = 0.0,
+    remat: bool = False,          # checkpoint each encoder layer
 ) -> jax.Array:
     """Returns hidden states after ``num_hidden_layers + feature_layer + 1``
     encoder layers (HF's ``hidden_states[feature_layer]``), shape [B, N+1, D].
@@ -135,5 +136,10 @@ def clip_vision_forward(
     scanned = {"w": jax.tree.map(lambda a: a[:n_run], params["layers"])}
     if lora:
         scanned["lora"] = jax.tree.map(lambda a: a[:n_run], lora)
-    x, _ = jax.lax.scan(layer, x, scanned)
+    # per-layer remat: without it the backward keeps every layer's 577x577
+    # attention scores live ([23, B, 16, 577, 577] fp32+bf16 = 6.2 GB at
+    # B=8 — the single largest allocation of the unremated train step)
+    layer_fn = (jax.checkpoint(layer, policy=jax.checkpoint_policies.nothing_saveable)
+                if remat else layer)
+    x, _ = jax.lax.scan(layer_fn, x, scanned)
     return x

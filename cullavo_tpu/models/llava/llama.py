@@ -169,6 +169,7 @@ def llama_forward(
     use_flash: Optional[bool] = None,         # None = auto (TPU only)
     stale_cache: bool = False,
     prefill_pad_len: Optional[int] = None,    # cache-building prefill (see below)
+    remat: bool = False,                      # checkpoint each scan layer
 ):
     """Run the decoder stack; returns (final_hidden, new_cache).
 
@@ -375,7 +376,14 @@ def llama_forward(
     if cache is not None:
         scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})
 
-    final, scanned_out = jax.lax.scan(layer, inputs_embeds, scanned_in)
+    # per-layer rematerialization: the scan saves only each layer's carry
+    # ([B, T, D] per layer) and recomputes layer internals in the backward.
+    # Checkpointing the WHOLE forward instead does nothing for peak memory —
+    # the backward re-runs the full forward with every residual live (a 1.3B
+    # Q-LoRA step compiled to a 70 GB HBM request that way).
+    layer_fn = (jax.checkpoint(layer, policy=jax.checkpoint_policies.nothing_saveable)
+                if remat else layer)
+    final, scanned_out = jax.lax.scan(layer_fn, inputs_embeds, scanned_in)
     final = rms_norm(final, params["norm"], cfg.rms_norm_eps)
     new_cache = None
     if cache is None and prefill_pad_len is not None:

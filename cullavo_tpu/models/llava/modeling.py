@@ -56,12 +56,13 @@ def init_llava_params(cfg: LlavaConfig, key: jax.Array, dtype=jnp.float32) -> Pa
 # ---------------------------------------------------------------------------
 
 def image_features(params: Params, cfg: LlavaConfig, pixel_values: jax.Array,
-                   lora: Optional[dict] = None, lora_scaling: float = 0.0) -> jax.Array:
+                   lora: Optional[dict] = None, lora_scaling: float = 0.0,
+                   remat: bool = False) -> jax.Array:
     """[B, 3, H, W] → [B, num_image_tokens, D_text]."""
     hidden = clip_vision_forward(params["vision_tower"], cfg.vision, pixel_values,
                                  cfg.vision_feature_layer,
                                  lora=(lora or {}).get("vision_tower"),
-                                 lora_scaling=lora_scaling)
+                                 lora_scaling=lora_scaling, remat=remat)
     if cfg.vision_feature_select_strategy == "default":
         hidden = hidden[:, 1:]  # drop CLS
     proj = params["projector"]
@@ -139,11 +140,14 @@ def llava_forward(
     last_logit_only: bool = False,
     stale_cache: bool = False,
     prefill_pad_len: Optional[int] = None,
+    remat: bool = False,
+    return_hidden: bool = False,
 ):
     embed = params["language_model"]["embed_tokens"]
     inputs_embeds = jnp.take(embed, jnp.clip(input_ids, 0, embed.shape[0] - 1), axis=0)
     if pixel_values is not None:
-        feats = image_features(params, cfg, pixel_values, lora, lora_scaling)
+        feats = image_features(params, cfg, pixel_values, lora, lora_scaling,
+                               remat=remat)
         inputs_embeds = merge_image_features(cfg, input_ids, inputs_embeds, feats)
     if position_ids is None:
         position_ids = jnp.cumsum(attention_mask, axis=1) - 1
@@ -157,12 +161,17 @@ def llava_forward(
                                       lora_dropout=lora_dropout,
                                       dropout_rng=dropout_rng,
                                       stale_cache=stale_cache,
-                                      prefill_pad_len=prefill_pad_len)
+                                      prefill_pad_len=prefill_pad_len,
+                                      remat=remat)
     if last_logit_only:
         # only the last valid position feeds sampling — skips the [B, T, V]
         # logits tensor during prefill (vocab matmul over one position)
         last = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
         hidden = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+    if return_hidden:
+        # training fast path: the caller computes a CHUNKED vocab projection
+        # + CE so the [B, T, V] fp32 logits never materialize
+        return hidden, new_cache
     logits = lm_logits(params["language_model"], cfg.text, hidden)
     return logits, new_cache
 

@@ -60,36 +60,101 @@ def weighted_causal_lm_loss(logits, labels, attention_mask, weights,
     return total / denom
 
 
+def chunked_weighted_causal_lm_loss(hidden, lm_head, labels, attention_mask,
+                                    weights, chunk: int = 512,
+                                    ignore_index: int = -100):
+    """Shifted weighted CE computed in sequence chunks so the [B, T, V] fp32
+    logits never materialize — each chunk's ``hidden @ lm_head`` + softmax is
+    rematerialized in the backward.  Equal to ``weighted_causal_lm_loss(
+    lm_logits(hidden), ...)`` (tested); at B=8 T=1024 V=32k the unchunked
+    logits + softmax backward cost ~3 GB of the train step's peak."""
+    B, T, D = hidden.shape
+    h = hidden[:, :-1]
+    lab = labels[:, 1:]
+    valid = (attention_mask[:, 1:] != 0) & (lab != ignore_index)
+    n = T - 1
+    pad = (-n) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        lab = jnp.pad(lab, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    nc = (n + pad) // chunk
+    h = h.reshape(B, nc, chunk, D).transpose(1, 0, 2, 3)
+    lab = jnp.where(valid, lab, 0).reshape(B, nc, chunk).transpose(1, 0, 2)
+    valid = valid.reshape(B, nc, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_fn(carry, xs):
+        h_c, lab_c, val_c = xs
+        logits = jnp.einsum("btd,dv->btv", h_c, lm_head,
+                            preferred_element_type=jnp.float32)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logprobs, lab_c[..., None], axis=-1)[..., 0]
+        w = val_c.astype(jnp.float32) * weights[:, None]
+        total, denom = carry
+        return (total + jnp.sum(jnp.where(val_c, -ll, 0.0) * w),
+                denom + jnp.sum(w)), None
+
+    (total, denom), _ = jax.lax.scan(chunk_fn, (jnp.float32(0), jnp.float32(0)),
+                                     (h, lab, valid))
+    return total / jnp.maximum(denom, 1.0)
+
+
 def make_train_step(
     cfg: LlavaConfig,
     lora_cfg: Optional[LoraConfig],
     tx: optax.GradientTransformation,
     remat: bool = True,
+    compute_dtype=None,
+    loss_chunk: Optional[int] = None,
 ):
     """Returns ``step_fn(state, frozen_params, batch, rng) -> (state, metrics)``.
 
     ``frozen_params`` is the full base param tree (NF4/bf16, not updated);
     ``state.trainable`` holds LoRA adapters + projector + lm_head +
     embed_tokens (load_cullavo.py:128-138 trainable set).
+
+    ``compute_dtype=jnp.bfloat16`` casts the (fp32 master) trainable leaves
+    for the forward — the reference's Accelerate-bf16 mixed precision.
+    Without it the fp32 trainable embeddings promote the WHOLE network to
+    fp32 compute (doubled activation/remat memory + sub-MXU-rate matmuls).
     """
     scaling = lora_cfg.scaling if lora_cfg else 0.0
     dropout = lora_cfg.dropout if lora_cfg else 0.0
 
-    def _forward(full, lora, input_ids, pixel_values, attention_mask, rng):
-        logits, _ = llava_forward(full, cfg, input_ids, pixel_values,
-                                  attention_mask, lora=lora,
-                                  lora_scaling=scaling, lora_dropout=dropout,
-                                  dropout_rng=rng)
-        return logits
+    def _cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
 
-    fwd = (jax.checkpoint(_forward, policy=jax.checkpoint_policies.nothing_saveable)
-           if remat else _forward)
+    def _forward(full, lora, input_ids, pixel_values, attention_mask, rng):
+        # remat happens PER SCAN LAYER inside llama_forward — checkpointing
+        # this whole function would leave the backward's full-forward
+        # recompute holding every residual (a 1.3B step compiled to a 70 GB
+        # HBM request that way)
+        out, _ = llava_forward(full, cfg, input_ids, pixel_values,
+                               attention_mask, lora=lora,
+                               lora_scaling=scaling, lora_dropout=dropout,
+                               dropout_rng=rng, remat=remat,
+                               return_hidden=loss_chunk is not None)
+        return out
+
+    fwd = _forward
 
     def loss_fn(trainable, frozen_params, batch, rng):
         full, lora = apply_trainable(frozen_params, trainable)
-        logits = fwd(full, lora, batch["input_ids"], batch.get("pixel_values"),
-                     batch["attention_mask"], rng)
-        loss = weighted_causal_lm_loss(logits, batch["labels"],
+        full, lora = _cast(full), _cast(lora)
+        out = fwd(full, lora, batch["input_ids"], batch.get("pixel_values"),
+                  batch["attention_mask"], rng)
+        if loss_chunk is not None:
+            lm = full["language_model"]
+            head = lm["lm_head"] if "lm_head" in lm else lm["embed_tokens"].T
+            return chunked_weighted_causal_lm_loss(
+                out, head, batch["labels"], batch["attention_mask"],
+                batch["weights"], chunk=loss_chunk)
+        loss = weighted_causal_lm_loss(out, batch["labels"],
                                        batch["attention_mask"], batch["weights"])
         return loss
 

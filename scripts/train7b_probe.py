@@ -32,13 +32,24 @@ shapes = {"q": (L, D, H*hd), "k": (L, D, KV*hd), "v": (L, D, KV*hd),
 t0 = time.time()
 layers = {}
 for i, (name, shape) in enumerate(shapes.items()):
-    host_rng = np.random.default_rng(i)
-    n_el = int(np.prod(shape))
-    block = host_rng.standard_normal(1 << 20, dtype=np.float32) * (shape[-2] ** -0.5)
-    w = np.tile(block, n_el // (1 << 20) + 1)[:n_el].reshape(shape)
-    q = nf4_quantize_planar_native(w); del w
-    layers[name] = jax.device_put(jax.tree.map(jnp.asarray, q))
-    jax.block_until_ready(layers[name]); log(f"  {name} quantized+uploaded")
+    if os.environ.get("PROBE_NF4_HOST_QUANT"):
+        # production import path: C++ host quantize + upload (slow over the
+        # tunnel: ~minutes/weight; values don't affect a speed probe)
+        host_rng = np.random.default_rng(i)
+        n_el = int(np.prod(shape))
+        block = host_rng.standard_normal(1 << 20, dtype=np.float32) * (shape[-2] ** -0.5)
+        w = np.tile(block, n_el // (1 << 20) + 1)[:n_el].reshape(shape)
+        q = nf4_quantize_planar_native(w); del w
+        layers[name] = jax.device_put(jax.tree.map(jnp.asarray, q))
+    else:
+        Lw, Kw, Nw = shape
+        fn = jax.jit(lambda k, L=Lw, K=Kw, N=Nw: {
+            "q4p": jax.random.randint(k, (L, K // 8, N), -(2**31), 2**31 - 1,
+                                      jnp.int32),
+            "scale": jax.random.uniform(jax.random.fold_in(k, 1), (L, K, N // 64),
+                                        jnp.float32, 1e-3, 2e-3)})
+        layers[name] = fn(jax.random.PRNGKey(i))
+    jax.block_until_ready(layers[name]); log(f"  {name} ready")
 layers["input_ln"] = jnp.ones((L, D), jnp.bfloat16)
 layers["post_ln"] = jnp.ones((L, D), jnp.bfloat16)
 small = jax.jit(lambda k: {
@@ -79,7 +90,9 @@ batch = {"input_ids": jnp.asarray(ids),
          "labels": jnp.asarray(labels),
          "pixel_values": jnp.asarray(rng.normal(size=(B, 3, 336, 336)).astype(np.float32)),
          "weights": jnp.ones((B,), jnp.float32)}
-step = jax.jit(make_train_step(cfg, lora_cfg, tx), donate_argnums=(0,))
+step = jax.jit(make_train_step(cfg, lora_cfg, tx, remat=True,
+                               compute_dtype=jnp.bfloat16, loss_chunk=256),
+               donate_argnums=(0,))
 # donation: trainable+opt state update in place (fp32 embed/lm_head +
 # AdamW moments are ~8 GB at 7B; an undonated copy OOMs the 16 GB HBM)
 log("compiling 7B Q-LoRA train step...")

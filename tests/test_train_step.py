@@ -302,3 +302,35 @@ def test_add_step2_adapters():
                                   batch["pixel_values"], batch["attention_mask"])
     np.testing.assert_allclose(np.asarray(with_step1), np.asarray(merged_out),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_chunked_loss_matches_unchunked():
+    """chunked_weighted_causal_lm_loss == weighted_causal_lm_loss(lm_logits),
+    values AND gradients, incl. a padded tail chunk."""
+    from cullavo_tpu.trainer.step import (chunked_weighted_causal_lm_loss,
+                                          weighted_causal_lm_loss)
+
+    rng = np.random.default_rng(11)
+    B, T, D, V = 2, 11, 8, 16
+    hidden = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    head = jnp.asarray(rng.normal(size=(D, V)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, V, size=(B, T)).astype(np.int32))
+    labels = labels.at[0, 3].set(-100)
+    mask = np.ones((B, T), np.int32)
+    mask[1, -3:] = 0
+    mask = jnp.asarray(mask)
+    weights = jnp.asarray([1.0, 0.5], jnp.float32)
+
+    def unchunked(h, w):
+        logits = jnp.einsum("btd,dv->btv", h, w)
+        return weighted_causal_lm_loss(logits, labels, mask, weights)
+
+    def chunked(h, w):
+        return chunked_weighted_causal_lm_loss(h, w, labels, mask, weights,
+                                               chunk=4)
+
+    ref, (gh_r, gw_r) = jax.value_and_grad(unchunked, argnums=(0, 1))(hidden, head)
+    out, (gh, gw) = jax.value_and_grad(chunked, argnums=(0, 1))(hidden, head)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=1e-6)
