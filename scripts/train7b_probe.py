@@ -78,7 +78,7 @@ tx = cullavo_optimizer(base_lr=2e-5, total_steps=100, grad_clip=10.0)
 state = TrainState(trainable, jax.jit(tx.init)(trainable), jnp.zeros((), jnp.int32))
 log("LoRA + optimizer ready")
 
-B, text_len = 2, 71
+B, text_len = int(os.environ.get("PROBE_B", 2)), int(os.environ.get("PROBE_TEXT", 71))
 n_img = cfg.num_image_tokens
 T = 1 + n_img + text_len
 rng = np.random.default_rng(0)
