@@ -203,16 +203,18 @@ def llama_forward(
     if stale_cache:
         assert cache is not None and T == 1, "stale_cache is a 1-token decode path"
     if use_flash is None:
-        # Opt-in: the Pallas flash kernel is parity-tested (interpret mode)
-        # but the axon AOT compile helper currently crashes lowering it at
-        # real shapes (STATUS.md); XLA's fused sdpa is the default until the
-        # toolchain handles it.  Enable with CULLAVO_FLASH=1.
+        # Auto: the Pallas flash kernel is default-ON for tile-aligned
+        # sequences on TPU — measured +4.5% on the Q-LoRA train step at
+        # T=1024 (6989 vs 6690 tok/s) with identical loss.  Unaligned
+        # lengths (the 641-token LLaVA prefill) stay on XLA sdpa: the
+        # pad-to-128 overhead measured ~2% slower there.  CULLAVO_FLASH=1
+        # forces it on (padding included), =0 forces it off.
         import os
 
-        use_flash = (os.environ.get("CULLAVO_FLASH", "0") == "1"
-                     and jax.default_backend() == "tpu" and cache is None
-                     and hd % 128 == 0
-                     and cfg.sliding_window is None)
+        env = os.environ.get("CULLAVO_FLASH", "")
+        use_flash = (jax.default_backend() == "tpu" and cache is None
+                     and hd % 128 == 0 and cfg.sliding_window is None
+                     and (env == "1" or (env != "0" and T % 128 == 0)))
 
     cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)
 

@@ -151,8 +151,12 @@ def focal_modulation(x, w, focal_level: int, scaling_modulator: bool, eps: float
     return out @ w["proj_w"] + w["proj_b"]
 
 
-def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array) -> dict:
-    """images: [B, H, W, 3] (already normalized) → {"res2".."res5": [B, h, w, C]}."""
+def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array,
+                     remat: bool = False) -> dict:
+    """images: [B, H, W, 3] (already normalized) → {"res2".."res5": [B, h, w, C]}.
+
+    ``remat=True`` checkpoints each block in the per-stage scans (training:
+    saves the stage-3 activations, the deep 18-block stage)."""
     eps = cfg.layer_norm_eps
     stem = params["stem"]
     stride = 4 if cfg.use_conv_embed else cfg.patch_size
@@ -194,7 +198,9 @@ def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array) -> dict:
                 h = h + w["gamma2"] * _mlp(layer_norm(h, w["norm2_s"], w["norm2_b"], eps), w)
             return h, None
 
-        x, _ = jax.lax.scan(block, x, stage["blocks"])
+        block_fn = (jax.checkpoint(block, policy=jax.checkpoint_policies.nothing_saveable)
+                    if remat else block)
+        x, _ = jax.lax.scan(block_fn, x, stage["blocks"])
 
         if str(i) in params["out_norms"]:
             n = params["out_norms"][str(i)]

@@ -83,15 +83,17 @@ def normalize_images(images_uint8_nhwc: jax.Array) -> jax.Array:
     return (images_uint8_nhwc.astype(jnp.float32) - mean) / std
 
 
-def backbone_and_pixel_decoder(params, cfg: XDecoderModelConfig, images):
-    feats = focalnet_forward(params["backbone"], cfg.backbone, images)
+def backbone_and_pixel_decoder(params, cfg: XDecoderModelConfig, images,
+                               remat: bool = False):
+    feats = focalnet_forward(params["backbone"], cfg.backbone, images,
+                             remat=remat)
     mask_features, _, pyramid = fpn_forward(params["fpn"], cfg.fpn, feats)
     return mask_features, pyramid
 
 
 def forward_seg_train(params, cfg: XDecoderModelConfig, images, targets,
                       text_class_embeds, rng, grounding_tokens=None,
-                      data_axis=None):
+                      data_axis=None, remat: bool = False):
     """Training forward: losses dict (xdecoder_model.py:288-365).
 
     With ``grounding_tokens`` [B, G, D] (padded per-image referring-phrase
@@ -100,7 +102,8 @@ def forward_seg_train(params, cfg: XDecoderModelConfig, images, targets,
     (criterion.py forward_grounding semantics)."""
     from cullavo_tpu.models.xdecoder.criterion import loss_groundings
 
-    mask_features, pyramid = backbone_and_pixel_decoder(params, cfg, images)
+    mask_features, pyramid = backbone_and_pixel_decoder(params, cfg, images,
+                                                        remat=remat)
     out = xdecoder_forward(params["decoder"], cfg.decoder, pyramid, mask_features,
                            text_class_embeds=text_class_embeds,
                            logit_scale=params["text"]["logit_scale"],

@@ -27,10 +27,12 @@ def make_xdecoder_train_step(cfg: XDecoderModelConfig,
     optional "grounding_tokens"}.  The whole model trains (state.trainable is
     the full param tree — the reference trains X-Decoder end-to-end).
     """
-    fwd = forward_seg_train
-    if remat:
-        fwd = jax.checkpoint(forward_seg_train, static_argnums=(1,),
-                             policy=jax.checkpoint_policies.nothing_saveable)
+    import functools
+
+    # remat per backbone block (forward_seg_train(remat=True)) — wrapping the
+    # WHOLE forward in jax.checkpoint saves nothing at peak (the backward
+    # re-runs the full forward with every residual live; see trainer/step.py)
+    fwd = functools.partial(forward_seg_train, remat=remat)
 
     def loss_fn(params, batch, text_embeds, rng):
         targets = {k: batch[k] for k in
