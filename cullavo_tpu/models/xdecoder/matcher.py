@@ -53,12 +53,111 @@ def _lsa_host(cost: np.ndarray, n_valid: np.ndarray):
     return rows, valid
 
 
+def lap_jv(cost: jax.Array) -> jax.Array:
+    """Jittable exact rectangular assignment (Jonker–Volgenant shortest
+    augmenting paths): ``cost [N, Q]`` with N jobs ≤ Q machines → the
+    machine index per job, minimizing total cost.
+
+    Device-side replacement for scipy's ``linear_sum_assignment``: axon PJRT
+    rejects host callbacks entirely (``UNIMPLEMENTED: host send/recv``), and
+    even where callbacks work they force a host sync per training step.
+    Same optimum as scipy (ties may resolve differently); O(N²·Q) with all
+    inner scans vectorized over machines.
+    """
+    N, Q = cost.shape
+    INF = jnp.float32(1e18)
+    c = cost.astype(jnp.float32)
+
+    def assign_job(carry, i):
+        u, v, p = carry
+        minv = jnp.full((Q + 1,), INF)
+        way = jnp.zeros((Q + 1,), jnp.int32)
+        used = jnp.zeros((Q + 1,), bool)
+
+        def dijkstra(state):
+            j0, used, minv, way, u, v, _done = state
+            used = used.at[j0].set(True)
+            i0 = jnp.where(j0 == 0, i, p[j0] - 1)
+            cur = jnp.concatenate([jnp.full((1,), INF), c[i0] - u[i0] - v[1:]])
+            better = (~used) & (cur < minv)
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            cand = jnp.where(used, INF, minv)
+            j1 = jnp.argmin(cand).astype(jnp.int32)
+            delta = cand[j1]
+            # potentials: u[job on each used machine] += delta (job i for the
+            # root column), v[used machines] -= delta, minv[unused] -= delta
+            add_u = jnp.zeros_like(u).at[i].add(jnp.where(used[0], delta, 0.0))
+            occupied = used[1:] & (p[1:] > 0)
+            add_u = add_u.at[jnp.where(occupied, p[1:] - 1, N)].add(
+                jnp.where(occupied, delta, 0.0), mode="drop")
+            u = u + add_u
+            v = jnp.where(used, v - delta, v)
+            minv = jnp.where(used, minv, minv - delta)
+            done = p[j1] == 0
+            return (j1, used, minv, way, u, v, done)
+
+        state = (jnp.int32(0), used, minv, way, u, v, False)
+        state = jax.lax.while_loop(lambda s: ~s[-1], dijkstra, state)
+        j0, _used, _minv, way, u, v, _ = state
+
+        def backtrack(state):
+            j0, p, _done = state
+            j1 = way[j0]
+            p = p.at[j0].set(jnp.where(j1 == 0, i + 1, p[j1]))
+            return (j1, p, j1 == 0)
+
+        j0, p, _ = jax.lax.while_loop(lambda s: ~s[-1], backtrack,
+                                      (j0, p, False))
+        return (u, v, p), None
+
+    u0 = jnp.zeros((N,), jnp.float32)
+    v0 = jnp.zeros((Q + 1,), jnp.float32)
+    p0 = jnp.zeros((Q + 1,), jnp.int32)
+    (_, _, p), _ = jax.lax.scan(assign_job, (u0, v0, p0), jnp.arange(N))
+    # invert: machine per job
+    machines = jnp.arange(Q, dtype=jnp.int32)
+    out = jnp.zeros((N,), jnp.int32)
+    job_of_machine = p[1:] - 1                 # -1 = free
+    out = out.at[jnp.where(job_of_machine >= 0, job_of_machine, N)].set(
+        machines, mode="drop")
+    return out
+
+
+def hungarian_match_device(cost: jax.Array, n_valid: jax.Array):
+    """Jittable equivalent of ``hungarian_match`` (device-side JV solver).
+
+    Padded (invalid) target columns are given a large constant cost across
+    all queries, so they absorb leftover queries without affecting the
+    optimum over valid targets (any constant-cost row contributes the same
+    total regardless of its machine)."""
+    B, Q, N = cost.shape
+    cost = jax.lax.stop_gradient(
+        jnp.nan_to_num(cost, nan=1e8, posinf=1e8, neginf=-1e8))
+    valid = jnp.arange(N)[None, :] < n_valid[:, None]          # [B, N]
+    big = 1e7
+    # jobs = targets (N ≤ Q); invalid jobs flattened to a constant cost
+    cost_t = jnp.swapaxes(cost, 1, 2)                          # [B, N, Q]
+    cost_t = jnp.where(valid[:, :, None], cost_t, big)
+    rows = jax.vmap(lap_jv)(cost_t)                            # [B, N]
+    return rows.astype(jnp.int32), valid
+
+
 def hungarian_match(
     cost: jax.Array,     # [B, Q, N] (N = padded target count)
     n_valid: jax.Array,  # [B] number of real targets per element
 ):
     """Returns (src_idx [B, N], valid [B, N]): for target j of element b, the
-    matched query index.  Exact scipy assignment via host callback."""
+    matched query index.
+
+    On accelerators this runs the device-side JV solver (axon PJRT has no
+    host callbacks, and a callback would force a host sync per train step);
+    on CPU it keeps the scipy callback for bit-exact reference parity.
+    ``CULLAVO_HOST_LAP=1`` forces the callback everywhere."""
+    import os
+
+    if jax.default_backend() != "cpu" and os.environ.get("CULLAVO_HOST_LAP") != "1":
+        return hungarian_match_device(cost, n_valid)
     B, Q, N = cost.shape
     out_shapes = (jax.ShapeDtypeStruct((B, N), jnp.int32),
                   jax.ShapeDtypeStruct((B, N), jnp.bool_))

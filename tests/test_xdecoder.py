@@ -436,3 +436,41 @@ def test_resize_bilinear_matmul_matches_jax_image():
     out2 = resize_bilinear_matmul(x, 21, 29)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_lap_jv_matches_scipy():
+    """Device-side JV assignment = scipy optimum (total cost) across shapes,
+    including rectangular and batched-with-padding via
+    hungarian_match_device."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    from cullavo_tpu.models.xdecoder.matcher import (hungarian_match_device,
+                                                     lap_jv)
+
+    rng = np.random.default_rng(17)
+    for (N, Q) in ((1, 5), (4, 4), (7, 20), (20, 101)):
+        cost = rng.normal(size=(N, Q)).astype(np.float32) * 3.0
+        cols = np.asarray(lap_jv(jnp.asarray(cost)))
+        assert len(set(cols.tolist())) == N, "assignment must be injective"
+        r, c = linear_sum_assignment(cost)
+        ref_total = cost[r, c].sum()
+        total = cost[np.arange(N), cols].sum()
+        np.testing.assert_allclose(total, ref_total, rtol=1e-5)
+
+    # batched with per-row padding: compare against the host callback path
+    B, Q, N = 3, 12, 6
+    cost = rng.normal(size=(B, Q, N)).astype(np.float32)
+    n_valid = np.array([6, 3, 0], np.int32)
+    rows_d, valid_d = hungarian_match_device(jnp.asarray(cost),
+                                             jnp.asarray(n_valid))
+    rows_d, valid_d = np.asarray(rows_d), np.asarray(valid_d)
+    for b in range(B):
+        n = n_valid[b]
+        assert valid_d[b, :n].all() and not valid_d[b, n:].any()
+        if n == 0:
+            continue
+        r, c = linear_sum_assignment(cost[b, :, :n])
+        ref_total = cost[b][r, c].sum()
+        total = cost[b][rows_d[b, :n], np.arange(n)].sum()
+        np.testing.assert_allclose(total, ref_total, rtol=1e-5)
