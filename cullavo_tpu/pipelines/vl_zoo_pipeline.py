@@ -46,10 +46,11 @@ MODEL_SPECS = {
                               prompt="{q} Answer briefly.",
                               gen_kwargs=dict(num_beams=5, max_new_tokens=10,
                                               length_penalty=-1.0)),
-    # pipeline/KOSMOS2VQAVALPipeline.py:99 (fp32)
+    # pipeline/KOSMOS2VQAVALPipeline.py:99 (fp32 load) / :170 prompt (no
+    # <grounding> prefix in the VQA eval) / :182-183 answer extraction
     "kosmos2": ModelSpec("microsoft/kosmos-2-patch14-224",
                          "Kosmos2ForConditionalGeneration",
-                         prompt="<grounding> Question: {q} Answer:",
+                         prompt="Question: {q} Answer:",
                          gen_kwargs=dict(max_new_tokens=10)),
     # pipeline/BakLLaVAVQAVALPipeline.py (greedy, KV cache).  BakLLaVA also
     # has a TPU-native path: it is LLaVA-arch on a Mistral decoder, so
@@ -189,8 +190,12 @@ def native_kosmos2_answer_fn(hf_model_dir: str, max_new_tokens: int = 10):
             jnp.asarray(enc["image_embeds_position_mask"].astype(np.int32)),
             jnp.asarray(enc["attention_mask"].astype(np.int32)),
             max_new_tokens)
-        return proc.tokenizer.decode(np.asarray(out)[0],
-                                     skip_special_tokens=True).strip()
+        txt = proc.tokenizer.decode(np.asarray(out)[0],
+                                    skip_special_tokens=True)
+        # reference extraction: text after the last 'Answer:'
+        # (KOSMOS2VQAVALPipeline.py:182-183); generate returns only new
+        # tokens here, so the split is a no-op unless the model echoes
+        return txt.split("Answer:")[-1].strip()
 
     return answer
 
@@ -229,7 +234,11 @@ class VLZooVQAPipeline:
         with torch.no_grad():
             out = self.model.generate(**inputs, **self.spec.gen_kwargs)
         ans = self.processor.batch_decode(out, skip_special_tokens=True)[0]
-        # decoder-only models echo the prompt; strip it
+        # decoder-only models echo the prompt; strip it.  KOSMOS-2 follows
+        # the reference's extraction (KOSMOS2VQAVALPipeline.py:182-183):
+        # everything after the last 'Answer:'.
+        if "Answer:" in text and "Answer:" in ans:
+            return ans.split("Answer:")[-1].strip()
         if ans.startswith(text):
             ans = ans[len(text):]
         if "ASSISTANT:" in ans:
