@@ -82,14 +82,9 @@ def build_llava7b_params(quant_mode: str, cfg=None):
                 # synthesize the planar NF4 dict directly on device: random
                 # packed nibbles + positive block scales — same memory layout
                 # and kernel path as real quantized weights, seconds to build
-                L_, K_, N_ = shape
-                fn = jax.jit(lambda k, L=L_, K=K_, N=N_: {
-                    "q4p": jax.random.randint(k, (L, K // 8, N), -(2 ** 31),
-                                              2 ** 31 - 1, jnp.int32),
-                    "scale": jax.random.uniform(jax.random.fold_in(k, 1),
-                                                (L, K, N // 64),
-                                                jnp.float32, 1e-3, 2e-3),
-                })
+                from cullavo_tpu.ops.nf4 import synthetic_planar_nf4
+
+                fn = jax.jit(lambda k, s=shape: synthetic_planar_nf4(*s, k))
                 layers[name] = jax.block_until_ready(fn(jax.random.PRNGKey(i)))
         else:
             layout = __import__("os").environ.get("BENCH_INT8_LAYOUT", "kn")

@@ -224,8 +224,11 @@ def load_scannet_semseg(dirname: str, split: str, label_folder: str) -> list:
         fileids = [ln.split()[0] for ln in f if ln.strip()]
     for rel in fileids:
         image_path = os.path.join(dirname, "images", rel)
-        sem = image_path.replace("color", label_folder).replace(".jpg", ".png")
-        rows.append({"file_name": image_path, "sem_seg_file_name": sem,
+        # substitute on the RELATIVE frame id only — a root containing
+        # "color"/".jpg" substrings must not be rewritten
+        sem_rel = rel.replace("color", label_folder).replace(".jpg", ".png")
+        rows.append({"file_name": image_path,
+                     "sem_seg_file_name": os.path.join(dirname, "images", sem_rel),
                      "image_id": rel.replace("/", "_").rsplit(".", 1)[0]})
     return rows
 
@@ -305,9 +308,13 @@ def register_ade20k_panoptic(root: str):
 
 def load_coco_instance_json(json_file: str, image_dir: str) -> list:
     """COCO-instances-format JSON → rows with per-image annotation lists
-    (detectron2 ``load_coco_json`` subset used by register_ade20k_instance)."""
+    (detectron2 ``load_coco_json`` subset used by register_ade20k_instance).
+    Dataset category ids are remapped to contiguous 0-based indices (sorted
+    by id, like detectron2) so GT classes line up with prediction indices."""
     with open(json_file) as f:
         data = json.load(f)
+    cats = sorted(c["id"] for c in data.get("categories", []))
+    remap = {cid: i for i, cid in enumerate(cats)}
     anns_by_img = {}
     for a in data["annotations"]:
         anns_by_img.setdefault(a["image_id"], []).append(a)
@@ -318,7 +325,8 @@ def load_coco_instance_json(json_file: str, image_dir: str) -> list:
             "image_id": img["id"], "height": img["height"],
             "width": img["width"],
             "annotations": [
-                {"bbox": a["bbox"], "category_id": a["category_id"],
+                {"bbox": a["bbox"],
+                 "category_id": remap.get(a["category_id"], a["category_id"]),
                  "segmentation": a.get("segmentation"),
                  "iscrowd": a.get("iscrowd", 0)}
                 for a in anns_by_img.get(img["id"], [])],

@@ -111,9 +111,15 @@ def beam_search(
         done = done | (full & (hyp_score[:, -1] >= best_attainable))
 
         # --- advance the model one step ------------------------------------
+        # (skipped on the final iteration — those logits are never consumed;
+        # saves one full batch×beams forward per decode)
         flat_parent = (jnp.arange(B)[:, None] * nb + new_parent).reshape(-1)
         state = reorder_fn(state, flat_parent)
-        logits, state = step_fn(new_tok.reshape(-1), state, t + 1)
+        logits, state = jax.lax.cond(
+            t + 1 < T,
+            lambda s: step_fn(new_tok.reshape(-1), s, t + 1),
+            lambda s: (logits, s),
+            state)
         return (logits, state, new_scores.astype(jnp.float32), seq, hyp_score,
                 hyp_seq, hyp_len, done), None
 

@@ -731,3 +731,18 @@ def _int8a_fwd(x, q):
 
 
 int8_linear_auto_vjp.defvjp(_int8a_fwd, _int8f_bwd)
+
+
+def synthetic_planar_nf4(L: int, K: int, N: int, key) -> dict:
+    """Random planar-NF4 dict with the production memory layout (q4p int32
+    nibble planes + [K, N/BLOCK] block scales) built ON DEVICE — for
+    throughput benches where weight values are irrelevant and the C++
+    host-quantize + tunnel upload path is too slow (bench.py,
+    scripts/train7b_probe.py share this)."""
+    return {
+        "q4p": jax.random.randint(key, (L, K // 8, N), -(2 ** 31), 2 ** 31 - 1,
+                                  jnp.int32),
+        "scale": jax.random.uniform(jax.random.fold_in(key, 1),
+                                    (L, K, N // BLOCK), jnp.float32,
+                                    1e-3, 2e-3),
+    }

@@ -154,7 +154,9 @@ def make_reference_topic_fn(llama_model_dir: str, clip_model_dir: str,
         num_key_value_heads=getattr(hc, "num_key_value_heads",
                                     hc.num_attention_heads),
         max_position_embeddings=hc.max_position_embeddings,
-        rms_norm_eps=hc.rms_norm_eps)
+        rms_norm_eps=hc.rms_norm_eps,
+        rope_theta=getattr(hc, "rope_theta", 10000.0),
+        sliding_window=getattr(hc, "sliding_window", None))
     state = {k: v.detach().cpu().numpy() for k, v in lm_hf.state_dict().items()}
     del lm_hf
     lparams = {"language_model": jax.tree.map(
@@ -192,10 +194,16 @@ def make_reference_topic_fn(llama_model_dir: str, clip_model_dir: str,
                   f"ex) where are the dogs looking at? dogs. ex) {question}")
         ids = lt(prompt, return_tensors="np")
         rng_holder["key"], sub = jax.random.split(rng_holder["key"])
-        T = ids["input_ids"].shape[1]
-        out = generate(lparams, cfg, jnp.asarray(ids["input_ids"].astype("int32")),
-                       None, jnp.asarray(ids["attention_mask"].astype("int32")),
-                       gen, max_len=T + max_new_tokens, rng=sub)
+        # pad the prompt to a bucketed length so `generate` (static shapes)
+        # compiles once per bucket, not once per question length
+        n = ids["input_ids"].shape[1]
+        L = _bucket(n)
+        row = np.zeros((1, L), np.int32)
+        row[0, :n] = ids["input_ids"][0]
+        m = np.zeros((1, L), np.int32)
+        m[0, :n] = 1
+        out = generate(lparams, cfg, jnp.asarray(row), None, jnp.asarray(m),
+                       gen, max_len=L + max_new_tokens, rng=sub)
         word = lt.decode(list(np.asarray(out)[0]),
                          skip_special_tokens=True).strip().split(".")[0]
         q = ct([f"a photo of {word}"], return_tensors="np")

@@ -124,4 +124,8 @@ def train_loop(
                 save_checkpoint(cfg.save_dir, global_step, state)
         if cfg.save_dir:
             save_checkpoint(cfg.save_dir, global_step, state)
+    if profiling:
+        # the loop ended inside the capture window — flush the trace so it
+        # is not lost and a later start_trace does not raise
+        jax.profiler.stop_trace()
     return state, history

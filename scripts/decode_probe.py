@@ -67,17 +67,24 @@ def main():
     state = jax.block_until_ready(generate_prefill(
         params, cfg, jids, jpix, jmask, max_len, compute_dtype=jnp.bfloat16))
     log(f"  prefill compile+run {time.time()-t0:.1f}s")
+    # generate_decode DONATES its state: copy before every call so the
+    # original prefill state stays alive across repeated timings
+    def fresh_state():
+        return jax.block_until_ready(
+            jax.tree.map(lambda a: a + 0 if hasattr(a, "dtype") else a, state))
+
     log("compiling decode...")
     t0 = time.time()
     out = jax.block_until_ready(generate_decode(
-        params, cfg, state, gen, compute_dtype=jnp.bfloat16))
+        params, cfg, fresh_state(), gen, compute_dtype=jnp.bfloat16))
     log(f"  decode compile+run {time.time()-t0:.1f}s tokens[:4]={np.asarray(out)[0,:4].tolist()}")
 
-    def med(f, n=6):
+    def med(f, n=6, setup=None):
         ts = []
         for _ in range(n):
+            arg = setup() if setup else None
             t0 = time.time()
-            out = f()
+            out = f(arg)
             # host transfer of the smallest leaf — the only reliable axon
             # barrier (block_until_ready can return early on this platform)
             leaf = min(jax.tree.leaves(out), key=lambda a: a.size)
@@ -85,10 +92,10 @@ def main():
             ts.append(time.time() - t0)
         return float(np.median(ts))
 
-    prefill_s = med(lambda: generate_prefill(
+    prefill_s = med(lambda _: generate_prefill(
         params, cfg, jids, jpix, jmask, max_len, compute_dtype=jnp.bfloat16))
-    decode_s = med(lambda: generate_decode(
-        params, cfg, state, gen, compute_dtype=jnp.bfloat16))
+    decode_s = med(lambda st: generate_decode(
+        params, cfg, st, gen, compute_dtype=jnp.bfloat16), setup=fresh_state)
 
     total = prefill_s + decode_s
     print(json.dumps({

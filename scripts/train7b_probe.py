@@ -42,12 +42,8 @@ for i, (name, shape) in enumerate(shapes.items()):
         q = nf4_quantize_planar_native(w); del w
         layers[name] = jax.device_put(jax.tree.map(jnp.asarray, q))
     else:
-        Lw, Kw, Nw = shape
-        fn = jax.jit(lambda k, L=Lw, K=Kw, N=Nw: {
-            "q4p": jax.random.randint(k, (L, K // 8, N), -(2**31), 2**31 - 1,
-                                      jnp.int32),
-            "scale": jax.random.uniform(jax.random.fold_in(k, 1), (L, K, N // 64),
-                                        jnp.float32, 1e-3, 2e-3)})
+        from cullavo_tpu.ops.nf4 import synthetic_planar_nf4
+        fn = jax.jit(lambda k, s=shape: synthetic_planar_nf4(*s, k))
         layers[name] = fn(jax.random.PRNGKey(i))
     jax.block_until_ready(layers[name]); log(f"  {name} ready")
 layers["input_ln"] = jnp.ones((L, D), jnp.bfloat16)
