@@ -46,6 +46,12 @@ def main():
 
     opt = load_config(["configs/xdecoder_test.yaml"])
     cfg = xdecoder_model_config_from(opt)
+    np_override = int(os.environ.get("XDEC_TRAIN_POINTS", 0))
+    if np_override:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, criterion=dataclasses.replace(cfg.criterion,
+                                               num_points=np_override))
     log("init params (jit)...")
     params = jax.block_until_ready(
         jax.jit(lambda k: init_xdecoder_model_params(cfg, k))(jax.random.PRNGKey(0)))

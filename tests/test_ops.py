@@ -369,3 +369,26 @@ def test_flash_unaligned_backward():
     for a, b, name in zip(g_flash, g_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-5, err_msg=name)
+
+
+def test_point_sample_matmul_matches_gather():
+    """Tent-weight matmul sampling == corner-gather sampling == torch
+    grid_sample (zero padding, align_corners=False), incl. out-of-range
+    coords.  precision='high' keeps the matmul within ~1e-4 of fp32."""
+    from cullavo_tpu.ops.point_sample import point_sample, point_sample_matmul
+
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.normal(size=(3, 17, 13)).astype(np.float32))
+    c = jnp.asarray((rng.random((50, 2)) * 1.1 - 0.05).astype(np.float32))
+    a = np.asarray(point_sample(f, c))
+    b = np.asarray(point_sample_matmul(f, c))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    g = (torch.tensor(np.asarray(c)) * 2 - 1).reshape(1, 1, -1, 2)
+    ref = F.grid_sample(torch.tensor(np.asarray(f))[None], g,
+                        align_corners=False, mode="bilinear",
+                        padding_mode="zeros")[0, :, 0].numpy()
+    np.testing.assert_allclose(b, ref, atol=1e-4)
