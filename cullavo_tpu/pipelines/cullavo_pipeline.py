@@ -62,7 +62,11 @@ class CuLLaVOPipeline:
                                grad_clip=float(self.cfg.get("GRAD_MAX", 10.0)),
                                grad_accum=int(self.cfg.get("GRAD_CUM", 1)))
         state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
-        step_fn = make_train_step(self.model_cfg, lora_cfg, tx)
+        # production memory configuration (see the training-memory commit):
+        # per-layer remat, bf16 compute over fp32 masters (the reference's
+        # Accelerate-bf16), chunked CE so [B,T,V] logits never materialize
+        step_fn = make_train_step(self.model_cfg, lora_cfg, tx, remat=True,
+                                  compute_dtype=jnp.bfloat16, loss_chunk=256)
         if self.mesh is not None:
             jitted = shard_train_step(step_fn, self.mesh, state, frozen)
         else:
