@@ -328,7 +328,8 @@ def llama_forward(
                                        q_positions=None,
                                        kv_valid=attention_mask, causal=True)
                 attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
-                h = residual + mm(attn, w["o"], ad.get("o"), get_rng(3))
+                h = residual + mm(attn, w["o"], ad.get("o"), get_rng(3),
+                                  (H * hd, D))
                 residual = h
                 x = rms_norm(h, w["post_ln"], cfg.rms_norm_eps)
                 gate = jax.nn.silu(mm(x, w["gate"], ad.get("gate"), get_rng(4),

@@ -392,3 +392,25 @@ def test_point_sample_matmul_matches_gather():
                         align_corners=False, mode="bilinear",
                         padding_mode="zeros")[0, :, 0].numpy()
     np.testing.assert_allclose(b, ref, atol=1e-4)
+
+
+def test_flash_branch_with_quantized_weights():
+    """The flash attention branch must pass dims to every quantized matmul —
+    the o-proj call was missing them, crashing NF4-planar bases the first
+    time flash ran with a quantized model (found via the 7B train probe)."""
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.llama import init_llama_params, llama_forward
+    from cullavo_tpu.models.llava.lora import quantize_llm_weights
+
+    cfg = tiny_llava_config(64)
+    params = {"language_model": init_llama_params(cfg.text, jax.random.PRNGKey(0))}
+    q = quantize_llm_weights(params, bits=4)["language_model"]
+    B, T = 1, 16
+    emb = jnp.zeros((B, T, cfg.text.hidden_size), jnp.float32) + 0.01
+    mask = jnp.ones((B, T), jnp.int32)
+    pos = jnp.arange(T)[None]
+    # use_flash=True on CPU runs the kernels in interpret mode
+    out_flash, _ = llama_forward(q, cfg.text, emb, mask, pos, use_flash=True)
+    out_ref, _ = llama_forward(q, cfg.text, emb, mask, pos, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
+                               atol=5e-3, rtol=5e-3)
