@@ -84,18 +84,30 @@ def main():
     jax.tree.map(np.asarray, out)
     log(f"compile+first: {time.time()-t0:.1f}s")
 
-    lat = []
-    for _ in range(10):
-        t0 = time.time()
-        jax.tree.map(np.asarray, fn(params, images, text_embeds))
-        lat.append(time.time() - t0)
-    p50 = float(np.percentile(np.asarray(lat), 50))
+    # multi-run median + band: this bench shows 13.8-18.1 img/s spread across
+    # identical runs on the shared tunnel (STATUS.md) — one number is a lie,
+    # so run R groups of 10 and report the median group with the band
+    runs = int(os.environ.get("BENCH_XDEC_RUNS", 3))
+    group_ips = []
+    for _ in range(runs):
+        lat = []
+        for _ in range(10):
+            t0 = time.time()
+            jax.tree.map(np.asarray, fn(params, images, text_embeds))
+            lat.append(time.time() - t0)
+        p50 = float(np.percentile(np.asarray(lat), 50))
+        group_ips.append(B / p50)
+    group_ips.sort()
+    med = float(np.median(group_ips))
     print(json.dumps({
         "metric": "xdecoder_focalt_seg_images_per_sec_per_chip",
-        "value": round(B / p50, 4),
+        "value": round(med, 4),
         "unit": "images/s",
         "vs_baseline": None,
-        "p50_latency_s": round(p50, 4),
+        "median": round(med, 4),
+        "band": [round(group_ips[0], 4), round(group_ips[-1], 4)],
+        "runs": runs,
+        "p50_latency_s": round(B / med, 4),
         "image_size": [H, W],
         "batch": B,
         "dtype": str(dtype),

@@ -241,15 +241,195 @@ def import_text_encoder(sd: Mapping[str, np.ndarray], cfg,
     }
 
 
+def import_davit(sd: Mapping[str, np.ndarray], cfg, prefix="backbone.") -> dict:
+    """DaViT importer (modeling/vision/backbone/davit.py:330-615 module
+    layout: convs.{i}.proj/norm patch embeds; blocks.{i}.{j}.spatial_block /
+    channel_block each with conv1/2 (PreNorm→DepthWiseConv2d .fn.dw),
+    window_attn|channel_attn (PreNorm .norm + .fn.qkv/.fn.proj), ffn
+    (.norm + .fn.net.fc1/fc2))."""
+    g = lambda k: np.asarray(sd[prefix + k])
+    params: dict = {"stages": [], "patch_embeds": [], "out_norms": {}}
+    for i, depth in enumerate(cfg.depths):
+        params["patch_embeds"].append({
+            "kernel": _conv(g(f"convs.{i}.proj.weight")),
+            "bias": g(f"convs.{i}.proj.bias"),
+            "norm": {"scale": g(f"convs.{i}.norm.weight"),
+                     "bias": g(f"convs.{i}.norm.bias")}})
+        blocks = []
+        for j in range(depth):
+            sub = {}
+            for kind, attn in (("spatial", "window_attn"),
+                               ("channel", "channel_attn")):
+                b = f"blocks.{i}.{j}.{kind}_block."
+                sub[kind] = {
+                    "conv1": _dwconv(g(b + "conv1.fn.dw.weight")),
+                    "conv1_b": g(b + "conv1.fn.dw.bias"),
+                    "ln_attn_s": g(b + f"{attn}.norm.weight"),
+                    "ln_attn_b": g(b + f"{attn}.norm.bias"),
+                    "qkv_w": _t(g(b + f"{attn}.fn.qkv.weight")),
+                    "qkv_b": g(b + f"{attn}.fn.qkv.bias"),
+                    "proj_w": _t(g(b + f"{attn}.fn.proj.weight")),
+                    "proj_b": g(b + f"{attn}.fn.proj.bias"),
+                    "conv2": _dwconv(g(b + "conv2.fn.dw.weight")),
+                    "conv2_b": g(b + "conv2.fn.dw.bias"),
+                    "ln_ffn_s": g(b + "ffn.norm.weight"),
+                    "ln_ffn_b": g(b + "ffn.norm.bias"),
+                    "fc1_w": _t(g(b + "ffn.fn.net.fc1.weight")),
+                    "fc1_b": g(b + "ffn.fn.net.fc1.bias"),
+                    "fc2_w": _t(g(b + "ffn.fn.net.fc2.weight")),
+                    "fc2_b": g(b + "ffn.fn.net.fc2.bias"),
+                }
+            blocks.append(sub)
+        params["stages"].append(blocks)
+        # the reference DaViT emits raw stage outputs (no out norms,
+        # davit.py:434 commented) — identity norms keep forward parity
+        dim = cfg.embed_dims[i]
+        params["out_norms"][str(i)] = {"scale": np.ones((dim,), np.float32),
+                                       "bias": np.zeros((dim,), np.float32)}
+    return params
+
+
+def import_sam_vit(sd: Mapping[str, np.ndarray], cfg, prefix="backbone.") -> dict:
+    """SAM-ViT (ViTDet) importer (modeling/vision/backbone/vit.py:55-123 +
+    D2ViT SimpleFPN neck :406-458)."""
+    g = lambda k: np.asarray(sd[prefix + k])
+    grid = cfg.img_size // cfg.patch_size
+    pos = g("pos_embed")
+    params: dict = {
+        "patch_embed": {"kernel": _conv(g("patch_embed.proj.weight")),
+                        "bias": g("patch_embed.proj.bias")},
+        "pos_embed": pos.reshape(grid, grid, -1) if pos.ndim == 4 else pos,
+        "blocks": [],
+    }
+    for i in range(cfg.depth):
+        b = f"blocks.{i}."
+        params["blocks"].append({
+            "ln1_s": g(b + "norm1.weight"), "ln1_b": g(b + "norm1.bias"),
+            "qkv_w": _t(g(b + "attn.qkv.weight")),
+            "qkv_b": g(b + "attn.qkv.bias"),
+            "proj_w": _t(g(b + "attn.proj.weight")),
+            "proj_b": g(b + "attn.proj.bias"),
+            "rel_h": g(b + "attn.rel_pos_h"),
+            "rel_w": g(b + "attn.rel_pos_w"),
+            "ln2_s": g(b + "norm2.weight"), "ln2_b": g(b + "norm2.bias"),
+            "fc1_w": _t(g(b + "mlp.lin1.weight")), "fc1_b": g(b + "mlp.lin1.bias"),
+            "fc2_w": _t(g(b + "mlp.lin2.weight")), "fc2_b": g(b + "mlp.lin2.bias"),
+        })
+
+    def convT(base):  # torch ConvTranspose2d [in, out, kH, kW] → HWOI
+        w = g(base + ".weight")
+        return {"kernel": w.transpose(2, 3, 1, 0), "bias": g(base + ".bias")}
+
+    def conv(base):
+        return {"kernel": _conv(g(base + ".weight")), "bias": g(base + ".bias")}
+
+    def gn(base):
+        return {"scale": g(base + ".weight"), "bias": g(base + ".bias")}
+
+    params["neck"] = {
+        "down4": {"up1": convT("neck.down_4.0"), "gn1": gn("neck.down_4.1"),
+                  "up2": convT("neck.down_4.3"), "gn2": gn("neck.down_4.4"),
+                  "conv": conv("neck.down_4.5"), "gn3": gn("neck.down_4.6")},
+        "down8": {"up1": convT("neck.down_8.0"), "gn1": gn("neck.down_8.1"),
+                  "conv": conv("neck.down_8.2"), "gn2": gn("neck.down_8.3")},
+        "down16": {"conv": conv("neck.down_16.0"), "gn": gn("neck.down_16.1")},
+        "down32": {"conv1": conv("neck.down_32.0"), "gn1": gn("neck.down_32.1"),
+                   "conv2": conv("neck.down_32.2"), "gn2": gn("neck.down_32.3")},
+    }
+    return params
+
+
+def import_deform_encoder(sd: Mapping[str, np.ndarray], cfg,
+                          prefix="sem_seg_head.pixel_decoder.") -> dict:
+    """Deformable pixel decoder importer
+    (modeling/vision/encoder/transformer_encoder_deform.py:200-292:
+    input_proj Sequential(conv, GN) ordered res5→res3; transformer encoder
+    layers with MSDeformAttn sampling_offsets/attention_weights/value_proj/
+    output_proj; adapter_1/layer_1 FPN fusion for res2)."""
+    g = lambda k: np.asarray(sd[prefix + k])
+
+    def proj(i):          # ref input_proj.{i}: 0=res5 … — repo stores res3→res5
+        return {"kernel": _conv(g(f"input_proj.{i}.0.weight")),
+                "bias": g(f"input_proj.{i}.0.bias"),
+                "norm": {"scale": g(f"input_proj.{i}.1.weight"),
+                         "bias": g(f"input_proj.{i}.1.bias")}}
+
+    def convgn(base):
+        return {"kernel": _conv(g(base + ".weight")), "bias": g(base + ".bias"),
+                "norm": {"scale": g(base + ".norm.weight"),
+                         "bias": g(base + ".norm.bias")}}
+
+    params: dict = {
+        "input_proj": [proj(2), proj(1), proj(0)],   # repo order res3, res4, res5
+        "level_embed": g("transformer.level_embed"),
+        "layers": [],
+        "lateral": convgn("adapter_1"),
+        "output": convgn("layer_1"),
+        "mask_features": {"kernel": _conv(g("mask_features.weight")),
+                          "bias": g("mask_features.bias")},
+    }
+    for i in range(cfg.num_layers):
+        b = f"transformer.encoder.layers.{i}."
+        params["layers"].append({
+            "attn": {
+                "value_proj": {"w": _t(g(b + "self_attn.value_proj.weight")),
+                               "b": g(b + "self_attn.value_proj.bias")},
+                "offset": {"w": _t(g(b + "self_attn.sampling_offsets.weight")),
+                           "b": g(b + "self_attn.sampling_offsets.bias")},
+                "weight": {"w": _t(g(b + "self_attn.attention_weights.weight")),
+                           "b": g(b + "self_attn.attention_weights.bias")},
+                "output": {"w": _t(g(b + "self_attn.output_proj.weight")),
+                           "b": g(b + "self_attn.output_proj.bias")},
+            },
+            "ln1_s": g(b + "norm1.weight"), "ln1_b": g(b + "norm1.bias"),
+            "fc1_w": _t(g(b + "linear1.weight")), "fc1_b": g(b + "linear1.bias"),
+            "fc2_w": _t(g(b + "linear2.weight")), "fc2_b": g(b + "linear2.bias"),
+            "ln2_s": g(b + "norm2.weight"), "ln2_b": g(b + "norm2.bias"),
+        })
+    return params
+
+
+def import_backbone(state: Mapping[str, np.ndarray], cfg: XDecoderModelConfig,
+                    prefix="backbone.") -> dict:
+    name = getattr(cfg, "backbone_name", "focal")
+    if name in ("focal", "focal_dw"):
+        return import_focalnet(state, cfg.backbone, prefix)
+    if name == "davit":
+        return import_davit(state, cfg.backbone, prefix)
+    if name == "vit":
+        return import_sam_vit(state, cfg.backbone, prefix)
+    raise KeyError(name)
+
+
+def import_pixel_decoder(state: Mapping[str, np.ndarray],
+                         cfg: XDecoderModelConfig,
+                         prefix="sem_seg_head.pixel_decoder.") -> dict:
+    if getattr(cfg, "encoder_name",
+               "transformer_encoder_fpn") == "transformer_encoder_deform":
+        return import_deform_encoder(state, cfg.fpn, prefix)
+    return import_fpn(state, cfg.fpn, prefix)
+
+
 def import_xdecoder_checkpoint(state: Mapping[str, np.ndarray],
                                cfg: XDecoderModelConfig) -> dict:
-    """Full model import from a reference-layout state dict of numpy arrays."""
-    return {
-        "backbone": import_focalnet(state, cfg.backbone),
-        "fpn": import_fpn(state, cfg.fpn),
+    """Full model import from a reference-layout state dict of numpy arrays,
+    dispatching on cfg.backbone_name / cfg.encoder_name."""
+    out = {
+        "backbone": import_backbone(state, cfg),
+        "fpn": import_pixel_decoder(state, cfg),
         "decoder": import_xdecoder_predictor(state, cfg.decoder),
         "text": import_text_encoder(state, cfg.text),
     }
+    # retrieval-ensemble projection (xdecoder_model.py:121); zeros when the
+    # checkpoint was trained without the retrieval ensemble
+    if "backbone_proj" in state:
+        out["backbone_proj"] = np.asarray(state["backbone_proj"])
+    else:
+        from cullavo_tpu.models.xdecoder.model import _backbone_last_channels
+
+        out["backbone_proj"] = np.zeros(
+            (_backbone_last_channels(cfg), cfg.text.dim_lang), np.float32)
+    return out
 
 
 def align_and_update(target: dict, loaded: dict, log=print) -> dict:

@@ -275,6 +275,21 @@ def register_bdd_semseg(root: str):
          "evaluator_type": "sem_seg"})
 
 
+def register_scannet_panoptic(root: str):
+    """ScanNet-20 panoptic val (register_scannet_panoptic.py:134-203): COCO
+    panoptic-format JSON over scannet_frames_25k)."""
+    from cullavo_tpu.data.coco_panoptic import load_coco_panoptic_json
+
+    base = os.path.join(root, "scannet_frames_25k")
+    register_dataset(
+        "scannet_21_panoptic_val",
+        lambda: load_coco_panoptic_json(
+            os.path.join(base, "scannet_panoptic.json"),
+            os.path.join(base, "images"),
+            os.path.join(base, "scannet_panoptic"), {}),
+        {"class_names_key": "SCANNET_20", "evaluator_type": "scannet_panoptic"})
+
+
 def register_bdd_panoseg(root: str):
     """BDD100k panoptic (COCO-panoptic-format JSON;
     register_bdd100k_panoseg.py:116-166)."""
@@ -402,6 +417,7 @@ def register_all_segmentation(root: str):
     ``DATASET`` set (the active configs register COCO/ADE-sem/RefCOCO/VQA/
     ImageNet explicitly; these cover the rest of the reference's table)."""
     register_scannet_semseg(root)
+    register_scannet_panoptic(root)
     register_sunrgbd_semseg(root)
     register_bdd_semseg(root)
     register_bdd_panoseg(root)
@@ -410,3 +426,9 @@ def register_all_segmentation(root: str):
     register_ade20k_full(root)
     register_coco_stuff_10k(root)
     register_pascalvoc_interactive(root)
+    # karpathy VLP arrow splits when the arrow pool exists under <root>/vlp
+    vlp_root = os.path.join(root, "vlp")
+    if os.path.isdir(vlp_root):
+        from cullavo_tpu.data.vlp_datasets import register_all_vlp
+
+        register_all_vlp(vlp_root)

@@ -276,8 +276,124 @@ class CaptioningEvaluator:
             scores.append(sum(score_n) / N)
         return float(np.mean(scores))
 
+    def _bleu4(self) -> dict:
+        """Corpus BLEU-1..4 with brevity penalty and per-reference clipping
+        (the coco-caption Bleu scorer's corpus formulation)."""
+        if not self.records:
+            return {f"Bleu_{n}": 0.0 for n in range(1, 5)}
+        match = [0.0] * 4
+        total = [0.0] * 4
+        cand_len = 0
+        ref_len = 0
+        for _, cand, refs in self.records:
+            cand_len += len(cand)
+            # closest reference length (ties → shorter), per BLEU spec
+            ref_len += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
+            for n in range(4):
+                c_counts = _cider_ngrams(cand, n + 1)
+                max_ref = Counter()
+                for ref in refs:
+                    for g, c in _cider_ngrams(ref, n + 1).items():
+                        max_ref[g] = max(max_ref[g], c)
+                match[n] += sum(min(c, max_ref.get(g, 0)) for g, c in c_counts.items())
+                total[n] += max(sum(c_counts.values()), 0)
+        bp = 1.0 if cand_len > ref_len else math.exp(1.0 - ref_len / max(cand_len, 1))
+        out = {}
+        logp = 0.0
+        for n in range(4):
+            p = match[n] / total[n] if total[n] else 0.0
+            logp += math.log(max(p, 1e-12))
+            out[f"Bleu_{n + 1}"] = bp * math.exp(logp / (n + 1))
+        return out
+
+    @staticmethod
+    def _lcs(a: list, b: list) -> int:
+        if not a or not b:
+            return 0
+        dp = [0] * (len(b) + 1)
+        for x in a:
+            prev = 0
+            for j, y in enumerate(b, 1):
+                cur = dp[j]
+                dp[j] = prev + 1 if x == y else max(dp[j], dp[j - 1])
+                prev = cur
+        return dp[len(b)]
+
+    def _rouge_l(self) -> float:
+        """ROUGE-L F-measure, beta=1.2, max over references (coco-caption
+        Rouge scorer)."""
+        if not self.records:
+            return 0.0
+        beta = 1.2
+        scores = []
+        for _, cand, refs in self.records:
+            best = 0.0
+            for ref in refs:
+                lcs = self._lcs(cand, ref)
+                p = lcs / max(len(cand), 1)
+                r = lcs / max(len(ref), 1)
+                if p > 0 and r > 0:
+                    f = (1 + beta ** 2) * p * r / (r + beta ** 2 * p)
+                    best = max(best, f)
+            scores.append(best)
+        return float(np.mean(scores))
+
+    def _meteor(self) -> float:
+        """METEOR (exact + stem matching): F_mean with alpha=0.9, fragmentation
+        penalty gamma=0.5, beta=3 — the standard parameters of the coco
+        evaluation.  The reference shells out to the METEOR-1.5 Java jar
+        (captioning_evaluation.py:18-19), whose synonym/paraphrase modules
+        need WordNet data; this native scorer implements the exact+stem
+        stages (the dominant contributors), documented deviation."""
+        if not self.records:
+            return 0.0
+        from cullavo_tpu.data.coco_caption_grounding import stem
+
+        def match_spans(cand, ref):
+            """Greedy left-to-right alignment on exact-or-stem equality;
+            returns (#matches, #chunks)."""
+            used = [False] * len(ref)
+            pos = []
+            for i, w in enumerate(cand):
+                sw = stem(w)
+                for j, r in enumerate(ref):
+                    if not used[j] and (w == r or sw == stem(r)):
+                        used[j] = True
+                        pos.append(j)
+                        break
+            if not pos:
+                return 0, 0
+            chunks = 1
+            for a, b in zip(pos, pos[1:]):
+                if b != a + 1:
+                    chunks += 1
+            return len(pos), chunks
+
+        alpha, beta, gamma = 0.9, 3.0, 0.5
+        scores = []
+        for _, cand, refs in self.records:
+            best = 0.0
+            for ref in refs:
+                m, chunks = match_spans(cand, ref)
+                if m == 0:
+                    continue
+                p = m / len(cand)
+                r = m / len(ref)
+                f = p * r / (alpha * p + (1 - alpha) * r)
+                frag = chunks / m
+                best = max(best, f * (1.0 - gamma * frag ** beta))
+            scores.append(best)
+        return float(np.mean(scores))
+
     def results(self) -> dict:
-        return {"CIDEr": round(self._cider(), 4), "n": len(self.records)}
+        """The reference's 4-metric report (BLEU/METEOR/ROUGE/CIDEr via
+        pycocoevalcap, captioning_evaluation.py:18-19) computed natively.
+        SPICE (scene-graph parse) requires the Java parser and is omitted."""
+        out = {"CIDEr": round(self._cider(), 4), "n": len(self.records)}
+        out.update({k: round(v, 4) for k, v in self._bleu4().items()})
+        out["ROUGE_L"] = round(self._rouge_l(), 4)
+        out["METEOR"] = round(self._meteor(), 4)
+        return out
 
     def dump_results(self, path: str):
         rows = [{"image_id": iid, "caption": " ".join(cand)}

@@ -59,12 +59,101 @@ def _build_llava(cfg):
     return model_cfg, params, tokenizer
 
 
+def train_xdecoder(cfg):
+    """X-Decoder (joint seg+caption+grounding) training workload — the
+    config-named trainer for the seg stack (reference XDecoderPipeline train
+    path; round-1 gap: only LLaVA trained via the entry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cullavo_tpu.data.coco_caption_grounding import (JointTrainMapper,
+                                                         collate_joint)
+    from cullavo_tpu.data.registry import get_dataset, get_metadata
+    from cullavo_tpu.models.from_config import xdecoder_model_config_from
+    from cullavo_tpu.trainer.optimizer import xdecoder_optimizer
+    from cullavo_tpu.trainer.step import TrainState
+    from cullavo_tpu.trainer.xdecoder_step import (make_xdecoder_joint_train_step,
+                                                   shard_xdecoder_step)
+
+    model_cfg = xdecoder_model_config_from(cfg)
+    params = _load_xdecoder_params(cfg, model_cfg)
+    tokenize = _make_text_tokenize(cfg, model_cfg.text)
+    sol = cfg.get("SOLVER", {})
+    tx = xdecoder_optimizer(
+        base_lr=float(sol.get("BASE_LR", 1e-4)),
+        total_steps=int(sol.get("MAX_ITER", 1000)),
+        grad_clip=float(sol.get("CLIP_VALUE", 0.01)))
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = make_xdecoder_joint_train_step(
+        model_cfg, tx, remat=bool(cfg.get("REMAT", True)))
+    mesh = _build_mesh(cfg) if int(cfg.get("MESH_DATA", 0)) != 0 else None
+    jitted = None   # built on the first batch (joint sharding needs its keys)
+
+    names = cfg.get("DATASETS", {}).get("TRAIN") if "DATASETS" in cfg else None
+    if isinstance(names, str):
+        names = [names]
+    if not names:
+        print("[entry] no DATASETS.TRAIN — nothing to do", file=sys.stderr)
+        return
+    records = get_dataset(names[0])
+    md = get_metadata(names[0]) or {}
+    class_names = md.get("class_names")
+    if not class_names:
+        from cullavo_tpu.utils.constants import COCO_PANOPTIC_CLASSES
+
+        class_names = list(COCO_PANOPTIC_CLASSES)[:model_cfg.num_classes]
+    image_size = int(cfg.get("INPUT", {}).get("IMAGE_SIZE", 512)
+                     if "INPUT" in cfg else 512)
+    mapper = JointTrainMapper(image_size=image_size, class_names=class_names)
+    from cullavo_tpu.data.mappers.eval_mappers import normalize_np
+
+    cls_ids, cls_mask = tokenize(
+        [f"a photo of a {c}." for c in class_names] + ["A background in coco."])
+    batch_size = int(cfg.get("BATCH_SIZE", 8))
+    epochs = int(cfg.get("EPOCHS", 1))
+    rng_np = np.random.default_rng(int(cfg.get("SEED", 0)))
+    rng = jax.random.PRNGKey(int(cfg.get("SEED", 0)))
+    step_i = 0
+    for epoch in range(epochs):
+        order = rng_np.permutation(len(records))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            mapped = [mapper(records[j]) for j in order[i:i + batch_size]]
+            mapped = [m for m in mapped if m is not None]
+            if not mapped:
+                continue
+            batch = collate_joint(mapped, tokenize, class_names, rng_np,
+                                  max_instances=int(cfg.get("MAX_INSTANCES", 20)))
+            batch["image"] = np.stack([normalize_np(m["image"]) for m in mapped])
+            batch["class_ids"], batch["class_mask"] = cls_ids, cls_mask
+            if jitted is None:
+                jitted = (shard_xdecoder_step(step_fn, mesh, state, joint=True,
+                                              batch_keys=batch.keys())
+                          if mesh is not None else jax.jit(step_fn))
+            rng, sub = jax.random.split(rng)
+            state, metrics = jitted(state, {k: jnp.asarray(v) for k, v in
+                                            batch.items()}, sub)
+            step_i += 1
+            print({"step": step_i,
+                   "loss_total": float(metrics["loss_total"]),
+                   "grad_norm": float(metrics["grad_norm"])}, file=sys.stderr)
+    if cfg.get("SAVE_DIR"):
+        from cullavo_tpu.checkpoint.store import save_checkpoint
+
+        save_checkpoint(cfg["SAVE_DIR"], step_i,
+                        {"params": jax.device_get(state.trainable)})
+    return state
+
+
 def train(cfg):
     import jax
 
     from cullavo_tpu.pipelines.base import build_pipeline
     import cullavo_tpu.pipelines.cullavo_pipeline  # noqa: F401 (registration)
     from cullavo_tpu.trainer.loop import LoopConfig, train_loop
+
+    register_datasets_from_cfg(cfg)
+    if "xdecoder" in cfg.get("NAME", ""):
+        return train_xdecoder(cfg)
 
     model_cfg, params, tokenizer = _build_llava(cfg)
     mesh = _build_mesh(cfg)
@@ -115,16 +204,348 @@ def _smoke_records(model_cfg):
     return recs
 
 
+def register_datasets_from_cfg(cfg):
+    """Dataset registration for the eval entry.
+
+    Two sources, mirroring the reference's import-time detectron2 registration
+    (datasets/registration/__init__.py:1-24):
+      * the DETECTRON2_DATASETS / DATASET env root → bulk registration of the
+        standard table (register_all_segmentation), and
+      * an explicit ``DATASETS.REGISTER: {name: {KIND: ..., paths...}}``
+        config block so fixture datasets can be wired per-workload (used by
+        the CLI integration tests; no reference equivalent — the reference
+        hardcodes paths in the registration modules).
+    """
+    import os
+
+    root = os.environ.get("DETECTRON2_DATASETS") or os.environ.get("DATASET")
+    if root and os.path.isdir(root):
+        from cullavo_tpu.data.datasets import register_all_segmentation
+
+        try:
+            register_all_segmentation(root)
+        except Exception as e:  # missing sub-datasets are fine
+            print(f"[entry] bulk dataset registration: {e}", file=sys.stderr)
+
+    reg = cfg.get("DATASETS", {}).get("REGISTER") if "DATASETS" in cfg else None
+    if not reg:
+        return
+    from cullavo_tpu.data.coco_panoptic import register_coco_panoptic
+    from cullavo_tpu.data.datasets import (load_semseg_pairs, register_refcoco,
+                                           register_vqa)
+    from cullavo_tpu.data.registry import register_dataset
+
+    for name, spec in dict(reg).items():
+        kind = spec.get("KIND", "semseg")
+        if kind == "semseg":
+            image_dir, ann_dir = spec["IMAGE_DIR"], spec["ANN_DIR"]
+            image_ext = spec.get("IMAGE_EXT", ".jpg")
+            register_dataset(
+                name,
+                (lambda d=image_dir, a=ann_dir, e=image_ext:
+                 load_semseg_pairs(d, a, image_ext=e)),
+                {"num_classes": int(spec.get("NUM_CLASSES", 133)),
+                 "ignore_label": int(spec.get("IGNORE_LABEL", 255)),
+                 "class_names": list(spec.get("CLASS_NAMES", [])) or None,
+                 "tasks": spec.get("TASKS")})
+        elif kind == "coco_panoptic":
+            register_coco_panoptic(
+                name, spec["JSON"], spec["IMAGE_DIR"], spec["PANOPTIC_DIR"],
+                metadata={"num_classes": int(spec.get("NUM_CLASSES", 133)),
+                          "class_names": list(spec.get("CLASS_NAMES", [])) or None,
+                          "tasks": spec.get("TASKS")})
+        elif kind == "refcoco":
+            register_refcoco(name, spec["REFS_JSON"], spec["INSTANCES_JSON"],
+                             spec["IMAGE_DIR"], split=spec.get("SPLIT", "val"))
+        elif kind == "vqa":
+            register_vqa(name, spec["QUESTIONS_JSON"],
+                         spec.get("ANNOTATIONS_JSON"), spec["IMAGE_DIR"])
+        elif kind == "coco_panoptic_caption_grounding":
+            from cullavo_tpu.data.coco_caption_grounding import (
+                register_coco_panoptic_caption_grounding)
+
+            register_coco_panoptic_caption_grounding(
+                name, spec["JSON"], spec["IMAGE_DIR"], spec["PANOPTIC_DIR"],
+                spec["CAPTION_JSON"], spec["GROUNDING_JSON"],
+                metadata={"num_classes": int(spec.get("NUM_CLASSES", 133)),
+                          "class_names": list(spec.get("CLASS_NAMES", [])) or None})
+        elif kind == "conversations":
+            from cullavo_tpu.data.instruction_data import load_conversation_json
+
+            register_dataset(
+                name,
+                (lambda j=spec["JSON"], r=spec.get("IMAGE_ROOT"):
+                 load_conversation_json(j, r)),
+                {})
+        else:
+            raise ValueError(f"unknown DATASETS.REGISTER KIND {kind!r}")
+
+
+def _dataset_names(cfg) -> list:
+    names = cfg.get("DATASETS", {}).get("TEST") if "DATASETS" in cfg else None
+    if not names:
+        return []
+    if isinstance(names, str):
+        return [names]
+    return list(names)
+
+
+def _make_text_tokenize(cfg, text_cfg):
+    """CLIP-text tokenizer → ``tokenize(texts) -> (ids, mask)`` padded to
+    context_length.  HF CLIPTokenizer when MODEL.TEXT.TOKENIZER is a path
+    (LangEncoder/build.py:19-33); deterministic hash fallback otherwise
+    (smoke/fixture mode — embeddings are random anyway without a checkpoint)."""
+    import numpy as np
+
+    path = cfg.get("MODEL", {}).get("TEXT", {}).get("TOKENIZER") \
+        if "MODEL" in cfg else None
+    T = text_cfg.context_length
+    if path:
+        from transformers import CLIPTokenizerFast
+
+        tk = CLIPTokenizerFast.from_pretrained(path)
+
+        def tokenize(texts):
+            enc = tk(list(texts), padding="max_length", truncation=True,
+                     max_length=T, return_tensors="np")
+            return (enc["input_ids"].astype(np.int32),
+                    enc["attention_mask"].astype(np.int32))
+
+        return tokenize
+
+    V = text_cfg.vocab_size
+
+    def tokenize(texts):
+        ids = np.zeros((len(texts), T), np.int32)
+        mask = np.zeros((len(texts), T), np.int32)
+        for i, t in enumerate(texts):
+            words = t.lower().split()[: T - 2]
+            row = [1] + [2 + (hash(w) % (V - 3)) for w in words]
+            ids[i, :len(row)] = row
+            ids[i, len(row)] = V - 1          # EOT = argmax id (CLIP convention)
+            mask[i, :len(row) + 1] = 1
+        return ids, mask
+
+    return tokenize
+
+
+def _load_xdecoder_params(cfg, model_cfg):
+    """RESUME_FROM semantics (trainer/default_trainer.py:60-62 +
+    BaseModel.from_pretrained): a repo checkpoint dir, a torch-layout
+    state-dict file (np .npz of the reference layout), or absent → random
+    init (smoke)."""
+    import jax
+
+    from cullavo_tpu.models.xdecoder.model import init_xdecoder_model_params
+
+    params = jax.jit(
+        lambda k: init_xdecoder_model_params(model_cfg, k))(jax.random.PRNGKey(0))
+    resume = cfg.get("RESUME_FROM")
+    if not resume:
+        print("[entry] no RESUME_FROM — random weights (smoke mode)",
+              file=sys.stderr)
+        return params
+    import os
+
+    if os.path.isdir(resume):
+        from cullavo_tpu.checkpoint.store import load_checkpoint
+
+        state = load_checkpoint(resume)
+        loaded = state.get("params", state) if isinstance(state, dict) else state
+        from cullavo_tpu.checkpoint.xdecoder_import import align_and_update
+
+        return align_and_update(params, loaded,
+                                log=lambda m: print(m, file=sys.stderr))
+    # flat reference-layout state dict saved as npz (torch .pt → npz offline)
+    state = dict(np.load(resume, allow_pickle=False))
+    from cullavo_tpu.checkpoint.xdecoder_import import (align_and_update,
+                                                       import_xdecoder_checkpoint)
+
+    loaded = import_xdecoder_checkpoint(state, model_cfg)
+    return align_and_update(params, loaded,
+                            log=lambda m: print(m, file=sys.stderr))
+
+
+def _eval_xdecoder(cfg) -> dict:
+    """xdecoder_test workload: reference lbk_entry.py:17-19 → trainer.eval()
+    → XDecoderPipeline/RefCOCOPipeline per DATASETS.TEST entry."""
+    from cullavo_tpu.data.mappers import (PanopticEvalMapper, RefCOCOEvalMapper,
+                                          SemSegEvalMapper)
+    from cullavo_tpu.data.registry import get_dataset, get_metadata
+    from cullavo_tpu.models.from_config import xdecoder_model_config_from
+    from cullavo_tpu.models.xdecoder.text_encoder import class_embeddings_ensembled
+    from cullavo_tpu.pipelines.base import build_pipeline
+    import cullavo_tpu.pipelines.xdecoder_pipeline as xp
+
+    model_cfg = xdecoder_model_config_from(cfg)
+    params = _load_xdecoder_params(cfg, model_cfg)
+    tokenize = _make_text_tokenize(cfg, model_cfg.text)
+    limit = int(cfg.get("LIMIT", 0)) or None
+    out_dir = cfg.get("SAVE_DIR")
+
+    results = {}
+    for ds_name in _dataset_names(cfg):
+        records = get_dataset(ds_name)
+        md = get_metadata(ds_name) or {}
+        class_names = md.get("class_names")
+        if not class_names:
+            from cullavo_tpu.utils.constants import COCO_PANOPTIC_CLASSES
+
+            class_names = list(COCO_PANOPTIC_CLASSES)[:model_cfg.num_classes]
+        ev_type = md.get("evaluator_type")
+        if ev_type in ("retrieval", "captioning") or ds_name.startswith("vlp"):
+            import cullavo_tpu.pipelines.vlp_pipeline  # noqa: F401 (registration)
+
+            loader_state = md.get("image_loader") or {}
+            image_loader = loader_state.get("loader")
+            if image_loader is None:
+                from cullavo_tpu.data.mappers.eval_mappers import load_image_rgb
+
+                image_loader = lambda r: load_image_rgb(r["file_name"])
+            if ev_type == "captioning" or "captioning" in ds_name:
+                pipe = build_pipeline(
+                    "COCOCaptionXDecPipeline", cfg, model_cfg=model_cfg,
+                    params=params, image_loader=image_loader,
+                    decode_text=lambda ids: " ".join(str(i) for i in ids),
+                    start_token_id=model_cfg.text.vocab_size - 2)
+            else:
+                pipe = build_pipeline(
+                    "VLPRetrievalPipeline", cfg, model_cfg=model_cfg,
+                    params=params, tokenize=tokenize,
+                    image_loader=image_loader)
+            results[ds_name] = pipe.evaluate_model(records, limit=limit)
+            continue
+        if "ref" in ds_name or (records and "text" in records[0]):
+            pipe = build_pipeline("RefCOCOPipeline", cfg, model_cfg=model_cfg,
+                                  params=params, tokenize=tokenize,
+                                  class_names=class_names)
+            rows = map(RefCOCOEvalMapper(), records)
+            results[ds_name] = pipe.evaluate_model(rows, limit=limit,
+                                                   out_dir=out_dir)
+            continue
+        try:
+            tasks = (xp.EvalTasks(**{k.lower(): bool(v)
+                                     for k, v in dict(md["tasks"]).items()})
+                     if md.get("tasks") else xp.tasks_for_dataset(ds_name))
+        except ValueError:
+            tasks = xp.EvalTasks(semantic=True)
+        # class-name text embeddings, prompt-ensembled, computed once before
+        # eval (XDecoderPipeline.py:124; vlpencoder.py:104-127)
+        text_embeds = class_embeddings_ensembled(
+            params["text"], model_cfg.text, tokenize, class_names,
+            add_background=True)
+        panoptic_records = bool(records and "pan_seg_file_name" in records[0])
+        mapper = PanopticEvalMapper() if panoptic_records else SemSegEvalMapper()
+        thing_ids = set()
+        if panoptic_records:
+            for r in records:
+                thing_ids |= {s["category_id"] for s in r["segments_info"]
+                              if s.get("isthing", True)}
+        pipe = build_pipeline("XDecoderPipeline", cfg, model_cfg=model_cfg,
+                              params=params, text_class_embeds=text_embeds,
+                              tasks=tasks)
+        out = pipe.evaluate_model((mapper(r) for r in records), limit=limit,
+                                  thing_ids=frozenset(thing_ids))
+        # metric dict only — raw per-image outputs stay out of the report
+        results[ds_name] = {k: v for k, v in out.items()
+                            if k not in ("panoptic_outputs", "instance_outputs")}
+    return results
+
+
+def _eval_vl(cfg) -> dict:
+    """vl_test workload: lbk_entry.py:20-22 → eval_for_vl_model →
+    VQA pipeline over DATASETS.TEST."""
+    from cullavo_tpu.data.mappers import VQAEvalMapper
+    from cullavo_tpu.data.registry import get_dataset
+    from cullavo_tpu.pipelines.base import build_pipeline
+    import cullavo_tpu.pipelines.vqa_pipeline  # noqa: F401 (registration)
+
+    model_cfg, params, tokenizer = _build_llava(cfg)
+    pipe = build_pipeline(cfg.get("PIPELINE", "LLaVAVQAVALPipeline"), cfg,
+                          model_cfg=model_cfg, tokenizer=tokenizer,
+                          params=params,
+                          batch_size=int(cfg.get("BATCH_SIZE", 8)),
+                          max_new_tokens=int(cfg.get("MAX_NEW_TOKENS", 16)))
+    limit = int(cfg.get("LIMIT", 0)) or None
+    mapper = VQAEvalMapper(image_size=model_cfg.vision.image_size)
+    results = {}
+    for ds_name in _dataset_names(cfg):
+        rows = map(mapper, get_dataset(ds_name))
+        results[ds_name] = pipe.evaluate_model(rows, limit=limit,
+                                               out_dir=cfg.get("SAVE_DIR"))
+    return results
+
+
+def _eval_step2_pre(cfg) -> dict:
+    """cullavo_step2_pre workload: model-in-the-loop dataset generation
+    (run:25-44 template; CuLLaVOPipeline.py:95-133)."""
+    from cullavo_tpu.data.image_processing import preprocess_numpy
+    from cullavo_tpu.data.mappers.eval_mappers import load_image_rgb
+    from cullavo_tpu.data.registry import get_dataset
+    from cullavo_tpu.data.step1_synthesis import SYSTEM_PROMPT
+    from cullavo_tpu.models.llava.modeling import expand_image_token
+    from cullavo_tpu.pipelines.base import build_pipeline
+    import cullavo_tpu.pipelines.cullavo_pipeline  # noqa: F401 (registration)
+
+    model_cfg, params, tokenizer = _build_llava(cfg)
+    pipe = build_pipeline("CuLLaVOPipeline", cfg, model_cfg=model_cfg,
+                          tokenizer=tokenizer, params=params)
+    out_dir = cfg.get("SAVE_DIR", "step2_pre_out")
+    limit = int(cfg.get("LIMIT", 0)) or None
+    names = _dataset_names(cfg)
+    records = get_dataset(names[0]) if names else []
+    if limit:
+        records = records[:limit]
+
+    question = ("provide multiple object names with their numbering index and "
+                "the objects' bounding box coordinates in the image.")
+    prompt = SYSTEM_PROMPT + "<image>" + f" USER: {question} ASSISTANT:"
+    base_ids = np.asarray(tokenizer.encode(prompt), np.int32)
+    ids_row, _, _ = expand_image_token(base_ids, None, None,
+                                       tokenizer.image_token_id,
+                                       model_cfg.num_image_tokens)
+    rows_u8 = []
+    for r in records:
+        img = r.get("image")
+        if not isinstance(img, np.ndarray):
+            # conversation rows carry "image" as a RELATIVE PATH string
+            # (ShareGPT4V format); pixels come from "image_path"
+            img = load_image_rgb(r["image_path"]) if r.get("image_path") else None
+        if img is None:
+            continue
+        rows_u8.append(np.asarray(img))
+    if not rows_u8:
+        print("[entry] step2_pre: no images in dataset", file=sys.stderr)
+        return {"rows": 0}
+    pixel_values = preprocess_numpy(rows_u8, size=model_cfg.vision.image_size)
+    B = len(rows_u8)
+    ids = np.tile(ids_row[None], (B, 1))
+    mask = np.ones_like(ids)
+    rows = pipe.generate_step2_rows(
+        rows_u8, ids, mask, out_dir, pixel_values,
+        max_new_tokens=int(cfg.get("MAX_NEW_TOKENS", 256)))
+    return {"rows": len(rows), "out_dir": out_dir}
+
+
 def evaluate(cfg):
+    """NAME dispatch per lbk_entry.py:6-22: xdecoder_test → eval(),
+    vl_test → eval_for_vl_model(), cullavo_step2_pre → step2-pre data gen."""
+    import json
+
+    register_datasets_from_cfg(cfg)
     name = cfg.get("NAME", "")
-    if "vl_test" in name:
-        print("[entry] vl_test eval requires dataset + checkpoint paths; see "
-              "cullavo_tpu/pipelines/vqa_pipeline.py", file=sys.stderr)
+    if "step2_pre" in name:
+        results = _eval_step2_pre(cfg)
+    elif "vl_test" in name or "vl" == name:
+        results = _eval_vl(cfg)
     elif "xdecoder" in name:
-        print("[entry] xdecoder eval requires dataset + checkpoint paths; see "
-              "cullavo_tpu/pipelines/xdecoder_pipeline.py", file=sys.stderr)
+        results = _eval_xdecoder(cfg)
     else:
-        print(f"[entry] unknown eval workload {name!r}", file=sys.stderr)
+        print(f"[entry] unknown eval workload {name!r} (expect one of "
+              "xdecoder_test / vl_test / cullavo_step2_pre)", file=sys.stderr)
+        raise SystemExit(2)
+    print(json.dumps(results, default=float))
+    return results
 
 
 def _maybe_init_distributed():

@@ -43,14 +43,74 @@ def focalnet_config_from(cfg) -> FocalNetConfig:
     )
 
 
-def fpn_config_from(cfg, backbone: FocalNetConfig) -> FPNConfig:
+def davit_config_from(cfg):
+    from cullavo_tpu.models.xdecoder.davit import DaViTConfig
+
+    d = "MODEL.BACKBONE.DAVIT"
+    return DaViTConfig(
+        embed_dims=tuple(_get(cfg, d + ".DIM_EMBED", (128, 256, 512, 1024))),
+        num_heads=tuple(_get(cfg, d + ".NUM_HEADS", (4, 8, 16, 32))),
+        num_groups=tuple(_get(cfg, d + ".NUM_GROUPS", (4, 8, 16, 32))),
+        depths=tuple(_get(cfg, d + ".DEPTHS", (1, 1, 9, 1))),
+        window_size=int(_get(cfg, d + ".WINDOW_SIZE", 12)),
+    )
+
+
+def sam_vit_config_from(cfg):
+    from cullavo_tpu.models.xdecoder.sam_vit import SamVitConfig
+
+    v = "MODEL.BACKBONE.VIT"
+    return SamVitConfig(
+        embed_dim=int(_get(cfg, v + ".EMBED_DIM", 768)),
+        depth=int(_get(cfg, v + ".DEPTH", 12)),
+        num_heads=int(_get(cfg, v + ".NUM_HEADS", 12)),
+    )
+
+
+def backbone_config_from(cfg):
+    name = _get(cfg, "MODEL.BACKBONE.NAME", "focal")
+    if name in ("focal", "focal_dw"):
+        return name, focalnet_config_from(cfg)
+    if name == "davit":
+        return name, davit_config_from(cfg)
+    if name == "vit":
+        return name, sam_vit_config_from(cfg)
+    raise KeyError(f"MODEL.BACKBONE.NAME {name!r}")
+
+
+def _backbone_channels(backbone) -> tuple:
+    if hasattr(backbone, "num_features"):
+        return tuple(backbone.num_features)
+    if hasattr(backbone, "embed_dims"):
+        return tuple(backbone.embed_dims)
+    # SAM-ViT: simple-FPN neck emits out_dims per level (vit.py out_dims)
+    return tuple(backbone.out_dims)
+
+
+def fpn_config_from(cfg, backbone) -> FPNConfig:
     e = "MODEL.ENCODER"
     return FPNConfig(
-        in_channels=tuple(backbone.num_features),
+        in_channels=_backbone_channels(backbone),
         conv_dim=int(_get(cfg, e + ".CONVS_DIM", 512)),
         mask_dim=int(_get(cfg, e + ".MASK_DIM", 512)),
         enc_layers=int(_get(cfg, e + ".TRANSFORMER_ENC_LAYERS", 6)),
     )
+
+
+def encoder_config_from(cfg, backbone):
+    name = _get(cfg, "MODEL.ENCODER.NAME", "transformer_encoder_fpn")
+    if name == "transformer_encoder_fpn":
+        return name, fpn_config_from(cfg, backbone)
+    if name == "transformer_encoder_deform":
+        from cullavo_tpu.models.xdecoder.deform_encoder import DeformEncoderConfig
+
+        e = "MODEL.ENCODER"
+        return name, DeformEncoderConfig(
+            in_channels=_backbone_channels(backbone),
+            conv_dim=int(_get(cfg, e + ".CONVS_DIM", 512)),
+            mask_dim=int(_get(cfg, e + ".MASK_DIM", 512)),
+            num_layers=int(_get(cfg, e + ".TRANSFORMER_ENC_LAYERS", 6)))
+    raise KeyError(f"MODEL.ENCODER.NAME {name!r}")
 
 
 def decoder_config_from(cfg) -> XDecoderConfig:
@@ -101,10 +161,19 @@ def criterion_config_from(cfg) -> CriterionConfig:
 
 
 def xdecoder_model_config_from(cfg) -> XDecoderModelConfig:
-    backbone = focalnet_config_from(cfg)
+    if _get(cfg, "MODEL.TINY", False):
+        # fixture/smoke mode for CLI integration tests — the reference has no
+        # equivalent (its smallest config is FocalNet-T)
+        from cullavo_tpu.models.xdecoder.model import tiny_xdecoder_config
+
+        return tiny_xdecoder_config()
+    backbone_name, backbone = backbone_config_from(cfg)
+    encoder_name, encoder = encoder_config_from(cfg, backbone)
     return XDecoderModelConfig(
         backbone=backbone,
-        fpn=fpn_config_from(cfg, backbone),
+        backbone_name=backbone_name,
+        fpn=encoder,
+        encoder_name=encoder_name,
         decoder=decoder_config_from(cfg),
         text=text_config_from(cfg),
         criterion=criterion_config_from(cfg),

@@ -153,6 +153,107 @@ def loss_groundings(pred_gmasks, tgt_gmasks, gvalid, rng, cfg: CriterionConfig):
     return jnp.sum(bce * v) / denom, jnp.sum(dice * v) / denom
 
 
+def _norm(x):
+    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-7)
+
+
+def loss_captions(pred_captions, src_idx, valid, labels, labels_hash,
+                  class_embs, caption_embs, caption_hash, caption_valid,
+                  logit_scale):
+    """Noun-hash multi-positive contrastive caption loss
+    (criterion.py:256-293 ``loss_captions`` + loss.py
+    ``ql_multi_contrastive_loss``), static-shape SPMD form.
+
+    Two pair sets share one contrastive table:
+      * matched queries ↔ their class-name text embeddings (hash =
+        labels_hash), and
+      * caption/noun texts ↔ queries assigned by a second Hungarian match on
+        cosine cost over the NOT-seg-matched queries (the reference's
+        ``caption_womask`` matcher mode, criterion.py:281).
+    Positives are hash-equal pairs; padded slots are masked out.
+
+    pred_captions [B, Q, D]; class_embs [C(+1), D]; caption_embs [B, P, D];
+    labels/labels_hash [B, N]; caption_hash/valid [B, P].
+    """
+    from cullavo_tpu.models.xdecoder.matcher import hungarian_match
+
+    B, Q, D = pred_captions.shape
+    N = src_idx.shape[1]
+    P = caption_embs.shape[1]
+    v_all = _norm(pred_captions)
+
+    # -- matched-query ↔ class-embedding pairs
+    v_cls = jnp.take_along_axis(v_all, src_idx[:, :, None], axis=1)   # [B,N,D]
+    t_cls = _norm(class_embs)[jnp.clip(labels, 0, class_embs.shape[0] - 1)]
+
+    # -- caption/noun ↔ unmatched-query assignment (cosine cost, JV on device)
+    t_cap = _norm(caption_embs)
+    sim = jnp.einsum("bqd,bpd->bqp", v_all, t_cap)
+    # exclude seg-matched queries from the caption assignment
+    matched_mask = jnp.zeros((B, Q), bool)
+
+    def scatter_row(mm, idx, v):
+        return mm.at[idx].set(v | mm[idx])
+
+    matched_mask = jax.vmap(scatter_row)(matched_mask, src_idx, valid)
+    cost = -sim + 1e4 * matched_mask[:, :, None].astype(sim.dtype)
+    n_cap = jnp.sum(caption_valid, axis=1).astype(jnp.int32)
+    cap_src_idx, cap_match_valid = hungarian_match(cost, n_cap)
+    cap_match_valid = cap_match_valid & caption_valid.astype(bool)
+    v_cap = jnp.take_along_axis(v_all, cap_src_idx[:, :, None], axis=1)
+
+    # -- combined hash-aware multi-positive contrastive
+    v = jnp.concatenate([v_cls.reshape(B * N, D), v_cap.reshape(B * P, D)])
+    t = jnp.concatenate([t_cls.reshape(B * N, D), t_cap.reshape(B * P, D)])
+    h = jnp.concatenate([jnp.where(valid, labels_hash, -1).reshape(B * N),
+                         jnp.where(cap_match_valid, caption_hash, -2).reshape(B * P)])
+    ok = jnp.concatenate([valid.reshape(B * N),
+                          cap_match_valid.reshape(B * P)]).astype(jnp.float32)
+
+    logits = jnp.exp(jnp.clip(logit_scale, max=jnp.log(100.0))) * (v @ t.T)
+    pos = (h[:, None] == h[None, :]).astype(jnp.float32) * ok[:, None] * ok[None, :]
+    neg_inf = -1e9 * (1.0 - ok)
+    # image→text and text→image soft CE over valid columns/rows
+    def soft_ce(lg, p, row_ok):
+        target = p / jnp.maximum(p.sum(-1, keepdims=True), 1.0)
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        row_loss = -jnp.sum(target * logp, axis=-1)
+        has_pos = (p.sum(-1) > 0).astype(jnp.float32) * row_ok
+        return jnp.sum(row_loss * has_pos) / jnp.maximum(jnp.sum(has_pos), 1.0)
+
+    li = soft_ce(logits + neg_inf[None, :], pos, ok)
+    lt = soft_ce(logits.T + neg_inf[None, :], pos.T, ok)
+    return 0.5 * (li + lt)
+
+
+def loss_grounding_ce(pred_gtexts, grounding_class_embs, grounding_hash,
+                      grounding_valid, logit_scale):
+    """Grounding query↔phrase alignment CE (criterion.py loss_groundings
+    t2i part, :384-403): per-phrase softmax over grounding-query logits with
+    a hash-smoothed assignment target.  Our grounding slots are conditioned
+    1:1 on phrases, so the assignment matrix is the identity before hash
+    smoothing.
+
+    pred_gtexts [B, G, D] grounding-slot caption embeddings;
+    grounding_class_embs [B, G, D] phrase EOT embeddings.
+    """
+    v = _norm(pred_gtexts)
+    t = _norm(grounding_class_embs)
+    scale = jnp.exp(jnp.clip(logit_scale, max=jnp.log(100.0)))
+    logits = scale * jnp.einsum("bqd,bgd->bqg", v, t)       # [B, G_q, G_t]
+    okf = grounding_valid.astype(jnp.float32)
+    same = (grounding_hash[:, :, None] == grounding_hash[:, None, :]).astype(
+        jnp.float32) * okf[:, :, None] * okf[:, None, :]
+    gt = jnp.eye(v.shape[1])[None] * okf[:, :, None]
+    gt = jnp.einsum("bqg,bgh->bqh", gt, same / jnp.maximum(
+        same.sum(-1, keepdims=True), 1.0))
+    # per-phrase softmax over queries (the transposed CE in the reference)
+    logits_t = logits.swapaxes(1, 2) - 1e9 * (1.0 - okf)[:, None, :]
+    logp = jax.nn.log_softmax(logits_t, axis=-1)
+    row_loss = -jnp.sum(gt.swapaxes(1, 2) * logp, axis=-1)  # [B, G_t]
+    return jnp.sum(row_loss * okf) / jnp.maximum(jnp.sum(okf), 1.0)
+
+
 def set_criterion(
     outputs: dict,               # decoder outputs incl. aux_outputs
     targets: dict,               # padded: classes [B,N], masks [B,N,H,W],
@@ -160,9 +261,12 @@ def set_criterion(
     cfg: CriterionConfig,
     rng: jax.Array,
     data_axis: Optional[str] = None,
+    return_indices: bool = False,
 ):
     """Full deep-supervised loss dict.  ``data_axis`` set inside shard_map
-    enables the world-size num_masks normalization (criterion.py:858-866)."""
+    enables the world-size num_masks normalization (criterion.py:858-866).
+    ``return_indices`` additionally returns the MAIN layer's Hungarian match
+    (src_idx, valid) for downstream losses (loss_captions)."""
     tgt_valid = targets["valid"]
     n_valid = jnp.sum(tgt_valid, axis=1).astype(jnp.int32)
     num_masks = jnp.sum(tgt_valid).astype(jnp.float32)
@@ -171,6 +275,7 @@ def set_criterion(
     num_masks = jnp.maximum(num_masks, 1.0)
 
     losses = {}
+    main_indices = None
     layers = [outputs] + list(outputs.get("aux_outputs", []))
 
     for li, out in enumerate(layers):
@@ -185,6 +290,8 @@ def set_criterion(
             cost_dice=cfg.cost_dice)
         src_idx, valid = hungarian_match(cost, n_valid)
         valid = valid & tgt_valid.astype(bool)
+        if li == 0:
+            main_indices = (src_idx, valid)
 
         if li < cfg.top_x_layers_class:
             losses[f"loss_ce{suffix}"] = cfg.weight_ce * loss_labels(
@@ -200,6 +307,8 @@ def set_criterion(
                                   targets["boxes"], src_idx, valid, num_masks)
             losses[f"loss_bbox{suffix}"] = cfg.weight_bbox * l1
             losses[f"loss_giou{suffix}"] = cfg.weight_giou * giou
+    if return_indices:
+        return losses, main_indices
     return losses
 
 

@@ -105,7 +105,7 @@ def deform_encoder_forward(params, cfg: DeformEncoderConfig, features: dict):
     srcs, poss, shapes = [], [], []
     for i, name in enumerate(lvls):
         f = features[name]
-        proj = params["input_proj"][::-1][i] if False else params["input_proj"][2 - i]
+        proj = params["input_proj"][2 - i]    # input_proj stored res3→res5
         x = _conv(f, proj, padding="VALID")
         x = group_norm(x, proj["norm"]["scale"], proj["norm"]["bias"], cfg.gn_groups)
         B, H, W, _ = x.shape

@@ -27,7 +27,7 @@ def _maybe_gather(x: jax.Array, axis_name: Optional[str]):
 def vl_similarity(image_feat: jax.Array, text_feat: jax.Array,
                   temperature: jax.Array | float = 1.0) -> jax.Array:
     """Scaled cosine-style similarity logits (loss.py vl_similarity)."""
-    scale = jnp.clip(jnp.exp(temperature), a_max=100.0) \
+    scale = jnp.clip(jnp.exp(temperature), max=100.0) \
         if not isinstance(temperature, float) else temperature
     return scale * jnp.einsum("...id,...jd->...ij", image_feat, text_feat)
 
@@ -45,7 +45,7 @@ def vl_contrastive_loss(image_feat: jax.Array, text_feat: jax.Array,
     img_all = _maybe_gather(image_feat, axis_name)
     txt_all = _maybe_gather(text_feat, axis_name)
     logits = jnp.matmul(img_all, txt_all.T)
-    scale = jnp.clip(jnp.exp(temperature), a_max=100.0) \
+    scale = jnp.clip(jnp.exp(temperature), max=100.0) \
         if not isinstance(temperature, float) else temperature
     logits = logits * scale
     n = logits.shape[0]

@@ -39,8 +39,13 @@ PIXEL_STD = (58.395, 57.12, 57.375)
 
 @dataclasses.dataclass(frozen=True)
 class XDecoderModelConfig:
-    backbone: FocalNetConfig = dataclasses.field(default_factory=FocalNetConfig)
-    fpn: FPNConfig = dataclasses.field(default_factory=FPNConfig)
+    # ``backbone`` holds the config matching ``backbone_name``
+    # (FocalNetConfig | DaViTConfig | SamVitConfig); ``fpn`` holds the pixel
+    # decoder config matching ``encoder_name`` (FPNConfig |
+    # DeformEncoderConfig) — MODEL.BACKBONE.NAME / MODEL.ENCODER.NAME
+    # dispatch, like the reference registries (SURVEY.md §1)
+    backbone: object = dataclasses.field(default_factory=FocalNetConfig)
+    fpn: object = dataclasses.field(default_factory=FPNConfig)
     decoder: XDecoderConfig = dataclasses.field(default_factory=XDecoderConfig)
     text: TextEncoderConfig = dataclasses.field(default_factory=TextEncoderConfig)
     criterion: CriterionConfig = dataclasses.field(default_factory=CriterionConfig)
@@ -48,6 +53,72 @@ class XDecoderModelConfig:
     object_mask_threshold: float = 0.8
     overlap_threshold: float = 0.8
     test_topk_per_image: int = 100
+    backbone_name: str = "focal"
+    encoder_name: str = "transformer_encoder_fpn"
+
+
+def _backbone_apply(params, cfg: XDecoderModelConfig, images,
+                    remat: bool = False):
+    name = cfg.backbone_name
+    if name in ("focal", "focal_dw"):
+        return focalnet_forward(params, cfg.backbone, images, remat=remat)
+    if name == "davit":
+        from cullavo_tpu.models.xdecoder.davit import davit_forward
+
+        return davit_forward(params, cfg.backbone, images)
+    if name == "vit":
+        from cullavo_tpu.models.xdecoder.sam_vit import sam_vit_forward
+
+        return sam_vit_forward(params, cfg.backbone, images)
+    raise KeyError(f"backbone {name!r}")
+
+
+def _encoder_apply(params, cfg: XDecoderModelConfig, feats):
+    if cfg.encoder_name == "transformer_encoder_fpn":
+        return fpn_forward(params, cfg.fpn, feats)
+    if cfg.encoder_name == "transformer_encoder_deform":
+        from cullavo_tpu.models.xdecoder.deform_encoder import deform_encoder_forward
+
+        return deform_encoder_forward(params, cfg.fpn, feats)
+    raise KeyError(f"encoder {cfg.encoder_name!r}")
+
+
+def _backbone_init(cfg: XDecoderModelConfig, key, dtype):
+    name = cfg.backbone_name
+    if name in ("focal", "focal_dw"):
+        return init_focalnet_params(cfg.backbone, key, dtype)
+    if name == "davit":
+        from cullavo_tpu.models.xdecoder.davit import init_davit_params
+
+        return init_davit_params(cfg.backbone, key, dtype)
+    if name == "vit":
+        from cullavo_tpu.models.xdecoder.sam_vit import init_sam_vit_params
+
+        return init_sam_vit_params(cfg.backbone, key, dtype)
+    raise KeyError(f"backbone {name!r}")
+
+
+def _encoder_init(cfg: XDecoderModelConfig, key, dtype):
+    if cfg.encoder_name == "transformer_encoder_fpn":
+        return init_fpn_params(cfg.fpn, key, dtype)
+    if cfg.encoder_name == "transformer_encoder_deform":
+        from cullavo_tpu.models.xdecoder.deform_encoder import (
+            init_deform_encoder_params)
+
+        return init_deform_encoder_params(cfg.fpn, key, dtype)
+    raise KeyError(f"encoder {cfg.encoder_name!r}")
+
+
+def _backbone_last_channels(cfg: XDecoderModelConfig) -> int:
+    bb = cfg.backbone
+    if hasattr(bb, "num_features"):
+        nf = bb.num_features
+        return nf[-1] if not callable(nf) else nf()[-1]
+    if hasattr(bb, "embed_dims"):
+        return bb.embed_dims[-1]
+    if hasattr(bb, "out_dims"):
+        return bb.out_dims[-1]
+    raise AttributeError(f"cannot infer channels for {type(bb).__name__}")
 
 
 def tiny_xdecoder_config() -> XDecoderModelConfig:
@@ -56,11 +127,13 @@ def tiny_xdecoder_config() -> XDecoderModelConfig:
                                 focal_levels=(2, 2, 2, 2), focal_windows=(3, 3, 3, 3)),
         fpn=FPNConfig(in_channels=(16, 32, 64, 128), conv_dim=64, mask_dim=32,
                       gn_groups=8, enc_layers=2, enc_heads=4, enc_ffn=128),
+        # dim_lang == hidden_dim == dim_proj, the reference invariant (all 512
+        # there) — grounding tokens feed the decoder stream directly
         decoder=XDecoderConfig(hidden_dim=64, num_queries=9, nheads=4,
                                dim_feedforward=128, dec_layers=3, mask_dim=32,
-                               dim_proj=32, contxt_len=8, in_channels=64),
+                               dim_proj=64, contxt_len=8, in_channels=64),
         text=TextEncoderConfig(vocab_size=64, width=32, heads=4, layers=2,
-                               context_length=8, dim_lang=32),
+                               context_length=8, dim_lang=64),
         criterion=CriterionConfig(num_classes=6, num_points=256),
         num_classes=6,
     )
@@ -68,12 +141,17 @@ def tiny_xdecoder_config() -> XDecoderModelConfig:
 
 def init_xdecoder_model_params(cfg: XDecoderModelConfig, key: jax.Array,
                                dtype=jnp.float32):
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     return {
-        "backbone": init_focalnet_params(cfg.backbone, k1, dtype),
-        "fpn": init_fpn_params(cfg.fpn, k2, dtype),
+        "backbone": _backbone_init(cfg, k1, dtype),
+        "fpn": _encoder_init(cfg, k2, dtype),
         "decoder": init_xdecoder_params(cfg.decoder, k3, dtype),
         "text": init_text_encoder_params(cfg.text, k4, dtype),
+        # res5 → lang-space projection for the backbone-ensemble retrieval ITC
+        # (xdecoder_model.py:412-420 backbone branch)
+        "backbone_proj": (jax.random.normal(
+            k5, (_backbone_last_channels(cfg), cfg.text.dim_lang)) * 0.02
+        ).astype(dtype),
     }
 
 
@@ -85,9 +163,8 @@ def normalize_images(images_uint8_nhwc: jax.Array) -> jax.Array:
 
 def backbone_and_pixel_decoder(params, cfg: XDecoderModelConfig, images,
                                remat: bool = False):
-    feats = focalnet_forward(params["backbone"], cfg.backbone, images,
-                             remat=remat)
-    mask_features, _, pyramid = fpn_forward(params["fpn"], cfg.fpn, feats)
+    feats = _backbone_apply(params["backbone"], cfg, images, remat=remat)
+    mask_features, _, pyramid = _encoder_apply(params["fpn"], cfg, feats)
     return mask_features, pyramid
 
 
@@ -120,6 +197,122 @@ def forward_seg_train(params, cfg: XDecoderModelConfig, images, targets,
                                     jax.random.fold_in(rng, 17), cfg.criterion)
         losses["loss_grounding_bce_0"] = cfg.criterion.weight_grounding_bce * bce
         losses["loss_grounding_dice_0"] = cfg.criterion.weight_grounding_dice * dice
+    return losses
+
+
+def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
+                        data_axis=None, remat: bool = False):
+    """Joint seg + caption + captioning + retrieval + grounding training step
+    forward — the reference's headline multi-task objective
+    (xdecoder_model.py:137-149 loss-weight table; forward_seg :288-365 +
+    forward_vlp :378-420 over the merged COCO panoptic+caption+grounding
+    batches built by data/coco_caption_grounding.py).
+
+    ``batch`` (all static-shape, from ``collate_joint`` + class tokens):
+      image [B,H,W,3] normalized; classes/masks/boxes/valid seg targets;
+      labels_hash [B,N]; class_ids/class_mask [C+1,T] class-name tokens;
+      caption_ids/caption_mask [B,P,T] + caption_hash/caption_valid;
+      caption_text_ids/_mask [B,T]; grounding_ids/grounding_token_mask
+      [B,G,T] + grounding_hash/grounding_valid + grounding_masks [B,G,h,w].
+
+    Text embeddings are computed INSIDE the step so the text encoder trains
+    (the reference's get_text_embeddings with grad).  Returns the loss dict
+    with the reference's key names.
+    """
+    from cullavo_tpu.models.xdecoder.criterion import (loss_captionings,
+                                                      loss_captions,
+                                                      loss_grounding_ce,
+                                                      loss_groundings,
+                                                      set_criterion)
+    from cullavo_tpu.models.xdecoder.language_loss import image_text_contrastive_loss
+
+    tp, tc = params["text"], cfg.text
+    # -- text side (trained end-to-end)
+    class_embs = te.forward_language(tp, tc, batch["class_ids"],
+                                     batch["class_mask"], norm=True)
+    B, P, T = batch["caption_ids"].shape
+    cap_embs = te.forward_language(
+        tp, tc, batch["caption_ids"].reshape(B * P, T),
+        batch["caption_mask"].reshape(B * P, T)).reshape(B, P, -1)
+    G = batch["grounding_ids"].shape[1]
+    _, g_cls = te.forward_language_token(
+        tp, tc, batch["grounding_ids"].reshape(B * G, T),
+        batch["grounding_token_mask"].reshape(B * G, T))
+    grounding_tokens = g_cls.reshape(B, G, -1)
+    cap_tok, cap_sent = te.forward_language_token(
+        tp, tc, batch["caption_text_ids"], batch["caption_text_mask"])
+    vocab_embs = tp["token_embedding"] @ tp["lang_proj"]
+    logit_scale = tp["logit_scale"]
+
+    # -- vision trunk (shared by both decoder passes)
+    feats = _backbone_apply(params["backbone"], cfg, batch["image"], remat=remat)
+    mask_features, _, pyramid = _encoder_apply(params["fpn"], cfg, feats)
+
+    # -- seg pass: mask/class/box + caption + grounding losses
+    out = xdecoder_forward(params["decoder"], cfg.decoder, pyramid,
+                           mask_features, text_class_embeds=class_embs,
+                           logit_scale=logit_scale,
+                           grounding_tokens=grounding_tokens,
+                           task="seg", is_train=True)
+    targets = {k: batch[k] for k in ("classes", "masks", "boxes", "valid")}
+    rng, r_crit, r_ground = jax.random.split(rng, 3)
+    # Hungarian matching over OBJECT queries only ([:nq-1]) — the class token
+    # and grounding-conditioned duplicate slots are excluded
+    # (xdecoder_model.py:338-365 query-slot slicing)
+    nq = cfg.decoder.num_queries
+
+    def _obj(o):
+        return {k: (v[:, :nq - 1] if k in ("pred_logits", "pred_masks",
+                                           "pred_boxes") and v is not None
+                    else v)
+                for k, v in o.items() if k != "aux_outputs"}
+
+    crit_out = _obj(out)
+    crit_out["aux_outputs"] = [_obj(a) for a in out.get("aux_outputs", [])]
+    raw, (src_idx, match_valid) = set_criterion(
+        crit_out, targets, cfg.criterion, r_crit, data_axis,
+        return_indices=True)
+    # reference key names (criterion.py: loss_mask_ce_0 / loss_bbox_0 / ...)
+    rename = {"loss_ce": "loss_mask_ce", "loss_mask_bce": "loss_mask_bce",
+              "loss_mask_dice": "loss_mask_dice", "loss_bbox": "loss_bbox",
+              "loss_giou": "loss_giou"}
+    losses = {}
+    for k, v in raw.items():
+        for old, new in rename.items():
+            if k == old:
+                losses[f"{new}_0"] = v
+                break
+            if k.startswith(old + "_"):
+                losses[f"{new}_{int(k[len(old) + 1:]) + 1}"] = v
+                break
+    losses["loss_caption_0"] = loss_captions(
+        out["pred_captions"][:, :nq - 1], src_idx, match_valid, batch["classes"],
+        batch["labels_hash"], class_embs, cap_embs, batch["caption_hash"],
+        batch["caption_valid"], logit_scale)
+    g_masks_pred = out["pred_masks"][:, nq:nq + G]
+    bce, dice = loss_groundings(g_masks_pred, batch["grounding_masks"],
+                                batch["grounding_valid"], r_ground,
+                                cfg.criterion)
+    losses["loss_grounding_bce_0"] = cfg.criterion.weight_grounding_bce * bce
+    losses["loss_grounding_dice_0"] = cfg.criterion.weight_grounding_dice * dice
+    losses["loss_grounding_ce_0"] = loss_grounding_ce(
+        out["pred_captions"][:, nq:nq + G], grounding_tokens,
+        batch["grounding_hash"], batch["grounding_valid"], logit_scale)
+
+    # -- vlp pass: captioning token CE + retrieval ITC (decoder + backbone)
+    out_vlp = xdecoder_forward(params["decoder"], cfg.decoder, pyramid,
+                               mask_features, caption_tokens=cap_tok,
+                               task="vlp", is_train=True)
+    losses["loss_captioning_0"] = loss_captionings(
+        out_vlp["pred_captionings"], cap_tok, batch["caption_text_ids"],
+        batch["caption_text_mask"], vocab_embs, logit_scale)
+    img_emb = out_vlp["pred_captions"][:, nq - 1]
+    losses["loss_retrieval_decoder_0"] = image_text_contrastive_loss(
+        img_emb, cap_sent, logit_scale, data_axis)
+    if "backbone_proj" in params:
+        v5 = jnp.mean(feats["res5"], axis=(1, 2)) @ params["backbone_proj"]
+        losses["loss_retrieval_backbone_0"] = image_text_contrastive_loss(
+            v5, cap_sent, logit_scale, data_axis)
     return losses
 
 
@@ -208,7 +401,7 @@ def instance_inference(mask_cls, mask_pred, num_classes: int, topk: int,
     flat = scores.reshape(-1)
     if thing_mask is not None:
         flat = flat * jnp.tile(thing_mask.astype(flat.dtype), (Q,))
-    top_scores, top_idx = jax.lax.top_k(flat, topk)
+    top_scores, top_idx = jax.lax.top_k(flat, min(topk, flat.shape[0]))
     labels = top_idx % num_classes
     query_idx = top_idx // num_classes
     masks = mask_pred[query_idx]                              # [K, H, W] logits
@@ -315,13 +508,9 @@ def forward_vlp_train(params, cfg: XDecoderModelConfig, images,
     """
     from cullavo_tpu.models.xdecoder.criterion import loss_captionings
     from cullavo_tpu.models.xdecoder.language_loss import image_text_contrastive_loss
-    from cullavo_tpu.models.xdecoder.focalnet import focalnet_forward
 
-    feats = focalnet_forward(params["backbone"], cfg.backbone, images)
-    mask_features, _, pyramid = None, None, None
-    from cullavo_tpu.models.xdecoder.fpn import fpn_forward
-
-    mask_features, _, pyramid = fpn_forward(params["fpn"], cfg.fpn, feats)
+    feats = _backbone_apply(params["backbone"], cfg, images)
+    mask_features, _, pyramid = _encoder_apply(params["fpn"], cfg, feats)
     out = xdecoder_forward(params["decoder"], cfg.decoder, pyramid, mask_features,
                            caption_tokens=caption_token_embs, task="vlp",
                            is_train=True)

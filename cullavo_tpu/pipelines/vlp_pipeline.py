@@ -1,0 +1,137 @@
+"""VLP eval pipelines: caption retrieval (ir@k/tr@k) and captioning metrics.
+
+Capability parity with the reference's vlp_val / vlp_captioning_val eval path
+(trainer eval → GeneralizedXdecoder.evaluate_retrieval
+xdecoder_model.py:507-550 / evaluate_captioning :552-577 →
+RetrievalEvaluator / CaptioningEvaluator).  Rows come from the karpathy arrow
+datasets (data/vlp_datasets.py).
+
+TPU-first: fixed square image buckets, one compiled embed/decode program per
+bucket; caption text embedding batched through the text encoder.
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cullavo_tpu.data.evaluation.evaluators import (CaptioningEvaluator,
+                                                    RetrievalEvaluator)
+from cullavo_tpu.models.xdecoder.model import XDecoderModelConfig
+from cullavo_tpu.pipelines.base import register_pipeline
+
+
+def _prep_image(img: np.ndarray, size: int) -> np.ndarray:
+    """uint8 HWC → normalized, square-resized [size, size, 3] (the retrieval
+    eval resizes to a fixed square; one compiled program for the whole set)."""
+    from cullavo_tpu.data.coco_panoptic import resize_image
+    from cullavo_tpu.data.mappers.eval_mappers import normalize_np
+
+    return normalize_np(resize_image(img, size))
+
+
+@register_pipeline("VLPRetrievalPipeline")
+class VLPRetrievalPipeline:
+    """Image↔caption retrieval over karpathy-test (evaluate_retrieval)."""
+
+    def __init__(self, cfg, model_cfg: XDecoderModelConfig, params,
+                 tokenize: Callable, image_loader: Callable,
+                 image_size: int = 224, batch_size: int = 8):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.params = params
+        self.tokenize = tokenize
+        self.image_loader = image_loader
+        self.image_size = image_size
+        self.batch_size = batch_size
+        cfgm = model_cfg
+        from cullavo_tpu.models.xdecoder.model import evaluate_retrieval_embedding
+
+        self._embed = jax.jit(lambda p, im: evaluate_retrieval_embedding(p, cfgm, im))
+
+    def evaluate_model(self, dataset: Iterable[dict],
+                       limit: Optional[int] = None) -> dict:
+        from cullavo_tpu.models.xdecoder.text_encoder import forward_language
+
+        rows = list(dataset)
+        if limit:
+            rows = rows[:limit]
+        ev = RetrievalEvaluator()
+        B = self.batch_size
+        for i in range(0, len(rows), B):
+            chunk = rows[i:i + B]
+            imgs = np.stack([_prep_image(self.image_loader(r), self.image_size)
+                             for r in chunk])
+            img_emb = np.asarray(self._embed(self.params, jnp.asarray(imgs)))
+            # first caption per image pairs the retrieval table (karpathy
+            # protocol: 1 image ↔ its captions; the reference embeds each and
+            # scores vs the image — first-caption pairing reported here)
+            texts = [r["captions"][0] for r in chunk]
+            ids, mask = self.tokenize(texts)
+            t_emb = np.asarray(forward_language(
+                self.params["text"], self.model_cfg.text,
+                jnp.asarray(ids), jnp.asarray(mask)))
+            for b in range(len(chunk)):
+                ev.add(img_emb[b], t_emb[b])
+        return ev.results()
+
+
+@register_pipeline("COCOCaptionXDecPipeline")
+class VLPCaptioningPipeline:
+    """Captioning eval via the decoder's autoregressive caption head
+    (evaluate_captioning; metrics from the native 4-metric evaluator)."""
+
+    def __init__(self, cfg, model_cfg: XDecoderModelConfig, params,
+                 image_loader: Callable, decode_text: Callable,
+                 start_token_id: int = 49406, image_size: int = 224,
+                 batch_size: int = 8):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.params = params
+        self.image_loader = image_loader
+        self.decode_text = decode_text
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.start_token_id = start_token_id
+
+        from cullavo_tpu.models.xdecoder.decoder import forward_captioning
+        from cullavo_tpu.models.xdecoder.model import backbone_and_pixel_decoder
+
+        cfgm = model_cfg
+
+        def run(params, images):
+            mask_features, pyramid = backbone_and_pixel_decoder(params, cfgm, images)
+            tp = params["text"]
+            vocab = tp["token_embedding"] @ tp["lang_proj"]
+
+            def token_embedding_fn(ids):
+                return jnp.take(tp["token_embedding"], ids, axis=0) \
+                    @ tp["lang_proj"]
+
+            return forward_captioning(params["decoder"], cfgm.decoder, pyramid,
+                                      mask_features, token_embedding_fn, vocab,
+                                      self.start_token_id)
+
+        self._decode = jax.jit(run)
+
+    def evaluate_model(self, dataset: Iterable[dict],
+                       limit: Optional[int] = None,
+                       out_path: Optional[str] = None) -> dict:
+        rows = list(dataset)
+        if limit:
+            rows = rows[:limit]
+        ev = CaptioningEvaluator()
+        B = self.batch_size
+        for i in range(0, len(rows), B):
+            chunk = rows[i:i + B]
+            imgs = np.stack([_prep_image(self.image_loader(r), self.image_size)
+                             for r in chunk])
+            ids = np.asarray(self._decode(self.params, jnp.asarray(imgs)))
+            for b, r in enumerate(chunk):
+                ev.add(r["image_id"], self.decode_text(ids[b].tolist()),
+                       r["captions"])
+        if out_path:
+            ev.dump_results(out_path)
+        return ev.results()

@@ -127,7 +127,6 @@ class SemSegMetrics:
                 "pACC": 100.0 * float(tp.sum() / max(self.conf.sum(), 1))}
 
 
-@register_pipeline("XDecoderPipeline")
 def _bucket_hw(h: int, w: int, step: int = 128) -> tuple:
     """Round (h, w) up to multiples of ``step`` — each bucket compiles ONE
     eval program, so variable-size eval sets reuse a handful of programs
@@ -136,6 +135,7 @@ def _bucket_hw(h: int, w: int, step: int = 128) -> tuple:
     return (-(-h // step) * step, -(-w // step) * step)
 
 
+@register_pipeline("XDecoderPipeline")
 class XDecoderPipeline:
     def __init__(self, cfg, model_cfg: XDecoderModelConfig, params,
                  text_class_embeds, tasks: EvalTasks = EvalTasks(),
@@ -166,10 +166,15 @@ class XDecoderPipeline:
         pan_outputs = []
         inst_outputs = []
         inst_metrics = None
+        pan_metrics = None
         if self.tasks.instance:
             from cullavo_tpu.data.evaluation.evaluators import InstanceSegEvaluator
 
             inst_metrics = InstanceSegEvaluator()
+        if self.tasks.panoptic:
+            from cullavo_tpu.data.evaluation.evaluators import PanopticEvaluator
+
+            pan_metrics = PanopticEvaluator(self.model_cfg.num_classes)
         data_t, compute_t, eval_t = [], [], []
         t_last = time.perf_counter()
         for i, row in enumerate(rows):
@@ -201,6 +206,11 @@ class XDecoderPipeline:
                     self.model_cfg.overlap_threshold)
                 pan_outputs.append({"image_id": row.get("image_id"),
                                     "panoptic": pan, "segments": segs})
+                if pan_metrics is not None and "pan_seg_gt" in row:
+                    # PQ against GT id map + segment list (reference
+                    # datasets/evaluation/panoptic_evaluation.py via panopticapi)
+                    pan_metrics.add(pan, segs, row["pan_seg_gt"],
+                                    row["segments_gt"])
             if self.tasks.instance:
                 inst = instance_inference(mask_cls[0], mask_pred[0],
                                           self.model_cfg.num_classes,
@@ -225,6 +235,10 @@ class XDecoderPipeline:
             out["sem_seg"] = sem_metrics.results()
         if self.tasks.panoptic:
             out["panoptic_outputs"] = pan_outputs
+            if pan_metrics is not None and (pan_metrics.tp.sum()
+                                            + pan_metrics.fp.sum()
+                                            + pan_metrics.fn.sum()) > 0:
+                out["panoptic"] = pan_metrics.results()
         if self.tasks.instance:
             out["instance_outputs"] = inst_outputs
             if inst_metrics is not None and inst_metrics.n_gt:
@@ -269,6 +283,10 @@ class RefCOCOPipeline:
             rows = rows[:limit]
         for row in rows:
             ids, mask = self.tokenize([row["text"]])
+            # tokenizers may return [L] or [1, L]; normalize to 1-D so the
+            # pad below never grows the batch axis
+            ids = np.asarray(ids).reshape(-1)
+            mask = np.asarray(mask).reshape(-1)
             # bucketed shapes: one compiled program per (image-bucket,
             # text-bucket) pair instead of a retrace per sample
             h, w = row["image"].shape[:2]
@@ -276,9 +294,14 @@ class RefCOCOPipeline:
             img = np.zeros((1, bh, bw, row["image"].shape[2]),
                            row["image"].dtype)
             img[0, :h, :w] = row["image"]
-            tlen = -(-len(ids) // 16) * 16
-            ids = np.pad(np.asarray(ids), (0, tlen - len(ids)))
-            mask = np.pad(np.asarray(mask), (0, tlen - mask.shape[-1]))
+            # text bucket: multiple of 16, capped at the encoder's context
+            # length (the positional-embedding table bound)
+            tlen = min(-(-len(ids) // 16) * 16,
+                       self.model_cfg.text.context_length)
+            ids = ids[:tlen] if len(ids) >= tlen \
+                else np.pad(ids, (0, tlen - len(ids)))
+            mask = mask[:tlen] if len(mask) >= tlen \
+                else np.pad(mask, (0, tlen - len(mask)))
             pred = self._fn_for((bh, bw))(
                 self.params, jnp.asarray(img), jnp.asarray(ids[None]),
                 jnp.asarray(mask[None]))

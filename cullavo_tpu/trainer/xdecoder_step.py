@@ -57,12 +57,60 @@ def make_xdecoder_train_step(cfg: XDecoderModelConfig,
     return step_fn
 
 
-def shard_xdecoder_step(step_fn, mesh, state: TrainState):
+def make_xdecoder_joint_train_step(cfg: XDecoderModelConfig,
+                                   tx: optax.GradientTransformation,
+                                   remat: bool = False):
+    """Joint multi-task step: mask + bbox + caption + captioning + retrieval
+    + grounding in ONE compiled program (the reference's headline objective,
+    xdecoder_model.py:137-149).  ``batch`` comes from
+    data/coco_caption_grounding.collate_joint plus class_ids/class_mask.
+
+    Returns ``step_fn(state, batch, rng) -> (state, metrics)``; metrics carry
+    every loss key from the reference's weight table.
+    """
+    import functools
+
+    from cullavo_tpu.models.xdecoder.model import forward_joint_train
+
+    fwd = functools.partial(forward_joint_train, remat=remat)
+
+    def loss_fn(params, batch, rng):
+        losses = fwd(params, cfg, batch, rng)
+        total = sum(losses.values())
+        return total, losses
+
+    def step_fn(state: TrainState, batch, rng):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        new_params = optax.apply_updates(state.trainable, updates)
+        metrics = {"loss_total": total,
+                   "grad_norm": optax.global_norm(grads), **losses}
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return step_fn
+
+
+# batch leaves that are per-CLASS tables, not per-example rows — replicated
+_REPLICATED_BATCH_KEYS = ("class_ids", "class_mask")
+
+
+def shard_xdecoder_step(step_fn, mesh, state: TrainState, joint: bool = False,
+                        batch_keys=None):
+    """jit with mesh shardings.  ``joint=False``: the seg step signature
+    (state, batch, text_embeds, rng); ``joint=True``: the joint multi-task
+    step (state, batch, rng) with ``batch_keys`` naming the batch dict's keys
+    (class-token tables replicate; everything else shards on batch)."""
     state_sh = TrainState(
         trainable=param_sharding(state.trainable, mesh),
         opt_state=param_sharding(state.opt_state, mesh),
         step=replicated(mesh))
-    return jax.jit(step_fn,
-                   in_shardings=(state_sh, batch_sharding(mesh),
-                                 replicated(mesh), replicated(mesh)),
+    if joint:
+        bsh = {k: (replicated(mesh) if k in _REPLICATED_BATCH_KEYS
+                   else batch_sharding(mesh)) for k in (batch_keys or ())}
+        in_sh = (state_sh, bsh, replicated(mesh))
+    else:
+        in_sh = (state_sh, batch_sharding(mesh), replicated(mesh),
+                 replicated(mesh))
+    return jax.jit(step_fn, in_shardings=in_sh,
                    out_shardings=(state_sh, replicated(mesh)))

@@ -1,0 +1,230 @@
+"""CLI eval-entry integration tests: tiny fixtures through ``entry.main``.
+
+Covers the lbk_entry.py:6-22 NAME dispatch end-to-end: xdecoder_test
+(semantic, panoptic+PQ, refcoco grounding), vl_test (VQA accuracy), and
+cullavo_step2_pre (model-in-the-loop generation) — all against synthetic
+fixture datasets registered via the DATASETS.REGISTER config block.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cullavo_tpu import entry
+from cullavo_tpu.data.coco_panoptic import id2rgb
+
+
+def _save_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
+
+
+def _write_yaml(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+    return str(path)
+
+
+def _run_eval(capsys, conf):
+    entry.main(["eval", "--conf_files", conf])
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1])
+
+
+def test_eval_cli_xdecoder_semseg(tmp_path, capsys):
+    img_dir = tmp_path / "img"
+    ann_dir = tmp_path / "ann"
+    img_dir.mkdir(); ann_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        _save_png(img_dir / f"im{i}.jpg",
+                  rng.integers(0, 255, (32, 40, 3), dtype=np.uint8))
+        _save_png(ann_dir / f"im{i}.png",
+                  rng.integers(0, 6, (32, 40), dtype=np.uint8))
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: xdecoder_test
+PIPELINE: XDecoderPipeline
+MODEL:
+  TINY: true
+DATASETS:
+  TEST: [fix_sem_val]
+  REGISTER:
+    fix_sem_val:
+      KIND: semseg
+      IMAGE_DIR: {img_dir}
+      ANN_DIR: {ann_dir}
+      NUM_CLASSES: 6
+      TASKS: {{SEMANTIC: true}}
+""")
+    res = _run_eval(capsys, conf)
+    m = res["fix_sem_val"]["sem_seg"]
+    assert set(m) == {"mIoU", "fwIoU", "mACC", "pACC"}
+    assert 0.0 <= m["mIoU"] <= 100.0
+    assert "timing" in res["fix_sem_val"]
+
+
+def test_eval_cli_xdecoder_panoptic_pq(tmp_path, capsys):
+    img_dir = tmp_path / "img"
+    pan_dir = tmp_path / "pan"
+    img_dir.mkdir(); pan_dir.mkdir()
+    rng = np.random.default_rng(1)
+    H, W = 32, 32
+    anns = []
+    for i in range(2):
+        _save_png(img_dir / f"{i:012d}.jpg",
+                  rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+        ids = np.zeros((H, W), np.int32)
+        ids[:16, :16] = 7          # thing segment
+        ids[16:, :] = 9            # stuff segment
+        _save_png(pan_dir / f"{i:012d}.png", id2rgb(ids).astype(np.uint8))
+        anns.append({"image_id": i, "file_name": f"{i:012d}.png",
+                     "segments_info": [
+                         {"id": 7, "category_id": 1, "iscrowd": 0},
+                         {"id": 9, "category_id": 2, "iscrowd": 0}]})
+    pj = tmp_path / "panoptic.json"
+    with open(pj, "w") as f:
+        json.dump({"annotations": anns,
+                   "categories": [{"id": 1, "isthing": 1},
+                                  {"id": 2, "isthing": 0}]}, f)
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: xdecoder_test
+MODEL:
+  TINY: true
+DATASETS:
+  TEST: [fix_pano_val]
+  REGISTER:
+    fix_pano_val:
+      KIND: coco_panoptic
+      JSON: {pj}
+      IMAGE_DIR: {img_dir}
+      PANOPTIC_DIR: {pan_dir}
+      NUM_CLASSES: 6
+      TASKS: {{SEMANTIC: true, PANOPTIC: true, INSTANCE: true}}
+""")
+    res = _run_eval(capsys, conf)
+    m = res["fix_pano_val"]
+    assert "sem_seg" in m
+    # PQ must be COMPUTED (round-1 gap: raw outputs returned, PQ never run)
+    assert "panoptic" in m and {"PQ", "SQ", "RQ"} <= set(m["panoptic"])
+    # instance GT came from the panoptic mapper, so AP must be reported
+    assert "instance_ap" in m and "AP" in m["instance_ap"]
+
+
+def test_eval_cli_refcoco(tmp_path, capsys):
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(2)
+    _save_png(img_dir / "r.jpg", rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    refs = [{"ann_id": 1, "image_id": 10, "split": "val", "category_id": 3,
+             "sentences": [{"sent": "the red thing"}]}]
+    inst = {"annotations": [{"id": 1, "image_id": 10,
+                             "segmentation": [[2, 2, 20, 2, 20, 20, 2, 20]],
+                             "bbox": [2, 2, 18, 18]}],
+            "images": [{"id": 10, "file_name": "r.jpg",
+                        "height": 32, "width": 32}]}
+    rj, ij = tmp_path / "refs.json", tmp_path / "inst.json"
+    with open(rj, "w") as f:
+        json.dump(refs, f)
+    with open(ij, "w") as f:
+        json.dump(inst, f)
+    out_dir = tmp_path / "out"
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: xdecoder_test
+MODEL:
+  TINY: true
+SAVE_DIR: {out_dir}
+DATASETS:
+  TEST: [fix_refcoco_val]
+  REGISTER:
+    fix_refcoco_val:
+      KIND: refcoco
+      REFS_JSON: {rj}
+      INSTANCES_JSON: {ij}
+      IMAGE_DIR: {img_dir}
+""")
+    res = _run_eval(capsys, conf)
+    m = res["fix_refcoco_val"]
+    assert {"cIoU", "mIoU", "precision@0.5"} <= set(m)
+    assert os.path.exists(out_dir / "ref_coco.csv")
+
+
+def test_eval_cli_vl_test_vqa(tmp_path, capsys):
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for image_id in (1, 2):
+        _save_png(img_dir / f"COCO_val2014_{image_id:012d}.jpg",
+                  rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    qj, aj = tmp_path / "q.json", tmp_path / "a.json"
+    with open(qj, "w") as f:
+        json.dump({"questions": [
+            {"question_id": 100, "question": "what is it?", "image_id": 1},
+            {"question_id": 101, "question": "how many?", "image_id": 2}]}, f)
+    with open(aj, "w") as f:
+        json.dump({"annotations": [
+            {"question_id": 100, "question_type": "what is",
+             "answer_type": "other",
+             "answers": [{"answer": "cat"}] * 10},
+            {"question_id": 101, "question_type": "how many",
+             "answer_type": "number",
+             "answers": [{"answer": "2"}] * 10}]}, f)
+    out_dir = tmp_path / "out"
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: vl_test
+PIPELINE: LLaVAVQAVALPipeline
+BATCH_SIZE: 2
+MAX_NEW_TOKENS: 4
+SAVE_DIR: {out_dir}
+DATASETS:
+  TEST: [fix_vqa_val]
+  REGISTER:
+    fix_vqa_val:
+      KIND: vqa
+      QUESTIONS_JSON: {qj}
+      ANNOTATIONS_JSON: {aj}
+      IMAGE_DIR: {img_dir}
+""")
+    res = _run_eval(capsys, conf)
+    m = res["fix_vqa_val"]
+    assert m["n"] == 2
+    assert 0.0 <= m["overall"] <= 100.0
+    assert os.path.exists(out_dir / "vqa_results.json")
+
+
+def test_eval_cli_step2_pre(tmp_path, capsys):
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(4)
+    _save_png(img_dir / "a.jpg", rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+    cj = tmp_path / "conv.json"
+    with open(cj, "w") as f:
+        json.dump([{"image": "a.jpg", "conversations": [
+            {"from": "human", "value": "<image> describe"},
+            {"from": "gpt", "value": "a thing"}]}], f)
+    out_dir = tmp_path / "gen"
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: cullavo_step2_pre
+PIPELINE: CuLLaVOPipeline
+SAVE_DIR: {out_dir}
+MAX_NEW_TOKENS: 8
+DATASETS:
+  TEST: [fix_sharegpt]
+  REGISTER:
+    fix_sharegpt:
+      KIND: conversations
+      JSON: {cj}
+      IMAGE_ROOT: {img_dir}
+""")
+    res = _run_eval(capsys, conf)
+    assert "rows" in res
+    # the merged JSON is written even when the tiny random model parses to
+    # zero usable rows (CuLLaVOPipeline.py:130-132 semantics)
+    assert os.path.exists(out_dir / "lbk_new_version.json")
+
+
+def test_eval_cli_unknown_name(tmp_path):
+    conf = _write_yaml(tmp_path / "conf.yaml", "NAME: bogus_workload\n")
+    with pytest.raises(SystemExit):
+        entry.main(["eval", "--conf_files", conf])

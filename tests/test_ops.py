@@ -414,3 +414,43 @@ def test_flash_branch_with_quantized_weights():
     out_ref, _ = llama_forward(q, cfg.text, emb, mask, pos, use_flash=False)
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_nf4_matches_bnb_golden():
+    """Bit-exact NF4 dequant parity vs REAL bitsandbytes golden tensors
+    (SURVEY §7 hard-part #1; spec at cullavo/load_cullavo.py:65-83).
+
+    The fixture must be generated with actual bitsandbytes on a CUDA machine:
+        python tests/fixtures/make_nf4_golden.py
+    (bitsandbytes is CUDA-only and not installable in this TPU environment —
+    the test SKIPS until the fixture file is committed.)
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "nf4_golden.npz")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("nf4_golden.npz absent — generate with "
+                    "`python tests/fixtures/make_nf4_golden.py` on a CUDA "
+                    "machine with bitsandbytes")
+    gold = dict(np.load(path))
+    from cullavo_tpu.ops.nf4 import NF4_CODE
+
+    for name in ("a", "b", "c"):
+        packed = gold[f"{name}_packed"].reshape(-1)
+        absmax = gold[f"{name}_absmax_fp"].reshape(-1)
+        want = gold[f"{name}_dequant"].reshape(-1)
+        # bnb packs two codes per byte, HIGH nibble first
+        hi = (packed >> 4) & 0xF
+        lo = packed & 0xF
+        codes = np.stack([hi, lo], axis=1).reshape(-1)
+        vals = NF4_CODE[codes]
+        deq = (vals.reshape(-1, 64) * absmax[:, None]).reshape(-1)
+        np.testing.assert_array_equal(deq.astype(np.float32),
+                                      want.astype(np.float32))
+        # and our own encoder agrees with bnb's quantization codes
+        t = quantize_nf4(jnp.asarray(gold[f"{name}_x"]), double_quant=False)
+        ours_packed = np.asarray(t.packed).reshape(-1)
+        mismatch = (ours_packed != packed).mean()
+        assert mismatch < 0.001, f"{name}: {mismatch:.4%} code mismatch vs bnb"

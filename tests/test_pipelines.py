@@ -23,6 +23,24 @@ def test_registry_contains_all_pipelines():
                      "COCOCaptionPipeline"]:
         assert expected in names, names
 
+    # the registered object must BE the pipeline class (round-1 regression:
+    # the decorator sat above a helper function, so build_pipeline returned
+    # a bucketing helper instead of XDecoderPipeline)
+    import inspect
+
+    from cullavo_tpu.pipelines.base import _PIPELINES
+    from cullavo_tpu.pipelines.cullavo_pipeline import CuLLaVOPipeline
+    from cullavo_tpu.pipelines.vqa_pipeline import VQAPipeline
+    from cullavo_tpu.pipelines.xdecoder_pipeline import (RefCOCOPipeline,
+                                                         XDecoderPipeline)
+
+    assert _PIPELINES["XDecoderPipeline"] is XDecoderPipeline
+    assert _PIPELINES["RefCOCOPipeline"] is RefCOCOPipeline
+    assert _PIPELINES["CuLLaVOPipeline"] is CuLLaVOPipeline
+    assert _PIPELINES["LLaVAVQAVALPipeline"] is VQAPipeline
+    for name, obj in _PIPELINES.items():
+        assert inspect.isclass(obj), f"{name} registered a non-class: {obj!r}"
+
 
 def test_vqa_pipeline_end_to_end_tiny():
     from cullavo_tpu.data.tokenizer import ByteTokenizer
