@@ -20,7 +20,7 @@ import numpy as np
 
 A100_EST_IMG_PER_S = 2.0
 PROMPT_TEXT_TOKENS = 64
-DECODE_TOKENS = 16
+DECODE_TOKENS = int(__import__("os").environ.get("BENCH_DECODE_TOKENS", 16))
 BATCH = int(__import__("os").environ.get("BENCH_BATCH", 10))
 QUANT_MODES = ("nf4", "int8")   # tried in order; int8 compiles lighter
 

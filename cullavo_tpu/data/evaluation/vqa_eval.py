@@ -74,6 +74,11 @@ class VQAEvaluator:
 
     def process(self, question_id, answer: str, gt_answers: list[str],
                 question_type: str = None, answer_type: str = None):
+        if gt_answers is None:
+            # test/test-dev split: no annotations — record the answer for the
+            # EvalAI submission dump only (LLaVAVQATESTPipeline.py:29-143)
+            self.results.append({"question_id": question_id, "answer": answer})
+            return None
         res = normalize_answer(answer)
         gts = [normalize_answer(g) for g in gt_answers]
         accs = []

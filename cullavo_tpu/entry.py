@@ -258,8 +258,12 @@ def register_datasets_from_cfg(cfg):
             register_refcoco(name, spec["REFS_JSON"], spec["INSTANCES_JSON"],
                              spec["IMAGE_DIR"], split=spec.get("SPLIT", "val"))
         elif kind == "vqa":
+            kw = {}
+            if spec.get("IMAGE_TEMPLATE"):
+                # test-dev uses COCO_test2015_{:012d}.jpg naming
+                kw["image_template"] = str(spec["IMAGE_TEMPLATE"])
             register_vqa(name, spec["QUESTIONS_JSON"],
-                         spec.get("ANNOTATIONS_JSON"), spec["IMAGE_DIR"])
+                         spec.get("ANNOTATIONS_JSON"), spec["IMAGE_DIR"], **kw)
         elif kind == "coco_panoptic_caption_grounding":
             from cullavo_tpu.data.coco_caption_grounding import (
                 register_coco_panoptic_caption_grounding)

@@ -162,14 +162,39 @@ def _codebook_lookup_mux(idx: jax.Array, dtype=jnp.float32) -> jax.Array:
     return jnp.where(b3, l3[1], l3[0])
 
 
+def _codebook_lookup_lerp(idx: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Arithmetic decode: the mux tree with each select A?B:A replaced by the
+    exact-on-{0,1} lerp ``A + b*(B-A)`` — no boolean vectors at all, so the
+    whole network runs at bf16 packing (2 lanes/register) without the i1
+    relayout Mosaic rejects ("Invalid relayout ... vector<...xi1>" when a
+    (8,128)-layout mask feeds a (16,128) bf16 select).
+
+    Exactness: b ∈ {0,1} exactly; level-1 diffs are compile-time constants;
+    higher-level diffs are Sterbenz-exact (adjacent codebook values are
+    within 2x).  tests/test_ops.py::test_nf4_lerp_decode_table asserts the
+    16-entry decode table equals the rounded codebook bit-for-bit."""
+    b0 = (idx & 1).astype(dtype)
+    b1 = ((idx >> 1) & 1).astype(dtype)
+    b2 = ((idx >> 2) & 1).astype(dtype)
+    b3 = ((idx >> 3) & 1).astype(dtype)
+    C = [jnp.asarray(v, dtype) for v in NF4_CODE]
+    l1 = [C[2 * i] + b0 * (C[2 * i + 1] - C[2 * i]) for i in range(8)]
+    l2 = [l1[2 * i] + b1 * (l1[2 * i + 1] - l1[2 * i]) for i in range(4)]
+    l3 = [l2[2 * i] + b2 * (l2[2 * i + 1] - l2[2 * i]) for i in range(2)]
+    return l3[0] + b3 * (l3[1] - l3[0])
+
+
 def _codebook_lookup(idx: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Nibble → NF4 value; CULLAVO_NF4_DECODE selects the decode network
-    (mux = default binary tree; chain = round-1 eq-select chain)."""
+    (mux = default binary tree; chain = round-1 eq-select chain;
+    lerp_bf16 = bf16 arithmetic tree)."""
     import os
 
     mode = os.environ.get("CULLAVO_NF4_DECODE", "mux")
     if mode == "chain":
         return _codebook_lookup_chain(idx, dtype)
+    if mode.startswith("lerp"):
+        return _codebook_lookup_lerp(idx, dtype)
     return _codebook_lookup_mux(idx, dtype)
 
 
@@ -459,12 +484,13 @@ def _nf4_planar_kernel(x_ref, w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
     k8 = k_dim // 8
     nsc = block_n // BLOCK
     bm = x_ref.shape[0]
-    # CULLAVO_NF4_DECODE=mux_bf16 runs the decode network on bf16 values
-    # (2 lanes/register → ~2x decode throughput IF Mosaic accepts it; the
-    # round-1 eq-chain bf16 variant crashed the axon helper)
+    # CULLAVO_NF4_DECODE=lerp_bf16 runs the 16-way decode network on bf16
+    # values (2 lanes/register) via the arithmetic lerp tree — boolean-mask
+    # selects at bf16 layout crash Mosaic ("Invalid relayout ... xi1"), so
+    # the scale expansion stays fp32 (native i1 layout) with one final cast.
     dt = (jnp.bfloat16 if os.environ.get("CULLAVO_NF4_DECODE", "mux")
           .endswith("bf16") else jnp.float32)
-    st = s_ref[:].T.astype(dt)                                   # [K, 8]
+    st = s_ref[:].T                                              # [K, 8] fp32
     cbid = jax.lax.broadcasted_iota(jnp.int32, (k8, block_n), 1) // BLOCK
     cb_masks = [cbid == c for c in range(nsc)]   # hoisted out of the plane loop
     acc = jnp.zeros((bm, block_n), jnp.float32)
@@ -472,10 +498,11 @@ def _nf4_planar_kernel(x_ref, w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
         nib = (w_ref[:] >> (4 * i)) & 0xF                        # [K8, bn]
         vals = _codebook_lookup(nib, dt)
         st_i = st[i * k8:(i + 1) * k8, :]                        # [K8, 8]
-        scale_exp = jnp.zeros((k8, block_n), dt)
+        scale_exp = jnp.zeros((k8, block_n), jnp.float32)
         for c in range(nsc):
             scale_exp = jnp.where(cb_masks[c], st_i[:, c:c + 1], scale_exp)
-        vals = (vals * scale_exp).astype(jnp.bfloat16)
+        vals = (vals.astype(jnp.float32) * scale_exp).astype(jnp.bfloat16) \
+            if dt == jnp.float32 else vals * scale_exp.astype(dt)
         acc += jnp.dot(x_ref[:, pl.ds(i * k8, k8)].astype(jnp.bfloat16), vals,
                        preferred_element_type=jnp.float32)
     o_ref[:] = acc.astype(out_dtype)
@@ -543,17 +570,21 @@ def _nf4_dequant_kernel(w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
     nsc = block_n // BLOCK
     dt = (jnp.bfloat16 if os.environ.get("CULLAVO_NF4_DECODE", "mux")
           .endswith("bf16") else jnp.float32)
-    st = s_ref[:].T.astype(dt)                                   # [K, 8]
+    st = s_ref[:].T                                              # [K, 8] fp32
     cbid = jax.lax.broadcasted_iota(jnp.int32, (k8, block_n), 1) // BLOCK
     cb_masks = [cbid == c for c in range(nsc)]   # hoisted out of the plane loop
     for i in range(8):
         nib = (w_ref[:] >> (4 * i)) & 0xF                        # [K8, bn]
         vals = _codebook_lookup(nib, dt)
         st_i = st[i * k8:(i + 1) * k8, :]                        # [K8, 8]
-        scale_exp = jnp.zeros((k8, block_n), dt)
+        scale_exp = jnp.zeros((k8, block_n), jnp.float32)
         for c in range(nsc):
             scale_exp = jnp.where(cb_masks[c], st_i[:, c:c + 1], scale_exp)
-        o_ref[i * k8:(i + 1) * k8, :] = (vals * scale_exp).astype(out_dtype)
+        if dt == jnp.float32:
+            o_ref[i * k8:(i + 1) * k8, :] = (vals * scale_exp).astype(out_dtype)
+        else:
+            o_ref[i * k8:(i + 1) * k8, :] = (
+                vals * scale_exp.astype(dt)).astype(out_dtype)
 
 
 def nf4_dequant_planar_pallas(q: dict, d_in: int, d_out: int,

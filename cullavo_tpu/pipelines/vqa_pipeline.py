@@ -116,6 +116,34 @@ class VQAPipeline:
         return results
 
 
+@register_pipeline("LLaVAVQATESTPipeline")
+class VQATestPipeline(VQAPipeline):
+    """VQAv2 test / test-dev submission run (LLaVAVQATESTPipeline.py:29-143).
+
+    Same decode path as the val pipeline, but test rows carry no annotations
+    (``answers`` is None/absent), so no accuracy is computed — the run's
+    product is the EvalAI submission JSON (``vqa_submission.json``, a list of
+    ``{"question_id", "answer"}``, the cullavo/eval/vqav2 convert format).
+    """
+
+    def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
+                       out_dir: Optional[str] = None) -> dict:
+        rows = list(dataset)
+        if limit:
+            rows = rows[:limit]
+        for i in range(0, len(rows), self.batch_size):
+            chunk = rows[i:i + self.batch_size]
+            pix = np.stack([r["pixel_values"] for r in chunk])
+            answers = self.answer_batch([r["question"] for r in chunk], pix)
+            for r, ans in zip(chunk, answers):
+                self.evaluator.process(r["question_id"], ans, r.get("answers"))
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            self.evaluator.dump_results(
+                os.path.join(out_dir, "vqa_submission.json"))
+        return {"n": len(self.evaluator.results), "submission": True}
+
+
 def make_reference_topic_fn(llama_model_dir: str, clip_model_dir: str,
                             class_names=None, seed: int = 0,
                             max_new_tokens: int = 10):

