@@ -7,6 +7,7 @@ forward (backbone → FPN → 9-layer decoder → 201 queries → class+mask hea
 Prints ONE JSON line like bench.py (the primary driver metric stays bench.py).
 """
 import json
+import os
 import sys
 import time
 
@@ -32,7 +33,8 @@ def main():
     from cullavo_tpu.models.xdecoder.model import (forward_eval,
                                                    init_xdecoder_model_params)
 
-    opt = load_config(["configs/xdecoder_test.yaml"])
+    opt = load_config([os.environ.get("BENCH_XDEC_CONFIG",
+                                      "configs/xdecoder_test.yaml")])
     cfg = xdecoder_model_config_from(opt)
     log("init params (jit)...")
     params = jax.jit(lambda k: init_xdecoder_model_params(cfg, k))(

@@ -113,10 +113,14 @@ def extract_caption_nouns(caption: str,
 
 def load_coco_panoptic_caption_grounding_json(
         panoptic_json: str, image_dir: str, panoptic_dir: str,
-        caption_json: str, grounding_json: str, metadata: dict) -> list:
+        caption_json: str, grounding_json: str, metadata: dict,
+        lvis_json: Optional[str] = None) -> list:
     """Merged records (register_coco_panoptic_annos_caption_grounding.py:
     120-170): panoptic record + ``captions`` [str] + ``grounding_info``
-    [COCO-instance-style anns with sentences]."""
+    [COCO-instance-style anns with sentences].  With ``lvis_json``, each
+    record also carries ``lvis_info`` — LVIS instance annotations for the
+    image (register_coco_lvis_panoptic_annos_caption_grounding.py:126-152,
+    the ``_filtall``/``_filtrefgumdval`` training splits)."""
     from cullavo_tpu.data.coco_panoptic import load_coco_panoptic_json
 
     records = load_coco_panoptic_json(panoptic_json, image_dir, panoptic_dir,
@@ -131,22 +135,31 @@ def load_coco_panoptic_caption_grounding_json(
     grd_dict = collections.defaultdict(list)
     for ann in grd_info["annotations"]:
         grd_dict[int(ann["image_id"])].append(ann)
+    lvis_dict = None
+    if lvis_json is not None:
+        with open(lvis_json) as f:
+            lvis_info = json.load(f)
+        lvis_dict = collections.defaultdict(list)
+        for ann in lvis_info["annotations"]:
+            lvis_dict[int(ann["image_id"])].append(ann)
     for rec in records:
         rec["captions"] = cap_dict.get(int(rec["image_id"]), [])
         rec["grounding_info"] = grd_dict.get(int(rec["image_id"]), [])
+        if lvis_dict is not None:
+            rec["lvis_info"] = lvis_dict.get(int(rec["image_id"]), [])
     return records
 
 
 def register_coco_panoptic_caption_grounding(
         name: str, panoptic_json: str, image_dir: str, panoptic_dir: str,
         caption_json: str, grounding_json: str,
-        metadata: Optional[dict] = None):
+        metadata: Optional[dict] = None, lvis_json: Optional[str] = None):
     md = dict(metadata or {})
     register_dataset(
         name,
         lambda: load_coco_panoptic_caption_grounding_json(
             panoptic_json, image_dir, panoptic_dir, caption_json,
-            grounding_json, md),
+            grounding_json, md, lvis_json=lvis_json),
         md)
 
 

@@ -272,7 +272,8 @@ def register_datasets_from_cfg(cfg):
                 name, spec["JSON"], spec["IMAGE_DIR"], spec["PANOPTIC_DIR"],
                 spec["CAPTION_JSON"], spec["GROUNDING_JSON"],
                 metadata={"num_classes": int(spec.get("NUM_CLASSES", 133)),
-                          "class_names": list(spec.get("CLASS_NAMES", [])) or None})
+                          "class_names": list(spec.get("CLASS_NAMES", [])) or None},
+                lvis_json=spec.get("LVIS_JSON"))
         elif kind == "conversations":
             from cullavo_tpu.data.instruction_data import load_conversation_json
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -508,9 +509,56 @@ def _nf4_planar_kernel(x_ref, w_ref, s_ref, o_ref, *, block_n: int, k_dim: int,
     o_ref[:] = acc.astype(out_dtype)
 
 
+def _nf4_planar_sx_kernel(x_ref, w_ref, s_ref, o_ref, *, block_n: int,
+                          k_dim: int, out_dtype):
+    """Scale-on-x fused kernel: instead of select-expanding the per-64-block
+    scales over the whole [k8, bn] weight tile (nsc lane-1 broadcast
+    relayouts + nsc selects + 1 multiply PER WEIGHT), pre-scale the tiny x
+    operand per scale chunk and run one [bm, k8] @ [k8, 64] dot per chunk:
+
+        y[:, c] = (x_i * s[:, c]) @ vals[:, c]        (exact — s is per-k)
+
+    Scale work drops from O(weights) to O(bm * k): ~45M ops -> ~0.5M per
+    panel at decode M.  s_ref row c delivers scale column c along LANES, so
+    the broadcast over bm rows is a cheap sublane replication (no transpose,
+    no lane-1 broadcast).  Decode honors CULLAVO_NF4_DECODE: the default fp32
+    mux tree, or lerp_bf16 — the boolean-free arithmetic tree at bf16 (2,1)
+    register packing (2 lanes/op on the VPU), which only makes sense HERE
+    because sx has no fp32 scale-expansion left to undo the packing."""
+    k8 = k_dim // 8
+    nsc = block_n // BLOCK
+    bm = x_ref.shape[0]
+    dt = (jnp.bfloat16 if os.environ.get("CULLAVO_NF4_DECODE", "mux")
+          .endswith("bf16") else jnp.float32)
+    acc = jnp.zeros((bm, block_n), jnp.float32)
+    for i in range(8):
+        nib = (w_ref[:] >> (4 * i)) & 0xF                        # [K8, bn]
+        vals = _codebook_lookup(nib, dt).astype(jnp.bfloat16)
+        xi = x_ref[:, pl.ds(i * k8, k8)].astype(jnp.float32)     # [bm, K8]
+        cols = []
+        for c in range(nsc):
+            sc = s_ref[c:c + 1, pl.ds(i * k8, k8)]               # [1, K8]
+            xs = (xi * sc).astype(jnp.bfloat16)
+            cols.append(jnp.dot(xs, vals[:, c * BLOCK:(c + 1) * BLOCK],
+                                preferred_element_type=jnp.float32))
+        acc += jnp.concatenate(cols, axis=1)
+    o_ref[:] = acc.astype(out_dtype)
+
+
 def nf4_linear_planar(x: jax.Array, q: dict, d_in: int, d_out: int,
-                      block_n: int = 256, block_m: int = 256) -> jax.Array:
-    """Fused planar dequant-matmul (Mosaic-compilable at 7B scale)."""
+                      block_n: int = 256, block_m: int = 256,
+                      force_bn: bool = False,
+                      variant: Optional[str] = None) -> jax.Array:
+    """Fused planar dequant-matmul (Mosaic-compilable at 7B scale).
+
+    ``variant``: kernel inner-loop strategy — "sx" (scale-on-x chunk dots;
+    default) or "scale_exp" (select-expanded scales); override with
+    CULLAVO_NF4_KERNEL.  sx measured 7.31 vs 6.62 img/s end-to-end on the 7B
+    NF4 bench (bench.py, batch 16) — the select-expansion's lane-1 broadcast
+    relayouts were ~10% of the decode step.
+    """
+    if variant is None:
+        variant = os.environ.get("CULLAVO_NF4_KERNEL", "sx")
     lead = x.shape[:-1]
     M = 1
     for s in lead:
@@ -524,8 +572,11 @@ def nf4_linear_planar(x: jax.Array, q: dict, d_in: int, d_out: int,
     scale = q["scale"].reshape(d_in, d_out // BLOCK).astype(jnp.float32)
     # large-K tiles (7B down-proj, d_in=11008) sit at the 16 MB scoped-VMEM
     # line at block_n=256 — halve the N tile there (decode is VPU-bound, so
-    # tile size doesn't change throughput)
-    if d_in > 8192:
+    # tile size doesn't change throughput).  ``force_bn`` keeps the caller's
+    # block_n (safe at decode-M where the x tile is small; see
+    # scripts/nf4_decode_probe.py).  The sx kernel skips the clamp: without
+    # the select-expanded scale plane it fits bn256 at d_in=11008.
+    if d_in > 8192 and not force_bn and variant != "sx":
         block_n = min(block_n, 128)
     block_n = min(block_n, d_out)
     while d_out % block_n:
@@ -537,7 +588,8 @@ def nf4_linear_planar(x: jax.Array, q: dict, d_in: int, d_out: int,
     # scale[:, j*nsc + c]
     scale_t = scale.T.reshape(nb, nsc, d_in)
     scale_t = jnp.pad(scale_t, ((0, 0), (0, 8 - nsc), (0, 0))).reshape(nb * 8, d_in)
-    kernel = functools.partial(_nf4_planar_kernel, block_n=block_n,
+    kern_fn = _nf4_planar_sx_kernel if variant == "sx" else _nf4_planar_kernel
+    kernel = functools.partial(kern_fn, block_n=block_n,
                                k_dim=d_in, out_dtype=x.dtype)
     out = pl.pallas_call(
         kernel,

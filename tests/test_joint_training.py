@@ -166,3 +166,46 @@ def test_joint_train_step_all_losses_and_decreases():
         last = float(m["loss_total"])
     assert np.isfinite(last)
     assert last < first, (first, last)
+
+
+def test_caption_grounding_json_loader_with_lvis(tmp_path):
+    """Merged-record JSON loader incl. the LVIS variant
+    (register_coco_lvis_panoptic_annos_caption_grounding.py:126-152)."""
+    from cullavo_tpu.data.coco_caption_grounding import (
+        load_coco_panoptic_caption_grounding_json)
+
+    pan = {"categories": [{"id": 1, "isthing": 1, "name": "cat"},
+                          {"id": 4, "isthing": 0, "name": "grass"}],
+           "annotations": [
+               {"image_id": 7, "file_name": "000007.png",
+                "segments_info": [{"id": 5, "category_id": 1},
+                                  {"id": 9, "category_id": 4}]}]}
+    caps = {"annotations": [{"image_id": 7, "caption": "a cat on grass"},
+                            {"image_id": 7, "caption": "feline resting"},
+                            {"image_id": 8, "caption": "unrelated"}]}
+    grd = {"annotations": [
+        {"image_id": 7, "segmentation": [[0, 0, 8, 0, 8, 8]],
+         "sentences": [{"raw": "the cat"}], "category_id": 1}]}
+    lvis = {"annotations": [
+        {"image_id": 7, "segmentation": [[0, 0, 4, 0, 4, 4]],
+         "category_id": 333},
+        {"image_id": 9, "segmentation": [], "category_id": 1}]}
+    paths = {}
+    for nm, obj in [("pan", pan), ("caps", caps), ("grd", grd), ("lvis", lvis)]:
+        p = tmp_path / f"{nm}.json"
+        p.write_text(json.dumps(obj))
+        paths[nm] = str(p)
+
+    recs = load_coco_panoptic_caption_grounding_json(
+        paths["pan"], str(tmp_path), str(tmp_path), paths["caps"],
+        paths["grd"], {})
+    assert len(recs) == 1
+    assert recs[0]["captions"] == ["a cat on grass", "feline resting"]
+    assert len(recs[0]["grounding_info"]) == 1
+    assert "lvis_info" not in recs[0]
+
+    recs = load_coco_panoptic_caption_grounding_json(
+        paths["pan"], str(tmp_path), str(tmp_path), paths["caps"],
+        paths["grd"], {}, lvis_json=paths["lvis"])
+    assert len(recs[0]["lvis_info"]) == 1
+    assert recs[0]["lvis_info"][0]["category_id"] == 333

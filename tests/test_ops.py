@@ -481,3 +481,23 @@ def test_nf4_decode_networks_agree():
     # fp32 lerp is exact to float32 resolution
     lerp32 = np.asarray(_codebook_lookup_lerp(idx, jnp.float32))
     np.testing.assert_allclose(lerp32, NF4_CODE, atol=1e-7)
+
+
+def test_nf4_planar_kernel_variants_agree():
+    """sx (scale-on-x chunk dots, the default) and scale_exp (select-expanded
+    scales) kernels compute the same fused dequant-matmul."""
+    from cullavo_tpu.ops.nf4 import (dequant_linear_planar, nf4_linear_planar,
+                                     quantize_linear_planar)
+    rng = np.random.default_rng(11)
+    for K, N in [(128, 256), (256, 128)]:
+        w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+        q = quantize_linear_planar(jnp.asarray(w))
+        x = jnp.asarray(rng.normal(size=(5, K)).astype(np.float32), jnp.bfloat16)
+        ref = np.asarray(x @ dequant_linear_planar(q, K, N, jnp.bfloat16),
+                         np.float32)
+        for variant in ("sx", "scale_exp"):
+            out = np.asarray(
+                nf4_linear_planar(x, q, K, N, block_n=128, variant=variant),
+                np.float32)
+            scale = max(1.0, float(np.abs(ref).max()))
+            assert np.abs(out - ref).max() / scale < 2e-2, variant
