@@ -140,7 +140,7 @@ def main():
     from cullavo_tpu.models.llava.config import LlavaConfig
     from cullavo_tpu.models.llava.modeling import (GenerationConfig,
                                                    generate_decode,
-                                                   generate_prefill)
+                                                   generate_prefill_chunked)
 
     cfg = LlavaConfig()
     log("device:", jax.devices()[0], "building 7B params...")
@@ -164,9 +164,15 @@ def main():
                            eos_token_id=-1)
     jids, jpix, jmask = jnp.asarray(ids), jnp.asarray(pix), jnp.asarray(mask)
 
+    # chunked prefill: prefill CHUNK rows at a time into one merged cache,
+    # decode the full batch once — the per-step weight-stream dequant is
+    # batch-independent, so a big decode batch amortizes it (the NF4 lever)
+    chunk = int(os.environ.get("BENCH_PREFILL_CHUNK", B))
+
     def run():
-        state = generate_prefill(params, cfg, jids, jpix, jmask, max_len,
-                                 compute_dtype=jnp.bfloat16)
+        state = generate_prefill_chunked(params, cfg, jids, jpix, jmask,
+                                         max_len, chunk,
+                                         compute_dtype=jnp.bfloat16)
         # return_state=True lets the donated prefill cache alias the output
         # cache (in-place decode; one cache-sized buffer instead of two)
         out, _ = generate_decode(params, cfg, state, gen,
@@ -196,6 +202,7 @@ def main():
         "decode_tokens": DECODE_TOKENS,
         "prompt_tokens": int(T),
         "batch": B,
+        "prefill_chunk": chunk,
         "quant": quant_mode,
         "params_b": 7.06,
     }))

@@ -180,17 +180,11 @@ def blip2_generate(params, cfg: Blip2Config, pixel_values, input_ids,
         idx = T + i
         new_pos = last_pos + 1
         emb = _lm_embed(params, cfg, tok[:, None]).astype(embeds.dtype)
-        # stale-cache decode: read-only cache attention + one in-place
-        # scatter per step (no per-layer cache copy+restack)
-        h, kv_new = _lm_forward(params, cfg, emb, full_mask,
-                                new_pos[:, None], cache, idx, key_pos,
-                                stale_cache=True)
-        cache = {
-            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
-                                              (0, 0, 0, idx, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
-                                              (0, 0, 0, idx, 0)),
-        }
+        # stale-cache decode: stale-read attention + per-layer in-place
+        # scatter inside the layer scan (see opt_forward's stale_cache doc)
+        h, cache = _lm_forward(params, cfg, emb, full_mask,
+                               new_pos[:, None], cache, idx, key_pos,
+                               stale_cache=True)
         full_mask = full_mask.at[:, idx].set(1)
         key_pos = key_pos.at[:, idx].set(new_pos)
         logits = _lm_logits(params, cfg, h[:, -1])
@@ -274,15 +268,9 @@ def blip2_beam_generate(params, cfg: Blip2Config, pixel_values, input_ids,
         idx = T + step_idx - 1                 # cache slot of the fed token
         new_pos = last_pos + step_idx
         emb = _lm_embed(params, cfg, tok[:, None]).astype(embeds.dtype)
-        h, kv_new = _lm_forward(params, cfg, emb, full_mask,
-                                new_pos[:, None], cache, idx, key_pos,
-                                stale_cache=True)
-        cache = {
-            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
-                                              (0, 0, 0, idx, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
-                                              (0, 0, 0, idx, 0)),
-        }
+        h, cache = _lm_forward(params, cfg, emb, full_mask,
+                               new_pos[:, None], cache, idx, key_pos,
+                               stale_cache=True)
         full_mask = full_mask.at[:, idx].set(1)
         key_pos = key_pos.at[:, idx].set(new_pos)
         logits = _lm_logits(params, cfg, h[:, -1]).astype(jnp.float32)

@@ -63,10 +63,13 @@ def opt_forward(
 ):
     """Returns (hidden [B, T, D] after final LN, new_cache).
 
-    ``stale_cache``: 1-token decode fast path — the cache is read-only
-    (``attention_mask`` must NOT include the current position); returns
-    ``{"k_new", "v_new"}: [L, B, H, 1, hd]`` for the caller to scatter into
-    its cache carry.  See llava/llama.py::sdpa_decode_stale."""
+    ``stale_cache``: 1-token decode fast path — attention reads the cache
+    WITHOUT the current position (``attention_mask`` must not include it);
+    the cache is carried through the layer scan and each layer writes its
+    fresh k/v in place at ``cache_index``; returns the updated full
+    ``{"k", "v"}``.  Carry + per-layer DUS (not an outer full-cache DUS)
+    is what lets XLA update the cache in place — see
+    llava/llama.py::llama_forward's stale_cache note."""
     B, T, D = inputs_embeds.shape
     H, hd = cfg.num_attention_heads, cfg.head_dim
     dtype = inputs_embeds.dtype
@@ -85,7 +88,10 @@ def opt_forward(
     bias = jnp.where(ok[:, None, :, :], 0.0, NEG_INF).astype(jnp.float32)
 
     def layer(carry, scanned):
-        h = carry
+        if stale_cache:
+            h, kcar, vcar = carry
+        else:
+            h = carry
         w = scanned["w"]
         residual = h
         x = layer_norm(h, w["attn_ln"], w["attn_ln_b"], eps)
@@ -96,10 +102,15 @@ def opt_forward(
         if cache is not None and stale_cache:
             from cullavo_tpu.models.llava.llama import sdpa_decode_stale
 
-            o = sdpa_decode_stale(q, scanned["k_cache"].astype(dtype),
-                                  scanned["v_cache"].astype(dtype), k, v, bias)
-            out_cache = {"k_new": k.astype(scanned["k_cache"].dtype),
-                         "v_new": v.astype(scanned["v_cache"].dtype)}
+            li = scanned["li"]
+            k_buf = jax.lax.dynamic_index_in_dim(kcar, li, 0, keepdims=False)
+            v_buf = jax.lax.dynamic_index_in_dim(vcar, li, 0, keepdims=False)
+            o = sdpa_decode_stale(q, k_buf.astype(dtype), v_buf.astype(dtype),
+                                  k, v, bias)
+            kcar = jax.lax.dynamic_update_slice(
+                kcar, k.astype(kcar.dtype)[None], (li, 0, 0, cache_index, 0))
+            vcar = jax.lax.dynamic_update_slice(
+                vcar, v.astype(vcar.dtype)[None], (li, 0, 0, cache_index, 0))
         else:
             if cache is not None:
                 kc = jax.lax.dynamic_update_slice(scanned["k_cache"], k, (0, 0, cache_index, 0))
@@ -116,17 +127,23 @@ def opt_forward(
         x = jax.nn.relu((x @ w["fc1"].astype(dtype) + w["fc1_b"].astype(dtype)
                          ).astype(jnp.float32)).astype(dtype)
         h = residual + (x @ w["fc2"].astype(dtype) + w["fc2_b"].astype(dtype))
-        return h, out_cache
+        return ((h, kcar, vcar) if stale_cache else h), out_cache
 
     scanned_in = {"w": params["layers"]}
     if cache is not None:
-        scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})
-    h, caches = jax.lax.scan(layer, h, scanned_in)
-    h = layer_norm(h, params["final_ln"], params["final_ln_b"], eps)
+        if stale_cache:
+            scanned_in["li"] = jnp.arange(cache["k"].shape[0])
+        else:
+            scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})
+    init = (h, cache["k"], cache["v"]) if (cache is not None and stale_cache) else h
+    h, caches = jax.lax.scan(layer, init, scanned_in)
     new_cache = None
-    if cache is not None:
-        new_cache = ({"k_new": caches["k_new"], "v_new": caches["v_new"]}
-                     if stale_cache else {"k": caches["k"], "v": caches["v"]})
+    if cache is not None and stale_cache:
+        h, ck, cv = h
+        new_cache = {"k": ck, "v": cv}
+    elif cache is not None:
+        new_cache = {"k": caches["k"], "v": caches["v"]}
+    h = layer_norm(h, params["final_ln"], params["final_ln_b"], eps)
     return h, new_cache
 
 

@@ -166,11 +166,13 @@ def t5_decode_step(params, cfg: T5Config, dec_embeds, enc_hidden, enc_mask,
     """Decoder forward.  Without a cache: full causal pass over dec_embeds.
     With a cache: dec_embeds are T new tokens written at cache_index.
 
-    ``stale_cache``: 1-token decode fast path — the self-attn cache is
-    read-only and the fresh k/v come back as ``{"k_new","v_new"}:
-    [L, B, H, 1, dk]`` for the caller to scatter into its carry (see
-    llava/llama.py::sdpa_decode_stale).  T5 specifics: unscaled attention
-    (scale=1) and the relative-position bucket-0 bias on the self position.
+    ``stale_cache``: 1-token decode fast path — attention reads the
+    self-attn cache WITHOUT the current position; the cache is carried
+    through the layer scan with per-layer in-place k/v writes at
+    ``cache_index`` and returned as the updated full ``{"k","v"}`` (see
+    llava/llama.py::llama_forward's stale_cache note).  T5 specifics:
+    unscaled attention (scale=1) and the relative-position bucket-0 bias on
+    the self position.
     """
     B, T, D = dec_embeds.shape
     H, dk = cfg.num_heads, cfg.d_kv
@@ -197,7 +199,10 @@ def t5_decode_step(params, cfg: T5Config, dec_embeds, enc_hidden, enc_mask,
                                             position_ids, position_ids, False, cfg)
 
     def layer(carry, scanned):
-        h = carry
+        if stale_cache:
+            h, kcar, vcar = carry
+        else:
+            h = carry
         w = scanned["w"]
         x = t5_layer_norm(h, w["ln1"], eps)
         q = (x @ w["q"]).reshape(B, T, H, dk).transpose(0, 2, 1, 3)
@@ -207,11 +212,16 @@ def t5_decode_step(params, cfg: T5Config, dec_embeds, enc_hidden, enc_mask,
         if self_cache is not None and stale_cache:
             from cullavo_tpu.models.llava.llama import sdpa_decode_stale
 
-            o = sdpa_decode_stale(q, scanned["k_cache"].astype(dtype),
-                                  scanned["v_cache"].astype(dtype), k, v,
-                                  self_bias, self_bias=self0_bias, scale=1.0)
-            out_cache = {"k_new": k.astype(scanned["k_cache"].dtype),
-                         "v_new": v.astype(scanned["v_cache"].dtype)}
+            li = scanned["li"]
+            k_buf = jax.lax.dynamic_index_in_dim(kcar, li, 0, keepdims=False)
+            v_buf = jax.lax.dynamic_index_in_dim(vcar, li, 0, keepdims=False)
+            o = sdpa_decode_stale(q, k_buf.astype(dtype), v_buf.astype(dtype),
+                                  k, v, self_bias, self_bias=self0_bias,
+                                  scale=1.0)
+            kcar = jax.lax.dynamic_update_slice(
+                kcar, k.astype(kcar.dtype)[None], (li, 0, 0, cache_index, 0))
+            vcar = jax.lax.dynamic_update_slice(
+                vcar, v.astype(vcar.dtype)[None], (li, 0, 0, cache_index, 0))
         else:
             if self_cache is not None:
                 kc = jax.lax.dynamic_update_slice(scanned["k_cache"], k, (0, 0, cache_index, 0))
@@ -228,17 +238,24 @@ def t5_decode_step(params, cfg: T5Config, dec_embeds, enc_hidden, enc_mask,
                       cross_bias, H, dk, dtype)
         x = t5_layer_norm(h, w["ln_ff"], eps)
         h = h + _gated_ffn(x, w, dtype)
-        return h, out_cache
+        return ((h, kcar, vcar) if stale_cache else h), out_cache
 
     scanned_in = {"w": params["decoder"]}
     if self_cache is not None:
-        scanned_in.update({"k_cache": self_cache["k"], "v_cache": self_cache["v"]})
-    h, caches = jax.lax.scan(layer, dec_embeds, scanned_in)
-    h = t5_layer_norm(h, params["dec_final_ln"], eps)
+        if stale_cache:
+            scanned_in["li"] = jnp.arange(self_cache["k"].shape[0])
+        else:
+            scanned_in.update({"k_cache": self_cache["k"], "v_cache": self_cache["v"]})
+    init = ((dec_embeds, self_cache["k"], self_cache["v"])
+            if (self_cache is not None and stale_cache) else dec_embeds)
+    h, caches = jax.lax.scan(layer, init, scanned_in)
     new_cache = None
-    if self_cache is not None:
-        new_cache = ({"k_new": caches["k_new"], "v_new": caches["v_new"]}
-                     if stale_cache else {"k": caches["k"], "v": caches["v"]})
+    if self_cache is not None and stale_cache:
+        h, ck, cv = h
+        new_cache = {"k": ck, "v": cv}
+    elif self_cache is not None:
+        new_cache = {"k": caches["k"], "v": caches["v"]}
+    h = t5_layer_norm(h, params["dec_final_ln"], eps)
     return h, new_cache
 
 
@@ -267,17 +284,11 @@ def t5_generate(params, cfg: T5Config, enc_embeds, enc_mask,
 
     def step(tok, cache, i):
         emb = params["embed_tokens"][tok]
-        # stale-cache decode: read-only cache attention + one in-place
-        # scatter per step (no per-layer cache copy+restack)
-        h, kv_new = t5_decode_step(params, cfg, emb, enc, enc_mask,
-                                   jnp.full((1,), i, jnp.int32), cache, i,
-                                   stale_cache=True)
-        cache = {
-            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
-                                              (0, 0, 0, i, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
-                                              (0, 0, 0, i, 0)),
-        }
+        # stale-cache decode: stale-read attention + per-layer in-place
+        # scatter inside the layer scan (see t5_decode_step's doc)
+        h, cache = t5_decode_step(params, cfg, emb, enc, enc_mask,
+                                  jnp.full((1,), i, jnp.int32), cache, i,
+                                  stale_cache=True)
         nxt = jnp.argmax(h[:, -1] @ params["lm_head"], -1).astype(jnp.int32)
         return nxt, cache
 
@@ -321,15 +332,9 @@ def t5_beam_generate(params, cfg: T5Config, enc_embeds, enc_mask,
 
     def decode_one(tok, cache, i):
         emb = params["embed_tokens"][tok[:, None]]
-        h, kv_new = t5_decode_step(params, cfg, emb, enc_x, mask_x,
-                                   jnp.full((1,), i, jnp.int32), cache, i,
-                                   stale_cache=True)
-        cache = {
-            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
-                                              (0, 0, 0, i, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
-                                              (0, 0, 0, i, 0)),
-        }
+        h, cache = t5_decode_step(params, cfg, emb, enc_x, mask_x,
+                                  jnp.full((1,), i, jnp.int32), cache, i,
+                                  stale_cache=True)
         return h[:, -1] @ params["lm_head"], cache
 
     start = jnp.full((Bn,), cfg.decoder_start_token_id, jnp.int32)

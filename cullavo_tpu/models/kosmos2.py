@@ -165,7 +165,10 @@ def kosmos2_text_forward(
     bias = jnp.where(ok[:, None, :, :], 0.0, NEG_INF).astype(jnp.float32)
 
     def layer(carry, scanned):
-        h = carry
+        if stale_cache:
+            h, kcar, vcar = carry
+        else:
+            h = carry
         w = scanned["w"]
         residual = h
         x = layer_norm(h, w["attn_ln"], w["attn_ln_b"], eps)
@@ -176,10 +179,15 @@ def kosmos2_text_forward(
         if cache is not None and stale_cache:
             from cullavo_tpu.models.llava.llama import sdpa_decode_stale
 
-            o = sdpa_decode_stale(q, scanned["k_cache"].astype(dtype),
-                                  scanned["v_cache"].astype(dtype), k, v, bias)
-            out_cache = {"k_new": k.astype(scanned["k_cache"].dtype),
-                         "v_new": v.astype(scanned["v_cache"].dtype)}
+            li = scanned["li"]
+            k_buf = jax.lax.dynamic_index_in_dim(kcar, li, 0, keepdims=False)
+            v_buf = jax.lax.dynamic_index_in_dim(vcar, li, 0, keepdims=False)
+            o = sdpa_decode_stale(q, k_buf.astype(dtype), v_buf.astype(dtype),
+                                  k, v, bias)
+            kcar = jax.lax.dynamic_update_slice(
+                kcar, k.astype(kcar.dtype)[None], (li, 0, 0, cache_index, 0))
+            vcar = jax.lax.dynamic_update_slice(
+                vcar, v.astype(vcar.dtype)[None], (li, 0, 0, cache_index, 0))
         else:
             if cache is not None:
                 kc = jax.lax.dynamic_update_slice(scanned["k_cache"], k, (0, 0, cache_index, 0))
@@ -198,17 +206,23 @@ def kosmos2_text_forward(
                         approximate=False).astype(dtype)
         x = layer_norm(x, w["ffn_ln"], w["ffn_ln_b"], eps)
         h = residual + (x @ w["fc2"] + w["fc2_b"])
-        return h, out_cache
+        return ((h, kcar, vcar) if stale_cache else h), out_cache
 
     scanned_in = {"w": params["layers"]}
     if cache is not None:
-        scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})
-    h, caches = jax.lax.scan(layer, h, scanned_in)
-    h = layer_norm(h, params["final_ln"], params["final_ln_b"], eps)
+        if stale_cache:
+            scanned_in["li"] = jnp.arange(cache["k"].shape[0])
+        else:
+            scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})
+    init = (h, cache["k"], cache["v"]) if (cache is not None and stale_cache) else h
+    h, caches = jax.lax.scan(layer, init, scanned_in)
     new_cache = None
-    if cache is not None:
-        new_cache = ({"k_new": caches["k_new"], "v_new": caches["v_new"]}
-                     if stale_cache else {"k": caches["k"], "v": caches["v"]})
+    if cache is not None and stale_cache:
+        h, ck, cv = h
+        new_cache = {"k": ck, "v": cv}
+    elif cache is not None:
+        new_cache = {"k": caches["k"], "v": caches["v"]}
+    h = layer_norm(h, params["final_ln"], params["final_ln_b"], eps)
     return h, new_cache
 
 
@@ -304,17 +318,11 @@ def kosmos2_generate(params, cfg: Kosmos2Config, pixel_values, input_ids,
         idx = T + i
         new_pos = last_pos + 1
         emb = params["embed_tokens"][tok[:, None]]
-        # stale-cache decode: read-only cache attention + one in-place
-        # scatter per step (no per-layer cache copy+restack)
-        h, kv_new = kosmos2_text_forward(params, tc, emb, full_mask,
-                                         new_pos[:, None], cache, idx, key_pos,
-                                         stale_cache=True)
-        cache = {
-            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
-                                              (0, 0, 0, idx, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
-                                              (0, 0, 0, idx, 0)),
-        }
+        # stale-cache decode: stale-read attention + per-layer in-place
+        # scatter inside the layer scan (see kosmos2_text_forward)
+        h, cache = kosmos2_text_forward(params, tc, emb, full_mask,
+                                        new_pos[:, None], cache, idx, key_pos,
+                                        stale_cache=True)
         full_mask = full_mask.at[:, idx].set(1)
         key_pos = key_pos.at[:, idx].set(new_pos)
         nxt = jnp.argmax(h[:, -1] @ params["embed_tokens"].T, -1).astype(jnp.int32)

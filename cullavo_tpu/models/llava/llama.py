@@ -5,7 +5,7 @@ TPU-first design notes:
     forward pass is a single ``lax.scan`` — one compiled layer body instead of
     ``n_layers`` unrolled copies (fast compile, and FSDP sharding is one
     PartitionSpec per stacked tensor).
-  * KV cache is a preallocated ``[L, B, KV, max_len, hd]`` buffer updated with
+  * KV cache is a preallocated S-major ``[L, max_len, B, KV, hd]`` buffer updated with
     ``lax.dynamic_update_slice`` — static shapes throughout decode.
   * Matmuls run in the requested compute dtype (bf16 on TPU → MXU), softmax
     and normalization statistics in fp32.
@@ -141,11 +141,54 @@ def sdpa_decode_stale(q, k_cache, v_cache, k_cur, v_cur, bias,
     return out.astype(q.dtype)
 
 
+def sdpa_smajor(q, k_cache, v_cache, bias, n_rep, scale=None):
+    """Attention over an S-major cache slice ``[S, B, KV, hd]``.
+
+    The LLaMA KV cache is stored ``[L, S, B, KV, hd]`` (sequence slot major)
+    so that the plain row-major layout makes each written slot one contiguous
+    slab: XLA's layout assignment then keeps the cache in its input layout
+    instead of inserting a full cache-sized relayout copy at decode-program
+    entry (measured: one 3.2 GB HLO temp per decode call at 7B batch 20 with
+    the old [L, B, KV, S, hd] order).  q: [B, H, T, hd]; bias additive
+    [B|1, 1|H, T, S]."""
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    k = k_cache if n_rep == 1 else jnp.repeat(k_cache, n_rep, axis=2)
+    v = v_cache if n_rep == 1 else jnp.repeat(v_cache, n_rep, axis=2)
+    s = jnp.einsum("bhqd,sbhd->bhqs", q, k,
+                   preferred_element_type=jnp.float32) * scale + bias
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqs,sbhd->bhqd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def sdpa_decode_stale_smajor(q, k_cache, v_cache, k_cur, v_cur, bias,
+                             n_rep=1, scale=None):
+    """``sdpa_decode_stale`` for the S-major ``[S, B, KV, hd]`` cache slice
+    (see ``sdpa_smajor`` for why the LLaMA cache is stored slot-major).
+    q, k_cur, v_cur: [B, H, 1, hd]; bias: [B|1, 1|H, 1, S]."""
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    k = k_cache if n_rep == 1 else jnp.repeat(k_cache, n_rep, axis=2)
+    v = v_cache if n_rep == 1 else jnp.repeat(v_cache, n_rep, axis=2)
+    s_cache = jnp.einsum("bhqd,sbhd->bhqs", q, k,
+                         preferred_element_type=jnp.float32) * scale + bias
+    s_self = jnp.sum(q.astype(jnp.float32) * k_cur.astype(jnp.float32),
+                     axis=-1, keepdims=True) * scale          # [B, H, 1, 1]
+    m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True), s_self)
+    e_c = jnp.exp(s_cache - m)
+    e_s = jnp.exp(s_self - m)
+    denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
+    out = jnp.einsum("bhqs,sbhd->bhqd", (e_c / denom).astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    out = out + (e_s / denom) * v_cur.astype(jnp.float32)
+    return out.astype(q.dtype)
+
+
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """S-major KV cache ``[L, S, B, KV, hd]`` — see ``sdpa_smajor``."""
     L, KV, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     return {
-        "k": jnp.zeros((L, batch, KV, max_len, hd), dtype),
-        "v": jnp.zeros((L, batch, KV, max_len, hd), dtype),
+        "k": jnp.zeros((L, max_len, batch, KV, hd), dtype),
+        "v": jnp.zeros((L, max_len, batch, KV, hd), dtype),
     }
 
 
@@ -180,17 +223,22 @@ def llama_forward(
     with right-padded prompts a cache slot's buffer index differs from its
     token position.
 
-    ``stale_cache`` (decode fast path, T must be 1): the cache is READ-ONLY —
-    ``attention_mask`` must NOT yet include the current position; the current
-    token's k/v are folded into attention out-of-band (``sdpa_decode_stale``)
-    and returned as ``{"k_new", "v_new"}: [L, B, KV, 1, hd]`` for the caller
-    to scatter into its cache carry (one in-place ``dynamic_update_slice``
-    per step instead of a per-layer cache copy+restack).
+    ``stale_cache`` (decode fast path, T must be 1): attention reads the
+    cache WITHOUT the current position — ``attention_mask`` must NOT yet
+    include it; the current token's k/v are folded into attention out-of-band
+    (``sdpa_decode_stale``).  The cache is carried THROUGH the layer scan and
+    each layer writes its fresh k/v with one tiny ``dynamic_update_slice`` at
+    ``cache_index``; the returned ``{"k", "v"}`` is the updated full cache.
+    Carrying + per-layer DUS (vs returning stacked ``k_new`` for an outer
+    full-cache DUS) is what lets XLA update the multi-GB cache in place: with
+    the outer-DUS form the cache was both an inner-scan operand and an
+    outer-body write target, and XLA double-buffered it (two cache-sized HLO
+    temps — the batch-20 decode OOM on a 16 GB chip).
 
     ``prefill_pad_len`` (prefill fast path, requires ``cache is None``):
     attention runs the plain causal-over-T path, and each layer additionally
     emits its k/v zero-padded to ``prefill_pad_len`` slots, so the scan's
-    stacked ys ARE the full-length KV cache ``{"k", "v"}: [L, B, KV, P, hd]``.
+    stacked ys ARE the full-length KV cache ``{"k", "v"}: [L, P, B, KV, hd]``.
     This builds the cache in ONE buffer — the previous scheme threaded a
     zero-initialized full-length cache through the scan as xs and stacked an
     updated copy as ys, holding TWO full cache-sized buffers (5.5 GB at 7B
@@ -224,7 +272,7 @@ def llama_forward(
     elif key_position_ids is not None:
         key_pos = key_position_ids                             # [B, S]
     else:
-        key_pos = jnp.arange(cache["k"].shape[3])[None, :]
+        key_pos = jnp.arange(cache["k"].shape[1])[None, :]
     if key_pos.ndim == 1:
         key_pos = key_pos[None, :]
     causal = position_ids[:, :, None] >= key_pos[:, None, :]   # [B, T, S]
@@ -293,7 +341,10 @@ def llama_forward(
         return y + lora_scaling * ((xa @ ad["a"]) @ ad["b"]).astype(y.dtype)
 
     def layer(carry, scanned):
-        h = carry
+        if stale_cache:
+            h, kc, vc = carry
+        else:
+            h = carry
         w = scanned["w"]
         ad = scanned.get("lora") or {}
         rngs = scanned.get("rng")
@@ -310,12 +361,15 @@ def llama_forward(
         if cache is None:
             if prefill_pad_len is not None:
                 # cache-building prefill: pad this layer's k/v to the full
-                # cache length; the scan stacks them into the cache directly
-                zeros = jnp.zeros((B, KV, prefill_pad_len, hd), compute_dtype)
+                # cache length (S-major slot order, see sdpa_smajor); the
+                # scan stacks them into the cache directly
+                zeros = jnp.zeros((prefill_pad_len, B, KV, hd), compute_dtype)
                 ys = {"k_cache": jax.lax.dynamic_update_slice(
-                          zeros, k.astype(compute_dtype), (0, 0, 0, 0)),
+                          zeros, k.astype(compute_dtype).transpose(2, 0, 1, 3),
+                          (0, 0, 0, 0)),
                       "v_cache": jax.lax.dynamic_update_slice(
-                          zeros, v.astype(compute_dtype), (0, 0, 0, 0))}
+                          zeros, v.astype(compute_dtype).transpose(2, 0, 1, 3),
+                          (0, 0, 0, 0))}
             if use_flash:
                 from cullavo_tpu.ops.flash_attention import flash_attention
 
@@ -341,21 +395,30 @@ def llama_forward(
                 return h, ys
             attn = sdpa(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
         elif stale_cache:
-            k_buf, v_buf = scanned["k_cache"], scanned["v_cache"]
-            attn = sdpa_decode_stale(
-                q, repeat_kv(k_buf.astype(compute_dtype), n_rep),
-                repeat_kv(v_buf.astype(compute_dtype), n_rep),
-                repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
-            ys = {"k_new": k.astype(k_buf.dtype), "v_new": v.astype(v_buf.dtype)}
+            li = scanned["li"]
+            k_buf = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
+            v_buf = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
+            attn = sdpa_decode_stale_smajor(
+                q, k_buf.astype(compute_dtype), v_buf.astype(compute_dtype),
+                repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep)
+            # S-major write: one contiguous [1, 1, B, KV, hd] slab per layer
+            kc = jax.lax.dynamic_update_slice(
+                kc, k.astype(kc.dtype).transpose(2, 0, 1, 3)[None],
+                (li, cache_index, 0, 0, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, v.astype(vc.dtype).transpose(2, 0, 1, 3)[None],
+                (li, cache_index, 0, 0, 0))
         else:
             k_buf, v_buf = scanned["k_cache"], scanned["v_cache"]
             idx = cache_index
-            new_k = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype),
-                                                 (0, 0, idx, 0))
-            new_v = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype),
-                                                 (0, 0, idx, 0))
-            attn = sdpa(q, repeat_kv(new_k.astype(compute_dtype), n_rep),
-                        repeat_kv(new_v.astype(compute_dtype), n_rep), bias)
+            new_k = jax.lax.dynamic_update_slice(
+                k_buf, k.astype(k_buf.dtype).transpose(2, 0, 1, 3),
+                (idx, 0, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                v_buf, v.astype(v_buf.dtype).transpose(2, 0, 1, 3),
+                (idx, 0, 0, 0))
+            attn = sdpa_smajor(q, new_k.astype(compute_dtype),
+                               new_v.astype(compute_dtype), bias, n_rep)
             ys = {"k_cache": new_k, "v_cache": new_v}
 
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
@@ -366,7 +429,7 @@ def llama_forward(
         gate = jax.nn.silu(mm(x, w["gate"], ad.get("gate"), get_rng(4), (D, cfg.intermediate_size)).astype(jnp.float32)).astype(compute_dtype)
         h = residual + mm(gate * mm(x, w["up"], ad.get("up"), get_rng(5), (D, cfg.intermediate_size)),
                           w["down"], ad.get("down"), get_rng(6), (cfg.intermediate_size, D))
-        return h, ys
+        return ((h, kc, vc) if stale_cache else h), ys
 
     scanned_in = {"w": params["layers"]}
     if lora:
@@ -377,7 +440,12 @@ def llama_forward(
         L = params["layers"]["input_ln"].shape[0]
         scanned_in["rng"] = jax.random.split(dropout_rng, L)
     if cache is not None:
-        scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})
+        if stale_cache:
+            # cache travels as scan CARRY (per-layer dynamic-slice read +
+            # tiny DUS write) — only the layer index goes through xs
+            scanned_in["li"] = jnp.arange(cache["k"].shape[0])
+        else:
+            scanned_in.update({"k_cache": cache["k"], "v_cache": cache["v"]})
 
     # per-layer rematerialization: the scan saves only each layer's carry
     # ([B, T, D] per layer) and recomputes layer internals in the backward.
@@ -386,19 +454,17 @@ def llama_forward(
     # Q-LoRA step compiled to a 70 GB HBM request that way).
     layer_fn = (jax.checkpoint(layer, policy=jax.checkpoint_policies.nothing_saveable)
                 if remat else layer)
-    final, scanned_out = jax.lax.scan(layer_fn, inputs_embeds, scanned_in)
-    final = rms_norm(final, params["norm"], cfg.rms_norm_eps)
+    init = (inputs_embeds, cache["k"], cache["v"]) if stale_cache else inputs_embeds
+    final, scanned_out = jax.lax.scan(layer_fn, init, scanned_in)
     new_cache = None
-    if cache is None and prefill_pad_len is not None:
+    if stale_cache:
+        final, ck, cv = final
+        new_cache = {"k": ck, "v": cv}
+    elif cache is None and prefill_pad_len is not None:
         new_cache = {"k": scanned_out["k_cache"], "v": scanned_out["v_cache"]}
     elif cache is not None:
-        if stale_cache:
-            # [L, B, KV, 1, hd] per-layer fresh k/v — caller scatters these
-            # into its cache carry at the write index
-            new_cache = {"k_new": scanned_out["k_new"],
-                         "v_new": scanned_out["v_new"]}
-        else:
-            new_cache = {"k": scanned_out["k_cache"], "v": scanned_out["v_cache"]}
+        new_cache = {"k": scanned_out["k_cache"], "v": scanned_out["v_cache"]}
+    final = rms_norm(final, params["norm"], cfg.rms_norm_eps)
     return final, new_cache
 
 

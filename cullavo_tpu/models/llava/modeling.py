@@ -285,18 +285,12 @@ def generate(
     def body(state):
         step, tok, cur_pos, write_idx, full_mask, key_pos, cache, out, rng, done = state
         # stale-cache decode: attention reads the cache as-is (current token
-        # folded in out-of-band), then ONE scatter per step updates the cache
-        # in place as a while-loop carry — no per-layer cache copy+restack
+        # folded in out-of-band); each layer scatters its fresh k/v in place
+        # inside the layer scan (see llama_forward's stale_cache doc)
         pos = cur_pos[:, None]
-        logits, kv_new = llava_forward(lm, cfg, tok[:, None], None,
-                                       None, pos, cache, write_idx, full_mask,
-                                       key_pos, stale_cache=True)
-        cache = {
-            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
-                                              (0, 0, 0, write_idx, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
-                                              (0, 0, 0, write_idx, 0)),
-        }
+        logits, cache = llava_forward(lm, cfg, tok[:, None], None,
+                                      None, pos, cache, write_idx, full_mask,
+                                      key_pos, stale_cache=True)
         full_mask = full_mask.at[:, write_idx].set(1)
         key_pos = key_pos.at[:, write_idx].set(cur_pos)
         rng, sub = jax.random.split(rng)
@@ -346,6 +340,89 @@ def generate_prefill(params, cfg: LlavaConfig, input_ids, pixel_values,
             "write_idx": jnp.int32(T)}
 
 
+@functools.partial(jax.jit, static_argnames=("total_batch",))
+def alloc_decode_state(chunk_state: dict, total_batch: int) -> dict:
+    """Allocate a zeroed full-batch decode state shaped like ``chunk_state``.
+
+    Chunked prefill: NF4/int8 decode cost is dominated by the per-step full
+    weight-stream dequant, which is batch-independent — so the throughput
+    lever is decoding ONE large batch whose prefills ran in memory-sized
+    chunks.  This allocates the merged state (cache batch axis = 1, the rest
+    axis = 0); ``merge_decode_state`` then writes each chunk in place.
+    """
+    def z(a, axis):
+        shape = list(a.shape)
+        shape[axis] = total_batch
+        return jnp.zeros(shape, a.dtype)
+    return {
+        "logits": z(chunk_state["logits"], 0),
+        # cache is S-major [L, S, B, KV, hd] (llama.sdpa_smajor): batch = 2
+        "cache": {"k": z(chunk_state["cache"]["k"], 2),
+                  "v": z(chunk_state["cache"]["v"], 2)},
+        "full_mask": z(chunk_state["full_mask"], 0),
+        "key_pos": z(chunk_state["key_pos"], 0),
+        "cur_pos": z(chunk_state["cur_pos"], 0),
+        "write_idx": chunk_state["write_idx"],
+    }
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def merge_decode_state(big: dict, chunk: dict, batch_offset) -> dict:
+    """Write a prefill chunk's decode state into the donated full-batch state.
+
+    BOTH inputs are DONATED: XLA aliases the multi-GB merged cache in place,
+    and the chunk's buffers are released at the merge instead of surviving
+    (via the caller's Python reference) into the next chunk's prefill — with
+    the chunk alive, peak during prefill k+1 is merged + TWO chunk caches,
+    which tipped batch 20 over a 16 GB chip.  All chunks must share the same
+    prompt length T (``write_idx`` equal)."""
+    off = jnp.asarray(batch_offset, jnp.int32)
+    return {
+        "logits": jax.lax.dynamic_update_slice(
+            big["logits"], chunk["logits"].astype(big["logits"].dtype), (off, 0)),
+        "cache": {
+            "k": jax.lax.dynamic_update_slice(
+                big["cache"]["k"], chunk["cache"]["k"], (0, 0, off, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                big["cache"]["v"], chunk["cache"]["v"], (0, 0, off, 0, 0)),
+        },
+        "full_mask": jax.lax.dynamic_update_slice(
+            big["full_mask"], chunk["full_mask"], (off, 0)),
+        "key_pos": jax.lax.dynamic_update_slice(
+            big["key_pos"], chunk["key_pos"], (off, 0)),
+        "cur_pos": jax.lax.dynamic_update_slice(
+            big["cur_pos"], chunk["cur_pos"], (off,)),
+        "write_idx": chunk["write_idx"],
+    }
+
+
+def generate_prefill_chunked(params, cfg: LlavaConfig, input_ids, pixel_values,
+                             attention_mask, max_len: int, chunk: int,
+                             compute_dtype=jnp.bfloat16):
+    """Prefill ``input_ids`` in batch chunks of ``chunk`` rows, merging each
+    into one full-batch decode state (see ``alloc_decode_state``).  Returns a
+    state interchangeable with ``generate_prefill``'s.  B % chunk must be 0
+    (pad the batch with dummy rows otherwise)."""
+    B = input_ids.shape[0]
+    if chunk >= B:
+        return generate_prefill(params, cfg, input_ids, pixel_values,
+                                attention_mask, max_len,
+                                compute_dtype=compute_dtype)
+    if B % chunk:
+        raise ValueError(f"batch {B} not divisible by prefill chunk {chunk}")
+    state = None
+    for off in range(0, B, chunk):
+        cs = generate_prefill(params, cfg, input_ids[off:off + chunk],
+                              None if pixel_values is None
+                              else pixel_values[off:off + chunk],
+                              attention_mask[off:off + chunk], max_len,
+                              compute_dtype=compute_dtype)
+        if state is None:
+            state = alloc_decode_state(cs, B)
+        state = merge_decode_state(state, cs, off)
+    return state
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "gen", "compute_dtype",
                                              "return_state"),
                    donate_argnums=(2,))
@@ -370,17 +447,11 @@ def generate_decode(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig
 
     def step(carry, _):
         tok, cur_pos, write_idx, full_mask, key_pos, cache, rng, done = carry
-        # stale-cache decode (see generate.body): read-only cache attention +
-        # one in-place scatter per step
-        logits, kv_new = llava_forward(lm, cfg, tok[:, None], None, None,
-                                       cur_pos[:, None], cache, write_idx,
-                                       full_mask, key_pos, stale_cache=True)
-        cache = {
-            "k": jax.lax.dynamic_update_slice(cache["k"], kv_new["k_new"],
-                                              (0, 0, 0, write_idx, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], kv_new["v_new"],
-                                              (0, 0, 0, write_idx, 0)),
-        }
+        # stale-cache decode (see generate.body): stale-read attention +
+        # per-layer in-place scatter inside the layer scan
+        logits, cache = llava_forward(lm, cfg, tok[:, None], None, None,
+                                      cur_pos[:, None], cache, write_idx,
+                                      full_mask, key_pos, stale_cache=True)
         full_mask = full_mask.at[:, write_idx].set(1)
         key_pos = key_pos.at[:, write_idx].set(cur_pos)
         rng, sub = jax.random.split(rng)

@@ -188,6 +188,30 @@ def test_two_phase_generate_matches_fused(hf_and_jax):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
 
 
+def test_chunked_prefill_matches_unchunked(hf_and_jax):
+    """Chunked prefill (memory-sized prefill chunks merged into one donated
+    full-batch decode state) must be token-exact vs the one-shot prefill —
+    the big-batch decode lever behind bench.py's BENCH_PREFILL_CHUNK."""
+    from cullavo_tpu.models.llava.modeling import (generate_decode,
+                                                   generate_prefill,
+                                                   generate_prefill_chunked)
+
+    _, params, cfg = hf_and_jax
+    ids, mask, pixels = _make_inputs(cfg, batch=4, text_len=5)
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False, eos_token_id=-1)
+    max_len = ids.shape[1] + 8
+    state = generate_prefill(params, cfg, jnp.asarray(ids), jnp.asarray(pixels),
+                             jnp.asarray(mask), max_len, compute_dtype=jnp.float32)
+    ref = generate_decode(params, cfg, state, gen, compute_dtype=jnp.float32)
+    for chunk in (1, 2):
+        st = generate_prefill_chunked(params, cfg, jnp.asarray(ids),
+                                      jnp.asarray(pixels), jnp.asarray(mask),
+                                      max_len, chunk, compute_dtype=jnp.float32)
+        out = generate_decode(params, cfg, st, gen, compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out),
+                                      err_msg=f"chunk={chunk}")
+
+
 def test_bakllava_mistral_logits_match_hf():
     """BakLLaVA path: LLaVA arch with a Mistral decoder (GQA + sliding
     window).  Tiny HF MistralForCausalLM is the oracle; the window is set
