@@ -21,7 +21,10 @@ import numpy as np
 A100_EST_IMG_PER_S = 2.0
 PROMPT_TEXT_TOKENS = 64
 DECODE_TOKENS = int(__import__("os").environ.get("BENCH_DECODE_TOKENS", 16))
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", 10))
+# default batch per quant mode: largest measured point that fits a 16 GB v5e
+# with the single-buffered S-major decode (int8 weighs 7.7 GiB on device,
+# NF4 4.4 GiB — NF4's freed HBM goes to batch)
+DEFAULT_BATCH = {"int8": 14, "nf4": 22}
 QUANT_MODES = ("nf4", "int8")   # tried in order; int8 compiles lighter
 
 
@@ -150,7 +153,7 @@ def main():
     quant_mode = os.environ.get("BENCH_QUANT", "int8")
     params = build_llava7b_params(quant_mode, cfg)
 
-    B = BATCH
+    B = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH[quant_mode]))
     n_img = cfg.num_image_tokens
     T = 1 + n_img + PROMPT_TEXT_TOKENS
     max_len = T + DECODE_TOKENS

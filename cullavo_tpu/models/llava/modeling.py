@@ -401,15 +401,13 @@ def generate_prefill_chunked(params, cfg: LlavaConfig, input_ids, pixel_values,
                              compute_dtype=jnp.bfloat16):
     """Prefill ``input_ids`` in batch chunks of ``chunk`` rows, merging each
     into one full-batch decode state (see ``alloc_decode_state``).  Returns a
-    state interchangeable with ``generate_prefill``'s.  B % chunk must be 0
-    (pad the batch with dummy rows otherwise)."""
+    state interchangeable with ``generate_prefill``'s.  A non-divisible batch
+    runs one smaller final chunk (one extra compiled program shape)."""
     B = input_ids.shape[0]
     if chunk >= B:
         return generate_prefill(params, cfg, input_ids, pixel_values,
                                 attention_mask, max_len,
                                 compute_dtype=compute_dtype)
-    if B % chunk:
-        raise ValueError(f"batch {B} not divisible by prefill chunk {chunk}")
     state = None
     for off in range(0, B, chunk):
         cs = generate_prefill(params, cfg, input_ids[off:off + chunk],
@@ -420,6 +418,12 @@ def generate_prefill_chunked(params, cfg: LlavaConfig, input_ids, pixel_values,
         if state is None:
             state = alloc_decode_state(cs, B)
         state = merge_decode_state(state, cs, off)
+        # true completion barrier (tiny host transfer): PJRT allocates a
+        # dispatched program's outputs at ENQUEUE time, so without a barrier
+        # the async loop materializes EVERY chunk's cache at once — exactly
+        # the OOM chunking exists to avoid.  (block_until_ready can return
+        # early through the remote-TPU tunnel; a device_get cannot.)
+        jax.device_get(state["write_idx"])
     return state
 
 

@@ -40,7 +40,8 @@ def _bucket(n: int, buckets=(64, 96, 128, 192, 256)) -> int:
 class VQAPipeline:
     def __init__(self, cfg, model_cfg: LlavaConfig, tokenizer, params,
                  topic_fn: Optional[Callable[[str], str]] = None,
-                 batch_size: int = 8, max_new_tokens: int = 16):
+                 batch_size: int = 8, max_new_tokens: int = 16,
+                 prefill_chunk: Optional[int] = None):
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.tokenizer = tokenizer
@@ -48,6 +49,10 @@ class VQAPipeline:
         self.topic_fn = topic_fn
         self.batch_size = batch_size
         self.max_new_tokens = max_new_tokens
+        # prefill in chunks of this many rows, decode the whole batch at once
+        # (decode cost is dominated by the batch-independent weight stream —
+        # see modeling.generate_prefill_chunked); None = fused generate
+        self.prefill_chunk = prefill_chunk
         self.evaluator = VQAEvaluator()
         self.per_topic: dict[str, VQAEvaluator] = {}
 
@@ -71,10 +76,22 @@ class VQAPipeline:
             mask[i, :len(row)] = 1
         gen = GenerationConfig(max_new_tokens=self.max_new_tokens, do_sample=False,
                                eos_token_id=self.tokenizer.eos_token_id)
-        out = generate(self.params, self.model_cfg, jnp.asarray(ids),
-                       jnp.asarray(pixel_values), jnp.asarray(mask), gen,
-                       max_len=L + self.max_new_tokens,
-                       compute_dtype=jnp.bfloat16)
+        if self.prefill_chunk and self.prefill_chunk < B:
+            from cullavo_tpu.models.llava.modeling import (
+                generate_decode, generate_prefill_chunked)
+
+            state = generate_prefill_chunked(
+                self.params, self.model_cfg, jnp.asarray(ids),
+                jnp.asarray(pixel_values), jnp.asarray(mask),
+                L + self.max_new_tokens, self.prefill_chunk,
+                compute_dtype=jnp.bfloat16)
+            out = generate_decode(self.params, self.model_cfg, state, gen,
+                                  compute_dtype=jnp.bfloat16)
+        else:
+            out = generate(self.params, self.model_cfg, jnp.asarray(ids),
+                           jnp.asarray(pixel_values), jnp.asarray(mask), gen,
+                           max_len=L + self.max_new_tokens,
+                           compute_dtype=jnp.bfloat16)
         answers = []
         for b in range(B):
             toks = np.asarray(out[b]).tolist()

@@ -203,7 +203,7 @@ def test_chunked_prefill_matches_unchunked(hf_and_jax):
     state = generate_prefill(params, cfg, jnp.asarray(ids), jnp.asarray(pixels),
                              jnp.asarray(mask), max_len, compute_dtype=jnp.float32)
     ref = generate_decode(params, cfg, state, gen, compute_dtype=jnp.float32)
-    for chunk in (1, 2):
+    for chunk in (1, 2, 3):   # 3 exercises the uneven final chunk (3+1)
         st = generate_prefill_chunked(params, cfg, jnp.asarray(ids),
                                       jnp.asarray(pixels), jnp.asarray(mask),
                                       max_len, chunk, compute_dtype=jnp.float32)

@@ -63,6 +63,28 @@ def test_vqa_pipeline_end_to_end_tiny():
     assert 0.0 <= out["overall"] <= 100.0
 
 
+def test_vqa_pipeline_chunked_prefill_matches_fused():
+    """prefill_chunk (chunked-prefill + big-batch decode, the 7B memory
+    lever) must give the same answers as the fused generate path."""
+    from cullavo_tpu.data.tokenizer import ByteTokenizer
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+    from cullavo_tpu.pipelines.vqa_pipeline import VQAPipeline
+
+    cfg = tiny_llava_config(260)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+    rng = np.random.default_rng(0)
+    S = cfg.vision.image_size
+    qs = [f"what is {i}?" for i in range(3)]
+    pix = rng.normal(size=(3, 3, S, S)).astype(np.float32)
+    fused = VQAPipeline(Config({}), cfg, tk, params, batch_size=3,
+                        max_new_tokens=4)
+    chunked = VQAPipeline(Config({}), cfg, tk, params, batch_size=3,
+                          max_new_tokens=4, prefill_chunk=2)
+    assert fused.answer_batch(qs, pix) == chunked.answer_batch(qs, pix)
+
+
 def test_vl_zoo_pipeline_with_injected_answerer():
     from cullavo_tpu.pipelines.vl_zoo_pipeline import VLZooVQAPipeline
 
