@@ -126,18 +126,11 @@ def build_llava7b_params(quant_mode: str, cfg=None):
     return params
 
 
-def main():
-    import jax
-
-    # persistent compilation cache: the 7B prefill/decode programs take
-    # minutes to compile through the axon AOT helper; cache across runs
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/cullavo_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+def run_quant_mode(quant_mode: str) -> dict:
+    """Measure one quant mode end-to-end; returns the result dict."""
     import os
 
+    import jax
     import jax.numpy as jnp
 
     from cullavo_tpu.models.llava.config import LlavaConfig
@@ -146,11 +139,7 @@ def main():
                                                    generate_prefill_chunked)
 
     cfg = LlavaConfig()
-    log("device:", jax.devices()[0], "building 7B params...")
-    # int8 default: NF4's bit-unpack+gather graph crashes the axon AOT
-    # compile helper at 7B scale (Pallas fused dequant kernel is the fix);
-    # int8 compiles in seconds and matches the reference's 8-bit eval mode.
-    quant_mode = os.environ.get("BENCH_QUANT", "int8")
+    log("device:", jax.devices()[0], f"building 7B params ({quant_mode})...")
     params = build_llava7b_params(quant_mode, cfg)
 
     B = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH[quant_mode]))
@@ -196,7 +185,7 @@ def main():
     p50 = float(np.percentile(lat, 50))
     imgs_per_s = B / p50
 
-    print(json.dumps({
+    return {
         "metric": "llava7b_vqa_images_per_sec_per_chip",
         "value": round(imgs_per_s, 4),
         "unit": "images/s",
@@ -208,7 +197,40 @@ def main():
         "prefill_chunk": chunk,
         "quant": quant_mode,
         "params_b": 7.06,
-    }))
+    }
+
+
+def main():
+    import os
+
+    import jax
+
+    # persistent compilation cache: the 7B prefill/decode programs take
+    # minutes to compile through the axon AOT helper; cache across runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/cullavo_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    # Default: measure BOTH storage modes — int8 (the reference's load_in_8bit
+    # eval mode, the headline) and NF4 (the reference's Q-LoRA storage mode,
+    # load_cullavo.py:65-83) — and emit one JSON line headlined by int8 with
+    # the NF4 numbers as secondary keys.  BENCH_QUANT=int8|nf4 restricts to
+    # one mode (and headlines it).
+    want = os.environ.get("BENCH_QUANT", "both")
+    if want in ("int8", "nf4"):
+        print(json.dumps(run_quant_mode(want)))
+        return
+    res = {m: run_quant_mode(m) for m in ("int8", "nf4")}
+    line = res["int8"]
+    line.update({
+        "nf4_images_per_s": res["nf4"]["value"],
+        "nf4_vs_baseline": res["nf4"]["vs_baseline"],
+        "nf4_batch": res["nf4"]["batch"],
+        "nf4_p50_latency_s": res["nf4"]["p50_latency_s"],
+    })
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -60,10 +60,17 @@ def main():
 
     # BENCH_XDEC_MODE: full = upsample + semantic inference (the reference's
     # evaluate() path); up = upsample only; net = network only (low-res
-    # masks).  The staged modes isolate where eval time goes.
+    # masks); backbone = backbone+pixel-decoder only.  The staged modes
+    # isolate where eval time goes.
     mode = os.environ.get("BENCH_XDEC_MODE", "full")
 
     def eval_step(p, im, t):
+        if mode == "backbone":
+            from cullavo_tpu.models.xdecoder.model import \
+                backbone_and_pixel_decoder
+            mask_features, pyramid = backbone_and_pixel_decoder(p, cfg, im)
+            return (jnp.sum(mask_features.astype(jnp.float32)),
+                    jnp.sum(pyramid[-1].astype(jnp.float32)), jnp.float32(0))
         cls, masks, boxes = forward_eval(
             p, cfg, im, t, out_size=(H, W) if mode != "net" else None)
         if mode == "full":
@@ -101,8 +108,9 @@ def main():
         group_ips.append(B / p50)
     group_ips.sort()
     med = float(np.median(group_ips))
+    backbone = opt.get("MODEL", {}).get("BACKBONE", {}).get("NAME", "focal-t")
     print(json.dumps({
-        "metric": "xdecoder_focalt_seg_images_per_sec_per_chip",
+        "metric": f"xdecoder_{backbone}_seg_images_per_sec_per_chip",
         "value": round(med, 4),
         "unit": "images/s",
         "vs_baseline": None,
@@ -113,7 +121,7 @@ def main():
         "image_size": [H, W],
         "batch": B,
         "dtype": str(dtype),
-        "backbone": "focal-t",
+        "backbone": backbone,
     }))
 
 

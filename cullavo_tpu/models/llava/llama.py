@@ -251,18 +251,21 @@ def llama_forward(
     if stale_cache:
         assert cache is not None and T == 1, "stale_cache is a 1-token decode path"
     if use_flash is None:
-        # Auto: the Pallas flash kernel is default-ON for tile-aligned
-        # sequences on TPU — measured +4.5% on the Q-LoRA train step at
-        # T=1024 (6989 vs 6690 tok/s) with identical loss.  Unaligned
-        # lengths (the 641-token LLaVA prefill) stay on XLA sdpa: the
-        # pad-to-128 overhead measured ~2% slower there.  CULLAVO_FLASH=1
-        # forces it on (padding included), =0 forces it off.
+        # Auto: the Pallas flash kernel is default-ON on TPU for prefill
+        # when T is tile-aligned (+4.5% on the Q-LoRA train step at T=1024,
+        # 6989 vs 6690 tok/s, identical loss) or long enough to amortize the
+        # pad-to-128 copies: with the kernel's causal block-skip the padded
+        # 641-token LLaVA prefill measures 11.14 vs 10.29 img/s e2e (+8.2%,
+        # int8 7B batch 14).  Short unaligned prefills (topic-classifier
+        # buckets) stay on XLA sdpa where the pad is relatively expensive.
+        # CULLAVO_FLASH=1 forces it on, =0 forces it off.
         import os
 
         env = os.environ.get("CULLAVO_FLASH", "")
         use_flash = (jax.default_backend() == "tpu" and cache is None
                      and hd % 128 == 0 and cfg.sliding_window is None
-                     and (env == "1" or (env != "0" and T % 128 == 0)))
+                     and (env == "1" or (env != "0"
+                                         and (T % 128 == 0 or T >= 384))))
 
     cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)
 

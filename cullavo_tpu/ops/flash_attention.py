@@ -164,6 +164,11 @@ def _fwd_kernel_iota(kvbias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     bq, d = q.shape
     S = k_ref.shape[1]
     num_kb = S // block_k
+    if causal:
+        # query block qi covers global rows [qi*bq, qi*bq + bq); every key
+        # block strictly beyond its last row is fully masked — skip it
+        # entirely (≈2× fewer score matmuls over the causal triangle)
+        num_kb = jnp.minimum(num_kb, (qi * bq + bq + block_k - 1) // block_k)
 
     acc = jnp.zeros((bq, d), jnp.float32)
     m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
