@@ -41,8 +41,6 @@ def main():
         jax.random.PRNGKey(0))
     params = jax.block_until_ready(params)
 
-    import os
-
     B, H, W = int(os.environ.get("BENCH_XDEC_BATCH", 8)), 512, 512
     # fp32 by default: measured FASTER than bf16 here (17.0 vs 11.2 img/s at
     # batch 8) — focal modulation is depthwise-conv/elementwise-bound, not

@@ -136,5 +136,17 @@ def msdeform_attn_module_forward(params, query, value, spatial_shapes,
     norm = jnp.asarray([[wl, hl] for (hl, wl) in spatial_shapes], jnp.float32)
     loc = (reference_points[:, :, None, :, None, :]
            + off / norm[None, None, None, :, None, :])
-    out = ms_deform_attn(v, spatial_shapes, loc, w)
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("CULLAVO_MSDEFORM_PALLAS", "1") == "1"):
+        # default on TPU: tent-matmul Pallas kernel — 23.8 vs 205.3 ms/op
+        # (8.6x) at deform-pixel-decoder shapes on one v5e chip, exact to
+        # 2e-7 vs the XLA gather (scripts/msdeform_probe.py).
+        # CULLAVO_MSDEFORM_PALLAS=0 opts out.
+        from cullavo_tpu.ops.msdeform_pallas import ms_deform_attn_pallas
+
+        out = ms_deform_attn_pallas(v, tuple(spatial_shapes), loc, w)
+    else:
+        out = ms_deform_attn(v, spatial_shapes, loc, w)
     return out @ params["output"]["w"] + params["output"]["b"]

@@ -22,7 +22,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from cullavo_tpu.ops.msdeform import ms_deform_attn
+    if os.environ.get("PROBE_IMPL", "xla") == "pallas":
+        from cullavo_tpu.ops.msdeform_pallas import \
+            ms_deform_attn_pallas as _op
+
+        def ms_deform_attn(v, shapes, lo, wt):
+            return _op(v, tuple(shapes), lo, wt)
+    else:
+        from cullavo_tpu.ops.msdeform import ms_deform_attn
 
     B = int(os.environ.get("PROBE_B", 8))
     shapes = ((64, 64), (32, 32), (16, 16))

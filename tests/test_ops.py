@@ -192,6 +192,40 @@ def test_ms_deform_attn_matches_oracle():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
 
 
+def test_ms_deform_attn_pallas_matches_oracle_and_xla_grads():
+    """Fused Pallas MSDeformAttn (SURVEY §2.5 plan): forward parity vs the
+    python oracle (incl. out-of-range locations + the Q-pad path) and
+    custom-VJP gradient parity vs the XLA implementation's AD."""
+    from cullavo_tpu.ops.msdeform import (ms_deform_attn,
+                                          ms_deform_attn_reference)
+    from cullavo_tpu.ops.msdeform_pallas import ms_deform_attn_pallas
+    rng = np.random.default_rng(2)
+    B, Hh, hd, Q, P = 2, 4, 32, 150, 4   # Q=150: uneven final 128-block
+    shapes = ((8, 8), (4, 4))
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    value = rng.normal(size=(B, S, Hh, hd)).astype(np.float32)
+    loc = rng.uniform(-0.1, 1.1, (B, Q, Hh, L, P, 2)).astype(np.float32)
+    att = rng.random((B, Q, Hh, L, P)).astype(np.float32)
+    att = att / att.sum(axis=(3, 4), keepdims=True)
+
+    out = ms_deform_attn_pallas(jnp.asarray(value), shapes, jnp.asarray(loc),
+                                jnp.asarray(att))
+    ref = ms_deform_attn_reference(value, shapes, loc, att)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+
+    f_pal = lambda v, l, w: jnp.sum(
+        jnp.sin(ms_deform_attn_pallas(v, shapes, l, w)))
+    f_xla = lambda v, l, w: jnp.sum(jnp.sin(ms_deform_attn(v, shapes, l, w)))
+    gp = jax.grad(f_pal, (0, 1, 2))(jnp.asarray(value), jnp.asarray(loc),
+                                    jnp.asarray(att))
+    gx = jax.grad(f_xla, (0, 1, 2))(jnp.asarray(value), jnp.asarray(loc),
+                                    jnp.asarray(att))
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
 def test_ms_deform_attn_gradients_flow():
     from cullavo_tpu.ops.msdeform import ms_deform_attn
     rng = np.random.default_rng(1)
