@@ -42,10 +42,12 @@ def main():
     params = jax.block_until_ready(params)
 
     B, H, W = int(os.environ.get("BENCH_XDEC_BATCH", 8)), 512, 512
-    # fp32 by default: measured FASTER than bf16 here (17.0 vs 11.2 img/s at
-    # batch 8) — focal modulation is depthwise-conv/elementwise-bound, not
-    # MXU-bound, and the bf16 cast chain costs more than the matmuls save.
-    dtype = jnp.dtype(os.environ.get("BENCH_XDEC_DTYPE", "float32"))
+    # bf16 by default (the reference evaluates under Accelerate bf16):
+    # 43.9 vs 35.0 img/s fp32 at batch 8 in fullsum mode.  The round-1
+    # "bf16 slower" reading (11.2 vs 17.0) was taken when the bench was
+    # dominated by the tunnel transfer of the argmax map — with that
+    # artifact removed, bf16 wins as the bandwidth math says it should.
+    dtype = jnp.dtype(os.environ.get("BENCH_XDEC_DTYPE", "bfloat16"))
     params = jax.tree.map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
     rng = np.random.default_rng(0)

@@ -132,20 +132,43 @@ def focal_modulation(x, w, focal_level: int, scaling_modulator: bool, eps: float
     """x: [B, H, W, C] → [B, H, W, C].  The focal-modulation op:
     q/ctx/gates from one projection, hierarchical depthwise-conv contexts
     gated and summed (+ global mean context), modulated via a 1x1 ``h``."""
+    import os
+
     C = x.shape[-1]
     fx = x @ w["f_w"] + w["f_b"]
     q = fx[..., :C]
     ctx = fx[..., C:2 * C]
     gates = fx[..., 2 * C:]
 
-    ctx_all = jnp.zeros_like(q)
-    for l in range(focal_level):
-        ctx = jax.nn.gelu(_depthwise_conv(ctx, w[f"focal{l}_w"]), approximate=True)
-        ctx_all = ctx_all + ctx * gates[..., l:l + 1]
-    ctx_global = jax.nn.gelu(jnp.mean(ctx, axis=(1, 2), keepdims=True), approximate=True)
-    ctx_all = ctx_all + ctx_global * gates[..., focal_level:focal_level + 1]
-    if scaling_modulator:
-        ctx_all = ctx_all / (focal_level + 1)
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("CULLAVO_FOCAL_PALLAS", "0") == "1"):
+        # CULLAVO_FOCAL_PALLAS=1: one fused VMEM pass for the dwconv/gelu/
+        # gate chain + global-mean term (ops/focal_pallas.py) instead of
+        # XLA's per-op HBM roundtrips.  Opt-in until chip-validated.
+        from cullavo_tpu.ops.focal_pallas import (fused_focal_ctx,
+                                                  pack_level_weights)
+
+        B, H, W, _ = x.shape
+        kernels = tuple(int(w[f"focal{l}_w"].shape[0])
+                        for l in range(focal_level))
+        lw = pack_level_weights([w[f"focal{l}_w"]
+                                 for l in range(focal_level)])
+        ctx_f = ctx.reshape(B, H * W, C).transpose(0, 2, 1)
+        gates_f = gates.reshape(B, H * W, focal_level + 1).transpose(0, 2, 1)
+        ctx_all = fused_focal_ctx(ctx_f, gates_f, lw, H, W, kernels,
+                                  scaling_modulator)
+        ctx_all = ctx_all.transpose(0, 2, 1).reshape(B, H, W, C)
+    else:
+        ctx_all = jnp.zeros_like(q)
+        for l in range(focal_level):
+            ctx = jax.nn.gelu(_depthwise_conv(ctx, w[f"focal{l}_w"]),
+                              approximate=True)
+            ctx_all = ctx_all + ctx * gates[..., l:l + 1]
+        ctx_global = jax.nn.gelu(jnp.mean(ctx, axis=(1, 2), keepdims=True),
+                                 approximate=True)
+        ctx_all = ctx_all + ctx_global * gates[..., focal_level:focal_level + 1]
+        if scaling_modulator:
+            ctx_all = ctx_all / (focal_level + 1)
 
     out = q * (ctx_all @ w["h_w"] + w["h_b"])
     return out @ w["proj_w"] + w["proj_b"]

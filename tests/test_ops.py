@@ -192,6 +192,37 @@ def test_ms_deform_attn_matches_oracle():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
 
 
+def test_fused_focal_ctx_matches_xla_chain():
+    """ops/focal_pallas.py fused modulation context == the XLA
+    dwconv/gelu/gate chain in focalnet.focal_modulation (zero-pad SAME
+    borders, global-mean term, scaling_modulator)."""
+    from cullavo_tpu.models.xdecoder.focalnet import _depthwise_conv
+    from cullavo_tpu.ops.focal_pallas import (fused_focal_ctx,
+                                              pack_level_weights)
+    rng = np.random.default_rng(3)
+    B, H, W, C, L = 2, 16, 12, 32, 4
+    kernels = (3, 5, 7, 9)
+    ctx = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    gates = jnp.asarray(rng.normal(size=(B, H, W, L + 1)).astype(np.float32))
+    kws = [jnp.asarray(rng.normal(size=(k, k, 1, C)).astype(np.float32) * 0.2)
+           for k in kernels]
+
+    c = ctx
+    acc = jnp.zeros_like(ctx)
+    for l, k in enumerate(kernels):
+        c = jax.nn.gelu(_depthwise_conv(c, kws[l]), approximate=True)
+        acc = acc + c * gates[..., l:l + 1]
+    g = jax.nn.gelu(jnp.mean(c, axis=(1, 2), keepdims=True), approximate=True)
+    ref = (acc + g * gates[..., L:L + 1]) / (L + 1)
+
+    out = fused_focal_ctx(ctx.reshape(B, H * W, C).transpose(0, 2, 1),
+                          gates.reshape(B, H * W, L + 1).transpose(0, 2, 1),
+                          pack_level_weights(kws), H, W, kernels, True)
+    out = out.transpose(0, 2, 1).reshape(B, H, W, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
 def test_ms_deform_attn_pallas_matches_oracle_and_xla_grads():
     """Fused Pallas MSDeformAttn (SURVEY §2.5 plan): forward parity vs the
     python oracle (incl. out-of-range locations + the Q-pad path) and
