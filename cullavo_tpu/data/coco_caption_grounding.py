@@ -35,18 +35,30 @@ from cullavo_tpu.data.registry import register_dataset
 _HASH_MOD = 10 ** 16
 
 
+_STEMMER = None  # module-level singleton: stem() sits in the METEOR and
+                 # noun-extraction hot loops (O(words²) per caption pair)
+
+
 def stem(word: str) -> str:
     """Lancaster stemmer when nltk has it, suffix-strip fallback otherwise
     (same fallback as criterion.caption_noun_targets)."""
-    try:
-        from nltk.stem.lancaster import LancasterStemmer
+    global _STEMMER
+    if _STEMMER is None:
+        try:
+            from nltk.stem.lancaster import LancasterStemmer
 
-        return LancasterStemmer().stem(word)
-    except Exception:
-        for suf in ("ing", "es", "ed", "s"):
-            if word.endswith(suf) and len(word) > len(suf) + 2:
-                return word[:-len(suf)]
-        return word
+            _STEMMER = LancasterStemmer()
+        except Exception:
+            _STEMMER = False
+    if _STEMMER:
+        try:
+            return _STEMMER.stem(word)
+        except Exception:
+            pass
+    for suf in ("ing", "es", "ed", "s"):
+        if word.endswith(suf) and len(word) > len(suf) + 2:
+            return word[:-len(suf)]
+    return word
 
 
 def text_hash(text: str) -> int:

@@ -175,30 +175,50 @@ class InstanceSegEvaluator:
 
 
 class RetrievalEvaluator:
-    """Image↔text retrieval recall@k (datasets/evaluation/retrieval_evaluation.py)."""
+    """Image↔text retrieval recall@k (datasets/evaluation/retrieval_evaluation.py).
+
+    Karpathy protocol: each image contributes ALL its captions (typically 5)
+    to the text pool, grouped by ``image_id`` — text→image recall (ir@k)
+    counts a hit when any top-k image carries the caption's image_id;
+    image→text (tr@k) when any top-k caption belongs to the image.  The
+    two-arg ``add(image_emb, text_emb)`` form (1:1 pairs) remains for
+    pairwise tables."""
 
     def __init__(self, ks=(1, 5, 10)):
         self.ks = ks
         self.image_embs: list = []
+        self.image_ids: list = []
         self.text_embs: list = []
+        self.text_img_ids: list = []
 
-    def add(self, image_emb: np.ndarray, text_emb: np.ndarray):
+    def add(self, image_emb: np.ndarray, text_embs: np.ndarray, image_id=None):
+        if image_id is None:
+            image_id = len(self.image_embs)
         self.image_embs.append(np.asarray(image_emb))
-        self.text_embs.append(np.asarray(text_emb))
+        self.image_ids.append(image_id)
+        for t in np.atleast_2d(np.asarray(text_embs)):
+            self.text_embs.append(t)
+            self.text_img_ids.append(image_id)
 
     def results(self) -> dict:
         img = np.stack(self.image_embs)
         txt = np.stack(self.text_embs)
         img = img / (np.linalg.norm(img, axis=-1, keepdims=True) + 1e-7)
         txt = txt / (np.linalg.norm(txt, axis=-1, keepdims=True) + 1e-7)
-        sim = img @ txt.T
-        n = sim.shape[0]
+        sim = img @ txt.T                                   # [N_img, N_txt]
+        img_ids = np.asarray(self.image_ids)
+        txt_ids = np.asarray(self.text_img_ids)
+        kmax = max(self.ks)
+        top_txt = (-sim).argsort(axis=1)[:, :kmax]          # per image
+        top_img = (-sim.T).argsort(axis=1)[:, :kmax]        # per text
         out = {}
-        ranks_i2t = (-sim).argsort(axis=1)
-        ranks_t2i = (-sim.T).argsort(axis=1)
         for k in self.ks:
-            out[f"ir@{k}"] = 100.0 * float(np.mean([i in ranks_t2i[i, :k] for i in range(n)]))
-            out[f"tr@{k}"] = 100.0 * float(np.mean([i in ranks_i2t[i, :k] for i in range(n)]))
+            ir = np.mean([img_ids[top_img[j, :k]].tolist().count(txt_ids[j]) > 0
+                          for j in range(txt.shape[0])])
+            tr = np.mean([txt_ids[top_txt[i, :k]].tolist().count(img_ids[i]) > 0
+                          for i in range(img.shape[0])])
+            out[f"ir@{k}"] = 100.0 * float(ir)
+            out[f"tr@{k}"] = 100.0 * float(tr)
         return out
 
 

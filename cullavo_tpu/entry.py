@@ -114,13 +114,23 @@ def train_xdecoder(cfg):
     rng_np = np.random.default_rng(int(cfg.get("SEED", 0)))
     rng = jax.random.PRNGKey(int(cfg.get("SEED", 0)))
     step_i = 0
+    def _full_batches(order):
+        # CONSTANT batch size: keep pulling until batch_size valid samples
+        # (mapper returns None for images with no valid segments — common in
+        # COCO).  A shrinking batch would retrace + recompile the joint step
+        # per unique size, minutes each through the AOT helper; drop-last.
+        buf = []
+        for j in order:
+            m = mapper(records[j])
+            if m is not None:
+                buf.append(m)
+                if len(buf) == batch_size:
+                    yield buf
+                    buf = []
+
     for epoch in range(epochs):
         order = rng_np.permutation(len(records))
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            mapped = [mapper(records[j]) for j in order[i:i + batch_size]]
-            mapped = [m for m in mapped if m is not None]
-            if not mapped:
-                continue
+        for mapped in _full_batches(order):
             batch = collate_joint(mapped, tokenize, class_names, rng_np,
                                   max_instances=int(cfg.get("MAX_INSTANCES", 20)))
             batch["image"] = np.stack([normalize_np(m["image"]) for m in mapped])
@@ -320,18 +330,45 @@ def _make_text_tokenize(cfg, text_cfg):
 
     V = text_cfg.vocab_size
 
+    def _word_id(w: str) -> int:
+        # md5, NOT builtin hash(): hash() is salted per process, which would
+        # give each host (and each run) a different token table — divergent
+        # replicated class_ids across hosts, unreproducible runs
+        import hashlib
+
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
+        return 2 + h % (V - 3)
+
     def tokenize(texts):
         ids = np.zeros((len(texts), T), np.int32)
         mask = np.zeros((len(texts), T), np.int32)
         for i, t in enumerate(texts):
             words = t.lower().split()[: T - 2]
-            row = [1] + [2 + (hash(w) % (V - 3)) for w in words]
+            row = [1] + [_word_id(w) for w in words]
             ids[i, :len(row)] = row
             ids[i, len(row)] = V - 1          # EOT = argmax id (CLIP convention)
             mask[i, :len(row) + 1] = 1
         return ids, mask
 
     return tokenize
+
+
+def _make_text_decode(cfg):
+    """token ids → caption string for the captioning evaluator.  Uses the
+    configured HF CLIP tokenizer's real decode when present; the numeric
+    fallback only makes sense for fixture smoke runs (random weights)."""
+    path = cfg.get("MODEL", {}).get("TEXT", {}).get("TOKENIZER") \
+        if "MODEL" in cfg else None
+    if path:
+        from transformers import CLIPTokenizerFast
+
+        tk = CLIPTokenizerFast.from_pretrained(path)
+
+        def decode(ids):
+            return tk.decode([int(i) for i in ids], skip_special_tokens=True)
+
+        return decode
+    return lambda ids: " ".join(str(int(i)) for i in ids)
 
 
 def _load_xdecoder_params(cfg, model_cfg):
@@ -411,7 +448,7 @@ def _eval_xdecoder(cfg) -> dict:
                 pipe = build_pipeline(
                     "COCOCaptionXDecPipeline", cfg, model_cfg=model_cfg,
                     params=params, image_loader=image_loader,
-                    decode_text=lambda ids: " ".join(str(i) for i in ids),
+                    decode_text=_make_text_decode(cfg),
                     start_token_id=model_cfg.text.vocab_size - 2)
             else:
                 pipe = build_pipeline(
@@ -484,7 +521,6 @@ def _eval_vl(cfg) -> dict:
 def _eval_step2_pre(cfg) -> dict:
     """cullavo_step2_pre workload: model-in-the-loop dataset generation
     (run:25-44 template; CuLLaVOPipeline.py:95-133)."""
-    from cullavo_tpu.data.image_processing import preprocess_numpy
     from cullavo_tpu.data.mappers.eval_mappers import load_image_rgb
     from cullavo_tpu.data.registry import get_dataset
     from cullavo_tpu.data.step1_synthesis import SYSTEM_PROMPT
@@ -522,13 +558,15 @@ def _eval_step2_pre(cfg) -> dict:
     if not rows_u8:
         print("[entry] step2_pre: no images in dataset", file=sys.stderr)
         return {"rows": 0}
-    pixel_values = preprocess_numpy(rows_u8, size=model_cfg.vision.image_size)
     B = len(rows_u8)
     ids = np.tile(ids_row[None], (B, 1))
     mask = np.ones_like(ids)
+    # pixel_values=None: the pipeline preprocesses + generates in
+    # BATCH_SIZE chunks (one mega-batch would OOM on any real dataset)
     rows = pipe.generate_step2_rows(
-        rows_u8, ids, mask, out_dir, pixel_values,
-        max_new_tokens=int(cfg.get("MAX_NEW_TOKENS", 256)))
+        rows_u8, ids, mask, out_dir, None,
+        max_new_tokens=int(cfg.get("MAX_NEW_TOKENS", 256)),
+        batch_size=int(cfg.get("BATCH_SIZE", 8)))
     return {"rows": len(rows), "out_dir": out_dir}
 
 

@@ -45,9 +45,15 @@ class CriterionConfig:
     weight_dice: float = 5.0
     weight_bbox: float = 5.0
     weight_giou: float = 2.0
-    weight_captioning: float = 2.0
-    weight_grounding_bce: float = 2.0
-    weight_grounding_dice: float = 2.0
+    # reference weight table (xdecoder_model.py:137-149 via
+    # configs/xdecoder/xdecoder_focalt_lang.yaml:116-130)
+    weight_caption: float = 1.0          # CAPTION_WEIGHT
+    weight_captioning: float = 2.0       # CAPTIONING_WEIGHT
+    weight_retrieval_decoder: float = 2.0    # RETRIEVAL_WEIGHT
+    weight_retrieval_backbone: float = 8.0   # BACKBONER_WEIGHT
+    weight_grounding_ce: float = 0.4     # GCLASS_WEIGHT
+    weight_grounding_bce: float = 1.0    # GMASK_WEIGHT
+    weight_grounding_dice: float = 1.0   # GDICE_WEIGHT
     top_x_layers_mask: int = 10
     top_x_layers_class: int = 10
     top_x_layers_box: int = 10
@@ -200,6 +206,13 @@ def loss_captions(pred_captions, src_idx, valid, labels, labels_hash,
     n_cap = jnp.sum(caption_valid, axis=1).astype(jnp.int32)
     cap_src_idx, cap_match_valid = hungarian_match(cost, n_cap)
     cap_match_valid = cap_match_valid & caption_valid.astype(bool)
+    # HARD exclusion: when captions outnumber free queries (crowded image or
+    # small num_queries) the JV solver must still assign some caption rows to
+    # penalized seg-matched queries — drop those pairs instead of training a
+    # query toward both a class embedding and an unrelated caption (the
+    # reference matches within the unmatched-query subset only)
+    cap_match_valid = cap_match_valid & ~jnp.take_along_axis(
+        matched_mask, cap_src_idx, axis=1)
     v_cap = jnp.take_along_axis(v_all, cap_src_idx[:, :, None], axis=1)
 
     # -- combined hash-aware multi-positive contrastive
@@ -226,31 +239,66 @@ def loss_captions(pred_captions, src_idx, valid, labels, labels_hash,
     return 0.5 * (li + lt)
 
 
-def loss_grounding_ce(pred_gtexts, grounding_class_embs, grounding_hash,
-                      grounding_valid, logit_scale):
-    """Grounding query↔phrase alignment CE (criterion.py loss_groundings
-    t2i part, :384-403): per-phrase softmax over grounding-query logits with
-    a hash-smoothed assignment target.  Our grounding slots are conditioned
-    1:1 on phrases, so the assignment matrix is the identity before hash
-    smoothing.
+def match_groundings(g_masks_all, g_texts_all, tgt_gmasks, g_class_embs,
+                     gvalid, logit_scale, rng, cfg: CriterionConfig):
+    """Hungarian assignment of the grounding queries (ALL nq-1 duplicated
+    object queries) to the G phrase targets — the reference's grounding
+    matcher (matcher.py grounding_forward:252-310): cost = cost_class ·
+    (-softmax-over-queries similarity) + cost_mask · point-BCE +
+    cost_dice · point-dice over shared uniform points.
 
-    pred_gtexts [B, G, D] grounding-slot caption embeddings;
-    grounding_class_embs [B, G, D] phrase EOT embeddings.
-    """
-    v = _norm(pred_gtexts)
-    t = _norm(grounding_class_embs)
+    The duplicated queries have no phrase-specific binding (they all attend
+    every grounding token), so a fixed slot↔phrase pairing would supervise
+    toward noise; the match supplies the assignment, mirroring
+    evaluate_grounding's argmax-over-queries at inference.
+
+    g_masks_all [B, Qg, Hm, Wm]; g_texts_all [B, Qg, D];
+    tgt_gmasks [B, G, H, W]; g_class_embs [B, G, D]; gvalid [B, G].
+    Returns (src_idx [B, G], match_valid [B, G], sim [B, Qg, G])."""
+    from cullavo_tpu.models.xdecoder.matcher import (batch_dice_cost,
+                                                     batch_sigmoid_ce_cost,
+                                                     hungarian_match)
+    from cullavo_tpu.ops.point_sample import point_sample_batch as psb
+
+    B = g_masks_all.shape[0]
+    v = _norm(g_texts_all)
+    t = _norm(g_class_embs)
     scale = jnp.exp(jnp.clip(logit_scale, max=jnp.log(100.0)))
-    logits = scale * jnp.einsum("bqd,bgd->bqg", v, t)       # [B, G_q, G_t]
-    okf = grounding_valid.astype(jnp.float32)
+    sim = scale * jnp.einsum("bqd,bgd->bqg", v, t)            # [B, Qg, G]
+    cost_cls = -jax.nn.softmax(sim, axis=1)       # softmax over queries
+
+    coords = jax.random.uniform(rng, (B, cfg.num_points, 2))
+    pred_pts = psb(g_masks_all, coords)                       # [B, Qg, P]
+    tgt_pts = (psb(tgt_gmasks.astype(jnp.float32), coords) > 0.5
+               ).astype(jnp.float32)                          # [B, G, P]
+    cost_mask = jax.vmap(batch_sigmoid_ce_cost)(pred_pts, tgt_pts)
+    cost_dice = jax.vmap(batch_dice_cost)(pred_pts, tgt_pts)
+    cost = (cfg.cost_class * cost_cls + cfg.cost_mask * cost_mask
+            + cfg.cost_dice * cost_dice)
+    cost = jnp.where(gvalid[:, None, :].astype(bool), cost, 1e8)
+    n_valid = jnp.sum(gvalid.astype(jnp.int32), axis=1)
+    src_idx, match_valid = hungarian_match(cost, n_valid)
+    return src_idx, match_valid & gvalid.astype(bool), sim
+
+
+def loss_grounding_ce(sim, src_idx, match_valid, grounding_hash):
+    """Grounding query↔phrase alignment CE (criterion.py:441-462): target =
+    one at each (matched query, phrase) pair, hash-smoothed across
+    same-noun phrases; per-phrase softmax over ALL grounding-query logits.
+
+    sim [B, Qg, G] scaled similarities (from match_groundings);
+    src_idx/match_valid [B, G]; grounding_hash [B, G]."""
+    B, Qg, G = sim.shape
+    okf = match_valid.astype(jnp.float32)
+    # gt_logit [B, Qg, G]: 1 at (src_idx[g], g)
+    onehot = jax.nn.one_hot(src_idx, Qg, axis=1) * okf[:, None, :]
     same = (grounding_hash[:, :, None] == grounding_hash[:, None, :]).astype(
         jnp.float32) * okf[:, :, None] * okf[:, None, :]
-    gt = jnp.eye(v.shape[1])[None] * okf[:, :, None]
-    gt = jnp.einsum("bqg,bgh->bqh", gt, same / jnp.maximum(
+    gt = jnp.einsum("bqg,bgh->bqh", onehot, same / jnp.maximum(
         same.sum(-1, keepdims=True), 1.0))
     # per-phrase softmax over queries (the transposed CE in the reference)
-    logits_t = logits.swapaxes(1, 2) - 1e9 * (1.0 - okf)[:, None, :]
-    logp = jax.nn.log_softmax(logits_t, axis=-1)
-    row_loss = -jnp.sum(gt.swapaxes(1, 2) * logp, axis=-1)  # [B, G_t]
+    logp = jax.nn.log_softmax(sim.swapaxes(1, 2), axis=-1)    # [B, G, Qg]
+    row_loss = -jnp.sum(gt.swapaxes(1, 2) * logp, axis=-1)    # [B, G]
     return jnp.sum(row_loss * okf) / jnp.maximum(jnp.sum(okf), 1.0)
 
 

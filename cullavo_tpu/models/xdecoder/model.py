@@ -177,7 +177,8 @@ def forward_seg_train(params, cfg: XDecoderModelConfig, images, targets,
     token embeddings) and targets carrying ``grounding_masks`` [B, G, H, W] +
     ``grounding_valid`` [B, G], the grounding BCE+dice terms are added
     (criterion.py forward_grounding semantics)."""
-    from cullavo_tpu.models.xdecoder.criterion import loss_groundings
+    from cullavo_tpu.models.xdecoder.criterion import (loss_groundings,
+                                                       match_groundings)
 
     mask_features, pyramid = backbone_and_pixel_decoder(params, cfg, images,
                                                         remat=remat)
@@ -188,13 +189,21 @@ def forward_seg_train(params, cfg: XDecoderModelConfig, images, targets,
                            task="seg", is_train=True)
     losses = set_criterion(out, targets, cfg.criterion, rng, data_axis)
     if grounding_tokens is not None and "grounding_masks" in targets:
-        G = grounding_tokens.shape[1]
         nq = cfg.decoder.num_queries
-        # grounding-conditioned mask slots live at [nq : nq+G]
-        g_masks = out["pred_masks"][:, nq:nq + G]
+        # Hungarian-match ALL nq-1 grounding-conditioned queries to the G
+        # phrase targets (matcher.py grounding_forward) — see
+        # forward_joint_train for the rationale
+        g_masks_all = out["pred_masks"][:, nq:]
+        g_texts_all = out["pred_captions"][:, nq:]
+        r_gmatch, r_ground = jax.random.split(jax.random.fold_in(rng, 17))
+        g_src, g_valid, _ = match_groundings(
+            g_masks_all, g_texts_all, targets["grounding_masks"],
+            grounding_tokens, targets["grounding_valid"],
+            params["text"]["logit_scale"], r_gmatch, cfg.criterion)
+        g_masks = jnp.take_along_axis(g_masks_all, g_src[:, :, None, None],
+                                      axis=1)
         bce, dice = loss_groundings(g_masks, targets["grounding_masks"],
-                                    targets["grounding_valid"],
-                                    jax.random.fold_in(rng, 17), cfg.criterion)
+                                    g_valid, r_ground, cfg.criterion)
         losses["loss_grounding_bce_0"] = cfg.criterion.weight_grounding_bce * bce
         losses["loss_grounding_dice_0"] = cfg.criterion.weight_grounding_dice * dice
     return losses
@@ -223,6 +232,7 @@ def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
                                                       loss_captions,
                                                       loss_grounding_ce,
                                                       loss_groundings,
+                                                      match_groundings,
                                                       set_criterion)
     from cullavo_tpu.models.xdecoder.language_loss import image_text_contrastive_loss
 
@@ -238,7 +248,10 @@ def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
     _, g_cls = te.forward_language_token(
         tp, tc, batch["grounding_ids"].reshape(B * G, T),
         batch["grounding_token_mask"].reshape(B * G, T))
-    grounding_tokens = g_cls.reshape(B, G, -1)
+    # zero padded phrase slots: their EOT embeddings are garbage (all-zero
+    # ids) and would otherwise inject noise into query self-attention
+    grounding_tokens = (g_cls.reshape(B, G, -1)
+                        * batch["grounding_valid"][:, :, None].astype(g_cls.dtype))
     cap_tok, cap_sent = te.forward_language_token(
         tp, tc, batch["caption_text_ids"], batch["caption_text_mask"])
     vocab_embs = tp["token_embedding"] @ tp["lang_proj"]
@@ -285,34 +298,46 @@ def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
             if k.startswith(old + "_"):
                 losses[f"{new}_{int(k[len(old) + 1:]) + 1}"] = v
                 break
-    losses["loss_caption_0"] = loss_captions(
+    crit = cfg.criterion
+    losses["loss_caption_0"] = crit.weight_caption * loss_captions(
         out["pred_captions"][:, :nq - 1], src_idx, match_valid, batch["classes"],
         batch["labels_hash"], class_embs, cap_embs, batch["caption_hash"],
         batch["caption_valid"], logit_scale)
-    g_masks_pred = out["pred_masks"][:, nq:nq + G]
+    # grounding: Hungarian-match ALL nq-1 duplicated queries to the G
+    # phrases (matcher.py grounding_forward) — the duplicated queries carry
+    # no per-phrase binding, so a fixed slot↔phrase pairing would supervise
+    # noise; matching mirrors evaluate_grounding's argmax at inference
+    r_gmatch, r_ground = jax.random.split(r_ground)
+    g_masks_all = out["pred_masks"][:, nq:]           # [B, nq-1, Hm, Wm]
+    g_texts_all = out["pred_captions"][:, nq:]
+    g_src, g_valid, g_sim = match_groundings(
+        g_masks_all, g_texts_all, batch["grounding_masks"], grounding_tokens,
+        batch["grounding_valid"], logit_scale, r_gmatch, cfg.criterion)
+    g_masks_pred = jnp.take_along_axis(
+        g_masks_all, g_src[:, :, None, None], axis=1)  # [B, G, Hm, Wm]
     bce, dice = loss_groundings(g_masks_pred, batch["grounding_masks"],
-                                batch["grounding_valid"], r_ground,
-                                cfg.criterion)
-    losses["loss_grounding_bce_0"] = cfg.criterion.weight_grounding_bce * bce
-    losses["loss_grounding_dice_0"] = cfg.criterion.weight_grounding_dice * dice
-    losses["loss_grounding_ce_0"] = loss_grounding_ce(
-        out["pred_captions"][:, nq:nq + G], grounding_tokens,
-        batch["grounding_hash"], batch["grounding_valid"], logit_scale)
+                                g_valid, r_ground, cfg.criterion)
+    losses["loss_grounding_bce_0"] = crit.weight_grounding_bce * bce
+    losses["loss_grounding_dice_0"] = crit.weight_grounding_dice * dice
+    losses["loss_grounding_ce_0"] = crit.weight_grounding_ce * loss_grounding_ce(
+        g_sim, g_src, g_valid, batch["grounding_hash"])
 
     # -- vlp pass: captioning token CE + retrieval ITC (decoder + backbone)
     out_vlp = xdecoder_forward(params["decoder"], cfg.decoder, pyramid,
                                mask_features, caption_tokens=cap_tok,
                                task="vlp", is_train=True)
-    losses["loss_captioning_0"] = loss_captionings(
+    losses["loss_captioning_0"] = crit.weight_captioning * loss_captionings(
         out_vlp["pred_captionings"], cap_tok, batch["caption_text_ids"],
         batch["caption_text_mask"], vocab_embs, logit_scale)
     img_emb = out_vlp["pred_captions"][:, nq - 1]
-    losses["loss_retrieval_decoder_0"] = image_text_contrastive_loss(
-        img_emb, cap_sent, logit_scale, data_axis)
+    losses["loss_retrieval_decoder_0"] = (
+        crit.weight_retrieval_decoder * image_text_contrastive_loss(
+            img_emb, cap_sent, logit_scale, data_axis))
     if "backbone_proj" in params:
         v5 = jnp.mean(feats["res5"], axis=(1, 2)) @ params["backbone_proj"]
-        losses["loss_retrieval_backbone_0"] = image_text_contrastive_loss(
-            v5, cap_sent, logit_scale, data_axis)
+        losses["loss_retrieval_backbone_0"] = (
+            crit.weight_retrieval_backbone * image_text_contrastive_loss(
+                v5, cap_sent, logit_scale, data_axis))
     return losses
 
 
@@ -516,19 +541,22 @@ def forward_vlp_train(params, cfg: XDecoderModelConfig, images,
                            is_train=True)
     losses = {}
     logit_scale = params["text"]["logit_scale"]
-    losses["loss_captioning_0"] = loss_captionings(
+    crit = cfg.criterion
+    losses["loss_captioning_0"] = crit.weight_captioning * loss_captionings(
         out["pred_captionings"], caption_token_embs, caption_token_ids,
         caption_mask, vocab_embs, logit_scale)
     # retrieval ITC: class-token caption embedding vs text sentence embedding
     if caption_sentence_embs is not None:
         nq = cfg.decoder.num_queries
         img_emb = out["pred_captions"][:, nq - 1]
-        losses["loss_retrieval_decoder_0"] = image_text_contrastive_loss(
-            img_emb, caption_sentence_embs, logit_scale, axis_name)
+        losses["loss_retrieval_decoder_0"] = (
+            crit.weight_retrieval_decoder * image_text_contrastive_loss(
+                img_emb, caption_sentence_embs, logit_scale, axis_name))
         if backbone_proj is not None:
             v = jnp.mean(feats["res5"], axis=(1, 2)) @ backbone_proj
-            losses["loss_retrieval_backbone_0"] = image_text_contrastive_loss(
-                v, caption_sentence_embs, logit_scale, axis_name)
+            losses["loss_retrieval_backbone_0"] = (
+                crit.weight_retrieval_backbone * image_text_contrastive_loss(
+                    v, caption_sentence_embs, logit_scale, axis_name))
     return losses
 
 

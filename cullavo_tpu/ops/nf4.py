@@ -170,10 +170,12 @@ def _codebook_lookup_lerp(idx: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     relayout Mosaic rejects ("Invalid relayout ... vector<...xi1>" when a
     (8,128)-layout mask feeds a (16,128) bf16 select).
 
-    Exactness: b ∈ {0,1} exactly; level-1 diffs are compile-time constants;
-    higher-level diffs are Sterbenz-exact (adjacent codebook values are
-    within 2x).  tests/test_ops.py::test_nf4_lerp_decode_table asserts the
-    16-entry decode table equals the rounded codebook bit-for-bit."""
+    NOT exact in bf16: the higher-level diffs round, leaving 1-2 ulp of
+    drift on a few entries (measured max rel err 1.8% at entry 8) —
+    tests/test_ops.py::test_nf4_decode_networks_agree bounds the drift.
+    Opt-in EXPERIMENT (CULLAVO_NF4_DECODE=lerp_bf16), never the default,
+    until an exact bf16 formulation exists; it also measured SLOWER than
+    the sx kernel end-to-end (4.37 vs 8.34 img/s, STATUS.md)."""
     b0 = (idx & 1).astype(dtype)
     b1 = ((idx >> 1) & 1).astype(dtype)
     b2 = ((idx >> 2) & 1).astype(dtype)

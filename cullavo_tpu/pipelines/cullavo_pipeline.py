@@ -93,31 +93,53 @@ class CuLLaVOPipeline:
     def generate_step2_rows(self, images_u8: np.ndarray, prompts_ids: np.ndarray,
                             attention_mask: np.ndarray, out_dir: str,
                             pixel_values: np.ndarray, max_new_tokens: int = 256,
-                            parallel_ctx=None):
+                            parallel_ctx=None, batch_size: Optional[int] = None):
         """Model-in-the-loop enrichment (arch_cullavo.py:341-543): sample a
-        caption+boxes continuation, parse, rasterize, emit dataset rows."""
+        caption+boxes continuation, parse, rasterize, emit dataset rows.
+
+        Generation runs in ``batch_size`` chunks (default: BATCH_SIZE config,
+        8) — a real dataset is tens of thousands of rows, and one mega-batch
+        would allocate a KV cache of hundreds of GB.  The final short chunk
+        is padded by repetition so every chunk reuses ONE compiled program.
+        ``pixel_values=None`` preprocesses each chunk from ``images_u8``
+        lazily (full-dataset [N,3,336,336] fp32 is ~1.5 MB/image host RAM)."""
         gen = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=True,
                                temperature=0.9, top_k=50, top_p=0.95,
                                eos_token_id=self.tokenizer.eos_token_id)
-        out = generate(self.params, self.model_cfg, jnp.asarray(prompts_ids),
-                       jnp.asarray(pixel_values), jnp.asarray(attention_mask),
-                       gen, max_len=prompts_ids.shape[1] + max_new_tokens,
-                       rng=jax.random.PRNGKey(int(self._rng.integers(1 << 31))))
+        N = prompts_ids.shape[0]
+        bs = int(batch_size or self.cfg.get("BATCH_SIZE", 8))
+        bs = max(1, min(bs, N))
         rows = []
         os.makedirs(out_dir, exist_ok=True)
-        for b in range(out.shape[0]):
-            text = self.tokenizer.decode(np.asarray(out[b]))
-            boxes, classes, err = parse_boxes_and_classes(text)
-            if err or boxes is None or len(boxes) == 0:
-                continue
-            H, W = images_u8[b].shape[:2]
-            abs_boxes = boxes * np.asarray([W, H, W, H], np.float32)
-            colors = COLOR_LIST[:len(boxes)]
-            drawn = draw_boxes(images_u8[b], abs_boxes, colors)
-            img_name = f"step2_{b}.png"
-            self._save_png(os.path.join(out_dir, img_name), drawn)
-            rows.append({"image": img_name, "boxes": boxes.tolist(),
-                         "classes": classes, "text": text})
+        for start in range(0, N, bs):
+            sel = np.arange(start, min(start + bs, N))
+            pad = np.concatenate([sel, np.full(bs - len(sel), sel[-1])]) \
+                if len(sel) < bs else sel
+            if pixel_values is None:
+                from cullavo_tpu.data.image_processing import preprocess_numpy
+
+                pix = preprocess_numpy([np.asarray(images_u8[b]) for b in pad],
+                                       size=self.model_cfg.vision.image_size)
+            else:
+                pix = pixel_values[pad]
+            out = generate(
+                self.params, self.model_cfg, jnp.asarray(prompts_ids[pad]),
+                jnp.asarray(pix), jnp.asarray(attention_mask[pad]),
+                gen, max_len=prompts_ids.shape[1] + max_new_tokens,
+                rng=jax.random.PRNGKey(int(self._rng.integers(1 << 31))))
+            for j, b in enumerate(sel):
+                text = self.tokenizer.decode(np.asarray(out[j]))
+                boxes, classes, err = parse_boxes_and_classes(text)
+                if err or boxes is None or len(boxes) == 0:
+                    continue
+                H, W = images_u8[b].shape[:2]
+                abs_boxes = boxes * np.asarray([W, H, W, H], np.float32)
+                colors = COLOR_LIST[:len(boxes)]
+                drawn = draw_boxes(images_u8[b], abs_boxes, colors)
+                img_name = f"step2_{b}.png"
+                self._save_png(os.path.join(out_dir, img_name), drawn)
+                rows.append({"image": img_name, "boxes": boxes.tolist(),
+                             "classes": classes, "text": text})
         if parallel_ctx is not None:
             gathered = parallel_ctx.allgather_objects(rows)
             rows = [r for shard in gathered for r in shard]

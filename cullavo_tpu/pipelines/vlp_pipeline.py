@@ -65,16 +65,22 @@ class VLPRetrievalPipeline:
             imgs = np.stack([_prep_image(self.image_loader(r), self.image_size)
                              for r in chunk])
             img_emb = np.asarray(self._embed(self.params, jnp.asarray(imgs)))
-            # first caption per image pairs the retrieval table (karpathy
-            # protocol: 1 image ↔ its captions; the reference embeds each and
-            # scores vs the image — first-caption pairing reported here)
-            texts = [r["captions"][0] for r in chunk]
+            # karpathy protocol (xdecoder_model.py:507-550): EVERY caption of
+            # an image joins the text pool, grouped by image_id — recall@k is
+            # computed over image_id matches, not 1:1 row pairing
+            texts, owner = [], []
+            for b, r in enumerate(chunk):
+                caps = list(r.get("captions") or [])[:5] or [""]
+                texts.extend(caps)
+                owner.extend([b] * len(caps))
             ids, mask = self.tokenize(texts)
             t_emb = np.asarray(forward_language(
                 self.params["text"], self.model_cfg.text,
                 jnp.asarray(ids), jnp.asarray(mask)))
-            for b in range(len(chunk)):
-                ev.add(img_emb[b], t_emb[b])
+            for b, r in enumerate(chunk):
+                sel = [j for j, o in enumerate(owner) if o == b]
+                ev.add(img_emb[b], t_emb[sel],
+                       image_id=r.get("image_id", i + b))
         return ev.results()
 
 

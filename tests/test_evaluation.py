@@ -139,3 +139,30 @@ def test_instance_seg_ap_perfect_and_partial():
     ev.add(np.stack([fp, gt[0]]), [1, 1], [0.95, 0.9], gt[:1], [1])
     r = ev.results()
     assert 0 < r["AP50"] < 100
+
+
+def test_retrieval_karpathy_grouped():
+    """Grouped protocol: every caption of an image joins the pool under its
+    image_id; recall counts image_id hits (retrieval_evaluation.py
+    semantics), not 1:1 row pairing."""
+    import numpy as np
+    from cullavo_tpu.data.evaluation.evaluators import RetrievalEvaluator
+
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(4, 8))
+    ev = RetrievalEvaluator(ks=(1, 5))
+    for i in range(4):
+        # 3 captions per image, all near the image embedding
+        caps = base[i] + 0.01 * rng.normal(size=(3, 8))
+        ev.add(base[i], caps, image_id=100 + i)
+    r = ev.results()
+    assert r["ir@1"] == 100.0 and r["tr@1"] == 100.0
+
+    # one image's captions point at ANOTHER image -> its tr@1 fails but the
+    # texts still land within top-5 images
+    ev = RetrievalEvaluator(ks=(1, 5))
+    for i in range(4):
+        caps = base[(i + 1) % 4 if i == 0 else i] + 0.01 * rng.normal(size=(2, 8))
+        ev.add(base[i], caps, image_id=i)
+    r = ev.results()
+    assert r["tr@1"] < 100.0 and r["ir@5"] == 100.0

@@ -209,3 +209,49 @@ def test_caption_grounding_json_loader_with_lvis(tmp_path):
         paths["grd"], {}, lvis_json=paths["lvis"])
     assert len(recs[0]["lvis_info"]) == 1
     assert recs[0]["lvis_info"][0]["category_id"] == 333
+
+
+def test_match_groundings_recovers_permutation():
+    """The grounding matcher must recover a known query->phrase assignment
+    from mask+similarity evidence regardless of slot order (the duplicated
+    queries carry no phrase binding; a fixed 1:1 slot pairing would be
+    noise).  Mirrors matcher.py grounding_forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cullavo_tpu.models.xdecoder.criterion import (CriterionConfig,
+                                                       loss_grounding_ce,
+                                                       match_groundings)
+
+    rng = np.random.default_rng(0)
+    B, Q, G, H, W, D = 2, 6, 3, 32, 32, 16
+    perm = np.stack([rng.permutation(Q)[:G] for _ in range(B)])   # true q per g
+    tgt = np.zeros((B, G, H, W), np.float32)
+    for b in range(B):
+        for g in range(G):
+            x0, y0 = 4 * g, 8 * g
+            tgt[b, g, y0:y0 + 8, x0:x0 + 12] = 1.0
+    pred = np.full((B, Q, H, W), -8.0, np.float32)
+    texts = rng.normal(size=(B, Q, D)).astype(np.float32)
+    embs = np.zeros((B, G, D), np.float32)
+    for b in range(B):
+        for g in range(G):
+            q = perm[b, g]
+            pred[b, q] = np.where(tgt[b, g] > 0, 8.0, -8.0)
+            embs[b, g] = texts[b, q]                # text agrees with mask
+    valid = np.ones((B, G), bool)
+    cfg = CriterionConfig(num_points=256)
+    src_idx, match_valid, sim = match_groundings(
+        jnp.asarray(pred), jnp.asarray(texts), jnp.asarray(tgt),
+        jnp.asarray(embs), jnp.asarray(valid), jnp.asarray(2.0),
+        jax.random.PRNGKey(0), cfg)
+    np.testing.assert_array_equal(np.asarray(src_idx), perm)
+    assert bool(np.all(np.asarray(match_valid)))
+
+    # CE: matched assignment scores lower than a deliberately wrong one
+    good = float(loss_grounding_ce(sim, src_idx, match_valid,
+                                   jnp.asarray(rng.integers(1, 99, (B, G)))))
+    wrong = (np.asarray(src_idx) + 1) % Q
+    bad = float(loss_grounding_ce(sim, jnp.asarray(wrong), match_valid,
+                                  jnp.asarray(rng.integers(1, 99, (B, G)))))
+    assert good < bad
