@@ -160,7 +160,10 @@ def loss_groundings(pred_gmasks, tgt_gmasks, gvalid, rng, cfg: CriterionConfig):
 
 
 def _norm(x):
-    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-7)
+    # sqrt(sum+eps²), NOT linalg.norm + eps: norm's VJP divides by the norm,
+    # so an exactly-zero row (e.g. a zeroed padded grounding token) yields
+    # NaN gradients even under a zero cotangent (0 · NaN = NaN)
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
 
 
 def loss_captions(pred_captions, src_idx, valid, labels, labels_hash,

@@ -267,3 +267,81 @@ def test_eval_cli_unknown_name(tmp_path):
     conf = _write_yaml(tmp_path / "conf.yaml", "NAME: bogus_workload\n")
     with pytest.raises(SystemExit):
         entry.main(["eval", "--conf_files", conf])
+
+
+def test_train_cli_xdecoder_joint(tmp_path, capsys):
+    """`entry train` with an xdecoder NAME drives the joint
+    seg+caption+grounding trainer end-to-end from a config-registered
+    caption-grounding dataset: constant batch size (None-mapped records
+    are skipped without shrinking the batch), all 12 reference loss keys,
+    finite loss, and a saved checkpoint."""
+    img_dir = tmp_path / "img"
+    pan_dir = tmp_path / "pan"
+    img_dir.mkdir(); pan_dir.mkdir()
+    rng = np.random.default_rng(3)
+    H, W = 64, 64
+    pan_anns, cap_anns, grd_anns = [], [], []
+    for i in range(5):
+        _save_png(img_dir / f"{i:012d}.jpg",
+                  rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+        ids = np.zeros((H, W), np.int32)
+        if i != 2:           # record 2 has NO segments -> mapper returns None
+            ids[:32, :32] = 7
+            ids[32:, :] = 9
+        _save_png(pan_dir / f"{i:012d}.png", id2rgb(ids).astype(np.uint8))
+        segs = ([] if i == 2 else
+                [{"id": 7, "category_id": 1, "iscrowd": 0},
+                 {"id": 9, "category_id": 2, "iscrowd": 0}])
+        pan_anns.append({"image_id": i, "file_name": f"{i:012d}.png",
+                         "segments_info": segs})
+        cap_anns.append({"image_id": i, "caption": "a cat near a lamp"})
+        cap_anns.append({"image_id": i, "caption": "animal on green grass"})
+        grd_anns.append({"image_id": i,
+                         "segmentation": [[2, 2, 28, 2, 28, 28, 2, 28]],
+                         "sentences": [{"raw": "the fluffy cat"}],
+                         "category_id": 1})
+    pj = tmp_path / "panoptic.json"
+    cj = tmp_path / "captions.json"
+    gj = tmp_path / "grounding.json"
+    pj.write_text(json.dumps({
+        "annotations": pan_anns,
+        "categories": [{"id": 1, "isthing": 1, "name": "cat"},
+                       {"id": 2, "isthing": 0, "name": "grass"}]}))
+    cj.write_text(json.dumps({"annotations": cap_anns}))
+    gj.write_text(json.dumps({"annotations": grd_anns}))
+    save_dir = tmp_path / "ckpt"
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: xdecoder_train
+MODEL:
+  TINY: true
+BATCH_SIZE: 2
+EPOCHS: 1
+MAX_INSTANCES: 4
+INPUT:
+  IMAGE_SIZE: 64
+SOLVER:
+  BASE_LR: 1.0e-4
+  MAX_ITER: 10
+SAVE_DIR: {save_dir}
+DATASETS:
+  TRAIN: fix_joint_train
+  REGISTER:
+    fix_joint_train:
+      KIND: coco_panoptic_caption_grounding
+      JSON: {pj}
+      IMAGE_DIR: {img_dir}
+      PANOPTIC_DIR: {pan_dir}
+      CAPTION_JSON: {cj}
+      GROUNDING_JSON: {gj}
+      NUM_CLASSES: 6
+""")
+    entry.main(["train", "--conf_files", conf])
+    err = capsys.readouterr().err
+    import ast
+
+    steps = [ast.literal_eval(l) for l in err.splitlines()
+             if l.startswith("{'step'")]
+    # 4 valid records at batch 2 -> exactly 2 constant-size steps
+    assert len(steps) == 2, err
+    assert all(np.isfinite(s["loss_total"]) for s in steps)
+    assert save_dir.exists() and any(save_dir.iterdir())
