@@ -222,14 +222,24 @@ def main():
     if want in ("int8", "nf4"):
         print(json.dumps(run_quant_mode(want)))
         return
-    res = {m: run_quant_mode(m) for m in ("int8", "nf4")}
-    line = res["int8"]
-    line.update({
-        "nf4_images_per_s": res["nf4"]["value"],
-        "nf4_vs_baseline": res["nf4"]["vs_baseline"],
-        "nf4_batch": res["nf4"]["batch"],
-        "nf4_p50_latency_s": res["nf4"]["p50_latency_s"],
-    })
+    res = {}
+    for m in ("int8", "nf4"):
+        # one mode crashing (tunnel wedge / OOM) must not lose the other's
+        # number — the driver records exactly one JSON line per round
+        try:
+            res[m] = run_quant_mode(m)
+        except Exception as e:  # noqa: BLE001
+            log(f"quant mode {m} FAILED: {type(e).__name__}: {e}")
+    if not res:
+        raise SystemExit("both quant modes failed")
+    line = res.get("int8") or res["nf4"]
+    if "nf4" in res and "int8" in res:
+        line.update({
+            "nf4_images_per_s": res["nf4"]["value"],
+            "nf4_vs_baseline": res["nf4"]["vs_baseline"],
+            "nf4_batch": res["nf4"]["batch"],
+            "nf4_p50_latency_s": res["nf4"]["p50_latency_s"],
+        })
     print(json.dumps(line))
 
 
