@@ -140,15 +140,20 @@ def focal_modulation(x, w, focal_level: int, scaling_modulator: bool, eps: float
     ctx = fx[..., C:2 * C]
     gates = fx[..., 2 * C:]
 
+    B, H, W, _ = x.shape
+    from cullavo_tpu.ops.focal_pallas import fits_fused_focal
+
     if (jax.default_backend() == "tpu"
-            and os.environ.get("CULLAVO_FOCAL_PALLAS", "0") == "1"):
+            and os.environ.get("CULLAVO_FOCAL_PALLAS", "0") == "1"
+            and focal_level + 1 <= 8 and fits_fused_focal(C, H * W)):
         # CULLAVO_FOCAL_PALLAS=1: one fused VMEM pass for the dwconv/gelu/
         # gate chain + global-mean term (ops/focal_pallas.py) instead of
-        # XLA's per-op HBM roundtrips.  Opt-in until chip-validated.
+        # XLA's per-op HBM roundtrips.  Opt-in until chip-validated;
+        # differentiable (custom VJP = XLA-chain AD).  Oversized maps fall
+        # through to the XLA path (VMEM guard).
         from cullavo_tpu.ops.focal_pallas import (fused_focal_ctx,
                                                   pack_level_weights)
 
-        B, H, W, _ = x.shape
         kernels = tuple(int(w[f"focal{l}_w"].shape[0])
                         for l in range(focal_level))
         lw = pack_level_weights([w[f"focal{l}_w"]

@@ -17,6 +17,10 @@ channel-local, so no cross-program communication.
 
 Depthwise convs have no bias in focal modulation (focal.py f/focal layers);
 zero-padding SAME semantics match the shifted-in zeros + column mask.
+
+Backward: custom VJP whose backward is the XLA chain's AD (the same
+fwd-Pallas / bwd-XLA pattern as ops/msdeform_pallas.py) — training with
+CULLAVO_FOCAL_PALLAS=1 differentiates fine.
 """
 from __future__ import annotations
 
@@ -27,19 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _gelu(x):
-    # tanh-approximate gelu, matching jax.nn.gelu(approximate=True)
-    return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654
-                                     * (x + 0.044715 * x * x * x)))
-
-
 def _focal_kernel(ctx_ref, gates_ref, w_ref, o_ref, *,
-                  kernels: tuple, H: int, W: int, c_blk: int,
+                  kernels: tuple, H: int, W: int, c_blk: int, g_pad: int,
                   scaling: bool):
     HW = H * W
     L = len(kernels)
     ctx = ctx_ref[0].astype(jnp.float32)               # [c_blk, HW]
-    gates = gates_ref[0].astype(jnp.float32)           # [8, HW] (L+1 used)
+    gates = gates_ref[0].astype(jnp.float32)           # [g_pad, HW] (L+1 used)
     wts = w_ref[...].astype(jnp.float32)               # [c_blk, WCOLS]
 
     # column index per flattened-HW lane, for masking row wrap-around
@@ -62,40 +60,58 @@ def _focal_kernel(ctx_ref, gates_ref, w_ref, o_ref, *,
                     ok = (col + dx >= 0) & (col + dx <= W - 1)
                     xs = jnp.where(ok, xs, 0.0)
                 conv = conv + tap * xs
-        ctx = _gelu(conv)
+        ctx = jax.nn.gelu(conv, approximate=True)
         acc = acc + ctx * gates[l:l + 1]
-    ctx_global = _gelu(jnp.mean(ctx, axis=1, keepdims=True))   # [c_blk, 1]
+    ctx_global = jax.nn.gelu(jnp.mean(ctx, axis=1, keepdims=True),
+                             approximate=True)         # [c_blk, 1]
     acc = acc + ctx_global * gates[L:L + 1]
     if scaling:
         acc = acc / (L + 1)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def fused_focal_ctx(ctx, gates, level_weights, H: int, W: int,
-                    kernels: tuple, scaling_modulator: bool,
-                    c_blk: int = 32):
-    """ctx [B, C, H*W]; gates [B, L+1, H*W]; level_weights [C, sum(k²)]
-    (per-channel taps, levels concatenated row-major per k×k kernel).
-    Returns ctx_all [B, C, H*W] — the gated multi-level context
-    (everything in focal_modulation between the f-projection split and the
-    ``h`` 1×1 conv)."""
+# per-program f32 working set ≈ 5 live [c_blk, HW] buffers (ctx, padded,
+# conv, acc, shift temp); keep it well under the 16 MB VMEM
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def fits_fused_focal(C: int, HW: int, c_blk: int = 32) -> bool:
+    """True when some channel block size keeps the kernel inside VMEM."""
+    while C % c_blk:
+        c_blk //= 2
+    while c_blk > 8 and c_blk * HW * 4 * 5 > _VMEM_BUDGET_BYTES:
+        c_blk //= 2
+        while C % c_blk:
+            c_blk //= 2
+    return c_blk >= 1 and c_blk * HW * 4 * 5 <= _VMEM_BUDGET_BYTES
+
+
+def _fused_focal_fwd(ctx, gates, level_weights, H: int, W: int,
+                     kernels: tuple, scaling_modulator: bool, c_blk: int):
     B, C, HW = ctx.shape
     assert HW == H * W
     L = len(kernels)
+    assert L + 1 <= 8 * ((L + 1 + 7) // 8)
     while C % c_blk:
         c_blk //= 2
-    # gates padded to 8 sublanes for the (8, 128) block tiling rule
-    gates8 = jnp.pad(gates, ((0, 0), (0, 8 - (L + 1)), (0, 0)))
+    # shrink the channel block until the f32 working set fits VMEM
+    while c_blk > 8 and c_blk * HW * 4 * 5 > _VMEM_BUDGET_BYTES:
+        c_blk //= 2
+        while C % c_blk:
+            c_blk //= 2
+    # gates padded to an 8-sublane multiple for the (8, 128) tiling rule
+    g_pad = 8 * ((L + 1 + 7) // 8)
+    gates8 = jnp.pad(gates, ((0, 0), (0, g_pad - (L + 1)), (0, 0)))
     wcols = sum(k * k for k in kernels)
     kernel = functools.partial(_focal_kernel, kernels=tuple(kernels),
-                               H=H, W=W, c_blk=c_blk,
+                               H=H, W=W, c_blk=c_blk, g_pad=g_pad,
                                scaling=scaling_modulator)
     return pl.pallas_call(
         kernel,
         grid=(B, C // c_blk),
         in_specs=[
             pl.BlockSpec((1, c_blk, HW), lambda b, ci: (b, ci, 0)),
-            pl.BlockSpec((1, 8, HW), lambda b, ci: (b, 0, 0)),
+            pl.BlockSpec((1, g_pad, HW), lambda b, ci: (b, 0, 0)),
             pl.BlockSpec((c_blk, wcols), lambda b, ci: (ci, 0)),
         ],
         out_specs=pl.BlockSpec((1, c_blk, HW), lambda b, ci: (b, ci, 0)),
@@ -104,9 +120,65 @@ def fused_focal_ctx(ctx, gates, level_weights, H: int, W: int,
     )(ctx, gates8, level_weights)
 
 
+def _xla_focal_ctx(ctx, gates, level_weights, H, W, kernels, scaling):
+    """The same chain in plain XLA ops on the [B, C, HW] layout — the VJP
+    donor for the Pallas forward (and its numeric oracle in tests)."""
+    B, C, HW = ctx.shape
+    L = len(kernels)
+    x = ctx.reshape(B, C, H, W).transpose(0, 2, 3, 1)        # NHWC
+    acc = jnp.zeros_like(x)
+    wcol = 0
+    for l, k in enumerate(kernels):
+        kw = level_weights[:, wcol:wcol + k * k].T.reshape(k, k, 1, C)
+        wcol += k * k
+        x = jax.lax.conv_general_dilated(
+            x, kw.astype(x.dtype), window_strides=(1, 1),
+            padding=[(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        x = jax.nn.gelu(x, approximate=True)
+        g = gates[:, l].reshape(B, H, W)[..., None]
+        acc = acc + x * g
+    gl = jax.nn.gelu(jnp.mean(x, axis=(1, 2), keepdims=True),
+                     approximate=True)
+    acc = acc + gl * gates[:, L].reshape(B, H, W)[..., None]
+    if scaling:
+        acc = acc / (L + 1)
+    return acc.transpose(0, 3, 1, 2).reshape(B, C, HW)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_focal_ctx(ctx, gates, level_weights, H: int, W: int,
+                    kernels: tuple, scaling_modulator: bool,
+                    c_blk: int = 32):
+    """ctx [B, C, H*W]; gates [B, L+1, H*W]; level_weights [C, sum(k²)]
+    (per-channel taps, levels concatenated row-major per k×k kernel).
+    Returns ctx_all [B, C, H*W] — the gated multi-level context
+    (everything in focal_modulation between the f-projection split and the
+    ``h`` 1×1 conv).  Pallas forward, XLA-AD backward."""
+    return _fused_focal_fwd(ctx, gates, level_weights, H, W,
+                            tuple(kernels), scaling_modulator, c_blk)
+
+
+def _vjp_fwd(ctx, gates, level_weights, H, W, kernels, scaling, c_blk):
+    out = _fused_focal_fwd(ctx, gates, level_weights, H, W, tuple(kernels),
+                           scaling, c_blk)
+    return out, (ctx, gates, level_weights)
+
+
+def _vjp_bwd(H, W, kernels, scaling, c_blk, res, g):
+    ctx, gates, level_weights = res
+    _, vjp = jax.vjp(
+        lambda c, ga, lw: _xla_focal_ctx(c, ga, lw, H, W, tuple(kernels),
+                                         scaling), ctx, gates, level_weights)
+    return vjp(g.astype(ctx.dtype))
+
+
+fused_focal_ctx.defvjp(_vjp_fwd, _vjp_bwd)
+
+
 def pack_level_weights(level_kernels):
-    """[k, k, C, 1] HWIO depthwise kernels (one per level) → [C, sum(k²)]
-    with taps ordered (dy, dx) row-major per level, matching the kernel's
-    tap loop."""
+    """(k, k, 1, C) HWIO depthwise kernels (one per level, focalnet.py's
+    ``focal{l}_w`` layout) → [C, sum(k²)] with taps ordered (dy, dx)
+    row-major per level, matching the kernel's tap loop."""
     cols = [k.reshape(k.shape[0] * k.shape[1], -1).T for k in level_kernels]
     return jnp.concatenate(cols, axis=1)

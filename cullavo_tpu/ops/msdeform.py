@@ -138,7 +138,13 @@ def msdeform_attn_module_forward(params, query, value, spatial_shapes,
            + off / norm[None, None, None, :, None, :])
     import os
 
-    if (jax.default_backend() == "tpu"
+    # VMEM guard: the kernel builds [128, HW] f32 tent temporaries against
+    # the finest level's VMEM-resident value map — beyond ~16k positions
+    # (128² finest level, the benchmarked 512² eval point is 64×64) the
+    # per-program working set approaches the 16 MB VMEM and Mosaic rejects
+    # the compile; fall back to the XLA gather there
+    finest_hw = max(hl * wl for (hl, wl) in spatial_shapes)
+    if (jax.default_backend() == "tpu" and finest_hw <= 8192
             and os.environ.get("CULLAVO_MSDEFORM_PALLAS", "1") == "1"):
         # default on TPU: tent-matmul Pallas kernel — 23.8 vs 205.3 ms/op
         # (8.6x) at deform-pixel-decoder shapes on one v5e chip, exact to

@@ -88,7 +88,11 @@ def _level_partial(value_l, xya_l, Hl: int, Wl: int, P: int, block_q: int):
             pl.BlockSpec((1, HW, hd), lambda bh, qi: (bh, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, hd), lambda bh, qi: (bh, 0, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * Hh, 1, Q, hd), value_l.dtype),
+        # f32 partials: rounding each level's partial to a bf16 value dtype
+        # before the cross-level sum would reintroduce the ~1e-3 error class
+        # the f32/HIGHEST in-kernel dot exists to eliminate; the partial is
+        # tiny next to the value map, so f32 here is free
+        out_shape=jax.ShapeDtypeStruct((B * Hh, 1, Q, hd), jnp.float32),
         interpret=jax.default_backend() == "cpu",
     )(xf, vf)
     return out.reshape(B, Hh, Q, hd)

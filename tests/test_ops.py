@@ -566,3 +566,59 @@ def test_nf4_planar_kernel_variants_agree():
                 np.float32)
             scale = max(1.0, float(np.abs(ref).max()))
             assert np.abs(out - ref).max() / scale < 2e-2, variant
+
+
+def test_fused_focal_ctx_grad_and_xla_donor():
+    """The focal kernel's custom VJP (backward = _xla_focal_ctx AD) matches
+    grads of the reference dwconv/gelu/gate chain, and the XLA donor itself
+    matches the chain forward (triangulation)."""
+    from cullavo_tpu.models.xdecoder.focalnet import _depthwise_conv
+    from cullavo_tpu.ops.focal_pallas import (_xla_focal_ctx, fused_focal_ctx,
+                                              pack_level_weights)
+    rng = np.random.default_rng(5)
+    B, H, W, C, L = 1, 8, 10, 16, 2
+    kernels = (3, 5)
+    ctx = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    gates = jnp.asarray(rng.normal(size=(B, H, W, L + 1)).astype(np.float32))
+    kws = [jnp.asarray(rng.normal(size=(k, k, 1, C)).astype(np.float32) * 0.3)
+           for k in kernels]
+    lw = pack_level_weights(kws)
+    ctx_f = ctx.reshape(B, H * W, C).transpose(0, 2, 1)
+    gates_f = gates.reshape(B, H * W, L + 1).transpose(0, 2, 1)
+
+    def chain(c, g, ws):
+        cc = c
+        acc = jnp.zeros_like(c)
+        for l, k in enumerate(kernels):
+            cc = jax.nn.gelu(_depthwise_conv(cc, ws[l]), approximate=True)
+            acc = acc + cc * g[..., l:l + 1]
+        gl = jax.nn.gelu(jnp.mean(cc, axis=(1, 2), keepdims=True),
+                         approximate=True)
+        return (acc + gl * g[..., L:L + 1]) / (L + 1)
+
+    # XLA donor forward == chain forward
+    don = _xla_focal_ctx(ctx_f, gates_f, lw, H, W, kernels, True)
+    ref = chain(ctx, gates, kws)
+    np.testing.assert_allclose(
+        np.asarray(don.transpose(0, 2, 1).reshape(B, H, W, C)),
+        np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+    # grad parity through the custom VJP (interpret-mode forward on CPU)
+    def loss_fused(c, g, ws):
+        return jnp.sum(fused_focal_ctx(c, g, ws, H, W, kernels, True) ** 2)
+
+    def loss_ref(c, g, ws):
+        return jnp.sum(chain(c, g, ws) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(ctx_f, gates_f, lw)
+    kws_flat = kws
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(ctx, gates, kws_flat)
+    np.testing.assert_allclose(
+        np.asarray(gf[0].transpose(0, 2, 1).reshape(B, H, W, C)),
+        np.asarray(gr[0]), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gf[1].transpose(0, 2, 1).reshape(B, H, W, L + 1)),
+        np.asarray(gr[1]), atol=5e-5, rtol=1e-4)
+    gw_ref = pack_level_weights([g for g in gr[2]])
+    np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gw_ref),
+                               atol=5e-5, rtol=1e-4)
