@@ -13,6 +13,7 @@ replicated; set WANDB_API_KEY in the environment.)
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -86,7 +87,12 @@ def train_xdecoder(cfg):
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     step_fn = make_xdecoder_joint_train_step(
         model_cfg, tx, remat=bool(cfg.get("REMAT", True)))
-    mesh = _build_mesh(cfg) if int(cfg.get("MESH_DATA", 0)) != 0 else None
+    # build a mesh whenever ANY mesh axis is configured (MESH_FSDP/TENSOR
+    # without MESH_DATA must not silently fall back to single-device jit)
+    mesh = (_build_mesh(cfg)
+            if any(int(cfg.get(k, 0)) != 0
+                   for k in ("MESH_DATA", "MESH_FSDP", "MESH_TENSOR"))
+            else None)
     jitted = None   # built on the first batch (joint sharding needs its keys)
 
     names = cfg.get("DATASETS", {}).get("TRAIN") if "DATASETS" in cfg else None
@@ -95,13 +101,13 @@ def train_xdecoder(cfg):
     if not names:
         print("[entry] no DATASETS.TRAIN — nothing to do", file=sys.stderr)
         return
-    records = get_dataset(names[0])
+    # ALL configured training datasets contribute (e.g. COCO + LVIS
+    # caption-grounding variants) — not just the first
+    records = []
+    for nm in names:
+        records.extend(get_dataset(nm))
     md = get_metadata(names[0]) or {}
-    class_names = md.get("class_names")
-    if not class_names:
-        from cullavo_tpu.utils.constants import COCO_PANOPTIC_CLASSES
-
-        class_names = list(COCO_PANOPTIC_CLASSES)[:model_cfg.num_classes]
+    class_names = _resolve_class_names(names[0], md, model_cfg.num_classes)
     image_size = int(cfg.get("INPUT", {}).get("IMAGE_SIZE", 512)
                      if "INPUT" in cfg else 512)
     mapper = JointTrainMapper(image_size=image_size, class_names=class_names)
@@ -353,6 +359,31 @@ def _make_text_tokenize(cfg, text_cfg):
     return tokenize
 
 
+def _resolve_class_names(ds_name: str, md: dict, num_classes: int) -> list:
+    """Class vocabulary for a dataset, in priority order: explicit
+    ``class_names`` metadata → the ``class_names_key`` constant-table key
+    written by every bulk registration (ADE/ScanNet/BDD/SUN-RGBD/…) →
+    name-fragment lookup (modeling/utils/misc.py get_class_names) → COCO
+    panoptic fallback.  Scoring ADE against the COCO vocabulary would run
+    to completion with meaningless numbers — resolve BEFORE falling back."""
+    names = md.get("class_names")
+    if names:
+        return list(names)
+    from cullavo_tpu.utils import constants
+    from cullavo_tpu.utils.constants import COCO_PANOPTIC_CLASSES, class_names_for
+
+    key = md.get("class_names_key")
+    if key:
+        try:
+            return list(constants._load()[key])
+        except KeyError:
+            pass
+    try:
+        return list(class_names_for(ds_name))
+    except KeyError:
+        return list(COCO_PANOPTIC_CLASSES)[:num_classes]
+
+
 def _make_text_decode(cfg):
     """token ids → caption string for the captioning evaluator.  Uses the
     configured HF CLIP tokenizer's real decode when present; the numeric
@@ -363,9 +394,16 @@ def _make_text_decode(cfg):
         from transformers import CLIPTokenizerFast
 
         tk = CLIPTokenizerFast.from_pretrained(path)
+        eot = tk.eos_token_id
 
         def decode(ids):
-            return tk.decode([int(i) for i in ids], skip_special_tokens=True)
+            ids = [int(i) for i in ids]
+            # truncate at the first EOT: the greedy head fills every slot,
+            # so post-EOT argmax garbage must not join the scored caption
+            # (the reference splits on '<|endoftext|>')
+            if eot in ids:
+                ids = ids[:ids.index(eot)]
+            return tk.decode(ids, skip_special_tokens=True)
 
         return decode
     return lambda ids: " ".join(str(int(i)) for i in ids)
@@ -429,11 +467,7 @@ def _eval_xdecoder(cfg) -> dict:
     for ds_name in _dataset_names(cfg):
         records = get_dataset(ds_name)
         md = get_metadata(ds_name) or {}
-        class_names = md.get("class_names")
-        if not class_names:
-            from cullavo_tpu.utils.constants import COCO_PANOPTIC_CLASSES
-
-            class_names = list(COCO_PANOPTIC_CLASSES)[:model_cfg.num_classes]
+        class_names = _resolve_class_names(ds_name, md, model_cfg.num_classes)
         ev_type = md.get("evaluator_type")
         if ev_type in ("retrieval", "captioning") or ds_name.startswith("vlp"):
             import cullavo_tpu.pipelines.vlp_pipeline  # noqa: F401 (registration)
@@ -444,18 +478,26 @@ def _eval_xdecoder(cfg) -> dict:
                 from cullavo_tpu.data.mappers.eval_mappers import load_image_rgb
 
                 image_loader = lambda r: load_image_rgb(r["file_name"])
+            # dedicated knob: INPUT.IMAGE_SIZE sizes the seg eval (512) and
+            # must not leak into the 224-square retrieval/captioning embeds
+            vlp_kw = {"batch_size": int(cfg.get("BATCH_SIZE", 8)),
+                      "image_size": int(cfg.get("VLP_IMAGE_SIZE", 224))}
             if ev_type == "captioning" or "captioning" in ds_name:
                 pipe = build_pipeline(
                     "COCOCaptionXDecPipeline", cfg, model_cfg=model_cfg,
                     params=params, image_loader=image_loader,
                     decode_text=_make_text_decode(cfg),
-                    start_token_id=model_cfg.text.vocab_size - 2)
+                    start_token_id=model_cfg.text.vocab_size - 2, **vlp_kw)
+                results[ds_name] = pipe.evaluate_model(
+                    records, limit=limit,
+                    out_path=(os.path.join(out_dir, f"{ds_name}_captions.json")
+                              if out_dir else None))
             else:
                 pipe = build_pipeline(
                     "VLPRetrievalPipeline", cfg, model_cfg=model_cfg,
                     params=params, tokenize=tokenize,
-                    image_loader=image_loader)
-            results[ds_name] = pipe.evaluate_model(records, limit=limit)
+                    image_loader=image_loader, **vlp_kw)
+                results[ds_name] = pipe.evaluate_model(records, limit=limit)
             continue
         if "ref" in ds_name or (records and "text" in records[0]):
             pipe = build_pipeline("RefCOCOPipeline", cfg, model_cfg=model_cfg,
@@ -466,8 +508,12 @@ def _eval_xdecoder(cfg) -> dict:
                                                    out_dir=out_dir)
             continue
         try:
+            # keep only the keys EvalTasks knows: an extra config key (e.g.
+            # GROUNDING) must degrade to the known subset, not TypeError out
+            known = {"semantic", "instance", "panoptic"}
             tasks = (xp.EvalTasks(**{k.lower(): bool(v)
-                                     for k, v in dict(md["tasks"]).items()})
+                                     for k, v in dict(md["tasks"]).items()
+                                     if k.lower() in known})
                      if md.get("tasks") else xp.tasks_for_dataset(ds_name))
         except ValueError:
             tasks = xp.EvalTasks(semantic=True)
@@ -545,19 +591,29 @@ def _eval_step2_pre(cfg) -> dict:
     ids_row, _, _ = expand_image_token(base_ids, None, None,
                                        tokenizer.image_token_id,
                                        model_cfg.num_image_tokens)
-    rows_u8 = []
-    for r in records:
-        img = r.get("image")
-        if not isinstance(img, np.ndarray):
-            # conversation rows carry "image" as a RELATIVE PATH string
-            # (ShareGPT4V format); pixels come from "image_path"
-            img = load_image_rgb(r["image_path"]) if r.get("image_path") else None
-        if img is None:
-            continue
-        rows_u8.append(np.asarray(img))
-    if not rows_u8:
+    # LAZY image access: decoding the whole dataset up-front is ~1 MB/image
+    # of host RAM (a real conversation corpus is 100k+ images — host OOM
+    # before generation starts); the pipeline indexes per chunk instead
+    keep = [r for r in records
+            if isinstance(r.get("image"), np.ndarray) or r.get("image_path")]
+    if not keep:
         print("[entry] step2_pre: no images in dataset", file=sys.stderr)
         return {"rows": 0}
+
+    class _LazyImages:
+        def __len__(self):
+            return len(keep)
+
+        def __getitem__(self, i):
+            r = keep[int(i)]
+            img = r.get("image")
+            if not isinstance(img, np.ndarray):
+                # conversation rows carry "image" as a RELATIVE PATH string
+                # (ShareGPT4V format); pixels come from "image_path"
+                img = load_image_rgb(r["image_path"])
+            return np.asarray(img)
+
+    rows_u8 = _LazyImages()
     B = len(rows_u8)
     ids = np.tile(ids_row[None], (B, 1))
     mask = np.ones_like(ids)

@@ -48,13 +48,18 @@ class VLPRetrievalPipeline:
         self.batch_size = batch_size
         cfgm = model_cfg
         from cullavo_tpu.models.xdecoder.model import evaluate_retrieval_embedding
+        from cullavo_tpu.models.xdecoder.text_encoder import forward_language
 
         self._embed = jax.jit(lambda p, im: evaluate_retrieval_embedding(p, cfgm, im))
+        # jitted text embed: eager forward_language dispatches a 12-layer
+        # transformer op-by-op per chunk (~5-15 ms RPC per op on the axon
+        # tunnel); text counts vary per chunk (5-7 captions/image), so pad
+        # to a bucket and slice
+        self._embed_text = jax.jit(lambda p, ids, mask: forward_language(
+            p, cfgm.text, ids, mask))
 
     def evaluate_model(self, dataset: Iterable[dict],
                        limit: Optional[int] = None) -> dict:
-        from cullavo_tpu.models.xdecoder.text_encoder import forward_language
-
         rows = list(dataset)
         if limit:
             rows = rows[:limit]
@@ -66,17 +71,25 @@ class VLPRetrievalPipeline:
                              for r in chunk])
             img_emb = np.asarray(self._embed(self.params, jnp.asarray(imgs)))
             # karpathy protocol (xdecoder_model.py:507-550): EVERY caption of
-            # an image joins the text pool, grouped by image_id — recall@k is
-            # computed over image_id matches, not 1:1 row pairing
+            # an image joins the text pool (some karpathy-test images carry
+            # 6-7), grouped by image_id — recall@k is computed over image_id
+            # matches, not 1:1 row pairing
             texts, owner = [], []
             for b, r in enumerate(chunk):
-                caps = list(r.get("captions") or [])[:5] or [""]
+                caps = list(r.get("captions") or [""])
                 texts.extend(caps)
                 owner.extend([b] * len(caps))
             ids, mask = self.tokenize(texts)
-            t_emb = np.asarray(forward_language(
-                self.params["text"], self.model_cfg.text,
-                jnp.asarray(ids), jnp.asarray(mask)))
+            ids, mask = np.asarray(ids), np.asarray(mask)
+            # pad the text count to a bucket so the jitted embed compiles a
+            # handful of programs instead of one per unique count
+            n = ids.shape[0]
+            bucket = -(-n // (5 * B)) * (5 * B)
+            ids = np.pad(ids, ((0, bucket - n), (0, 0)))
+            mask = np.pad(mask, ((0, bucket - n), (0, 0)))
+            mask[n:, 0] = 1                 # nonempty rows keep EOT argmax sane
+            t_emb = np.asarray(self._embed_text(
+                self.params["text"], jnp.asarray(ids), jnp.asarray(mask)))[:n]
             for b, r in enumerate(chunk):
                 sel = [j for j, o in enumerate(owner) if o == b]
                 ev.add(img_emb[b], t_emb[sel],
