@@ -317,8 +317,14 @@ def import_sam_vit(sd: Mapping[str, np.ndarray], cfg, prefix="backbone.") -> dic
         })
 
     def convT(base):  # torch ConvTranspose2d [in, out, kH, kW] → HWOI
+        # spatial FLIP required: sam_vit._convT uses jax.lax.conv_transpose
+        # with transpose_kernel=False, which correlates without flipping —
+        # torch's ConvTranspose2d output out[2i+a] uses w[a], the unflipped
+        # jax form uses w[k-1-a] (verified numerically: err 3.06 unflipped,
+        # 0.0 flipped for the 2x2 stride-2 neck upsamples)
         w = g(base + ".weight")
-        return {"kernel": w.transpose(2, 3, 1, 0), "bias": g(base + ".bias")}
+        return {"kernel": w.transpose(2, 3, 1, 0)[::-1, ::-1],
+                "bias": g(base + ".bias")}
 
     def conv(base):
         return {"kernel": _conv(g(base + ".weight")), "bias": g(base + ".bias")}
@@ -450,13 +456,8 @@ def align_and_update(target: dict, loaded: dict, log=print) -> dict:
                 out[key] = (flat_t[key][0], val)
             else:
                 log(f"[align] shape mismatch {key}: {np.shape(tv)} vs {np.shape(val)}")
-    leaves = [out[k][1] for k in sorted(out)]
-    paths = [out[k][0] for k in sorted(out)]
+    # rebuild by unflattening in the target's canonical leaf order
     treedef = jax.tree_util.tree_structure(target)
-    ordered = [v for _, v in sorted(
-        ((jax.tree_util.keystr(p), l) for p, l in zip(paths, leaves)))]
-    # rebuild by unflattening in canonical leaf order
     canonical = [jax.tree_util.keystr(k)
                  for k, _ in jax.tree_util.tree_leaves_with_path(target)]
-    by_key = {jax.tree_util.keystr(p): l for p, l in zip(paths, leaves)}
-    return jax.tree_util.tree_unflatten(treedef, [by_key[k] for k in canonical])
+    return jax.tree_util.tree_unflatten(treedef, [out[k][1] for k in canonical])

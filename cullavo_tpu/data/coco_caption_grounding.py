@@ -272,7 +272,7 @@ def collate_joint(mapped: list, tokenize, class_names: Sequence[str],
         batch["valid"],
         labels_hash_for(batch["classes"], class_names), 0).astype(np.int64)
 
-    ms = mask_size or mapped[0]["image"].shape[0]
+    ms = mask_size or next(m for m in mapped if m is not None)["image"].shape[0]
     probe_ids, _ = tokenize(["probe"])
     T = np.asarray(probe_ids).shape[-1]
     P, G = max_positives, max_groundings
@@ -320,7 +320,10 @@ def collate_joint(mapped: list, tokenize, class_names: Sequence[str],
             n = len(order)
             g_ids[i, :n] = np.asarray(ids)[:, :T]
             g_mask[i, :n] = np.asarray(msk)[:, :T]
-            g_hash[i, :n] = [m["grounding_hash"][k] for k in order]
+            # hash of the SAMPLED sentence (the one actually embedded) — the
+            # mapper's sentences[0] hash would wrongly smooth/split CE
+            # targets whenever annotations carry multiple sentences
+            g_hash[i, :n] = [text_hash(t) for t in texts]
             g_valid[i, :n] = True
             for slot, k in enumerate(order):
                 src = gm[k]

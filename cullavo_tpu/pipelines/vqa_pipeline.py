@@ -33,7 +33,10 @@ def _bucket(n: int, buckets=(64, 96, 128, 192, 256)) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    # beyond the table (the real 576-image-token prompt is ~650 ids): round
+    # UP to the next 64-multiple — clamping here would silently truncate
+    # image tokens and the question itself
+    return -(-n // 64) * 64
 
 
 @register_pipeline("LLaVAVQAVALPipeline")
@@ -72,7 +75,8 @@ class VQAPipeline:
         ids = np.full((B, L), self.tokenizer.pad_token_id, np.int32)
         mask = np.zeros((B, L), np.int32)
         for i, row in enumerate(id_rows):
-            ids[i, :len(row)] = row[:L]
+            assert len(row) <= L, (len(row), L)   # bucket never truncates
+            ids[i, :len(row)] = row
             mask[i, :len(row)] = 1
         gen = GenerationConfig(max_new_tokens=self.max_new_tokens, do_sample=False,
                                eos_token_id=self.tokenizer.eos_token_id)
@@ -104,6 +108,10 @@ class VQAPipeline:
                        out_dir: Optional[str] = None) -> dict:
         """dataset rows: {"question_id", "question", "pixel_values" [3,H,W],
         "answers": [10 strings], optional "question_type"/"answer_type"}."""
+        # fresh accumulators per run: a second evaluate_model on the same
+        # pipeline object must not double-count the first run's answers
+        self.evaluator = VQAEvaluator()
+        self.per_topic = {}
         rows = list(dataset)
         if limit:
             rows = rows[:limit]
@@ -145,6 +153,7 @@ class VQATestPipeline(VQAPipeline):
 
     def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
                        out_dir: Optional[str] = None) -> dict:
+        self.evaluator = VQAEvaluator()   # fresh per run (no double-count)
         rows = list(dataset)
         if limit:
             rows = rows[:limit]
@@ -231,7 +240,7 @@ def make_reference_topic_fn(llama_model_dir: str, clip_model_dir: str,
     rng_holder = {"key": jax.random.PRNGKey(seed)}
 
     def topic_fn(question: str) -> str:
-        prompt = ("Choose object the question asks"
+        prompt = ("Choose object the question asks. "
                   "ex) what color is the man's shirt? shirt. "
                   "ex) how many bikes have helmets? helmets. "
                   "ex) were there any books on the table? books. "
