@@ -31,22 +31,48 @@ class PanopticEvaluator:
 
     def add(self, pred_seg: np.ndarray, pred_segments: list,
             gt_seg: np.ndarray, gt_segments: list):
-        """pred/gt_seg: [H, W] segment-id maps; segments: [{"id",
-        "category_id"}] lists."""
+        """pred/gt_seg: [H, W] segment-id maps (0 = VOID); segments: [{"id",
+        "category_id", optional "iscrowd"}] lists.
+
+        Full panopticapi pq_compute_single_core semantics: the void overlap
+        is subtracted from each union; crowd GT segments never match and
+        never count FN; an unmatched prediction whose area is >50% void (+
+        same-class crowd) is ignored, not FP.  The (gt, pred) intersection
+        histogram is the vectorized OFFSET trick — per-pixel python Counters
+        were ~100 ms+/image at COCO resolutions."""
+        VOID = 0
         pred_by_id = {s["id"]: s for s in pred_segments}
         gt_by_id = {s["id"]: s for s in gt_segments}
-        # joint histogram of (gt_id, pred_id) overlaps
-        joint = Counter(zip(gt_seg.reshape(-1).tolist(), pred_seg.reshape(-1).tolist()))
-        gt_area = Counter(gt_seg.reshape(-1).tolist())
-        pred_area = Counter(pred_seg.reshape(-1).tolist())
+        gt_flat = gt_seg.reshape(-1).astype(np.int64)
+        pred_flat = pred_seg.reshape(-1).astype(np.int64)
+        OFFSET = int(pred_flat.max()) + 2 if pred_flat.size else 1
+        pairs, counts = np.unique(gt_flat * OFFSET + pred_flat,
+                                  return_counts=True)
+        joint = {(int(p) // OFFSET, int(p) % OFFSET): int(c)
+                 for p, c in zip(pairs, counts)}
+        gids, gcounts = np.unique(gt_flat, return_counts=True)
+        gt_area = dict(zip(gids.tolist(), gcounts.tolist()))
+        pids, pcounts = np.unique(pred_flat, return_counts=True)
+        pred_area = dict(zip(pids.tolist(), pcounts.tolist()))
+
+        crowd_by_cat: dict = {}
+        for gid, seg in gt_by_id.items():
+            if seg.get("iscrowd", 0):
+                crowd_by_cat[seg["category_id"]] = gid
+
         matched_gt, matched_pred = set(), set()
         for (gid, pid), inter in joint.items():
-            if gid == 0 or pid == 0 or gid not in gt_by_id or pid not in pred_by_id:
+            if gid == VOID or pid == VOID:
+                continue
+            if gid not in gt_by_id or pid not in pred_by_id:
+                continue
+            if gt_by_id[gid].get("iscrowd", 0):
                 continue
             if gt_by_id[gid]["category_id"] != pred_by_id[pid]["category_id"]:
                 continue
-            union = gt_area[gid] + pred_area[pid] - inter
-            iou = inter / union
+            union = (gt_area[gid] + pred_area[pid] - inter
+                     - joint.get((VOID, pid), 0))
+            iou = inter / union if union > 0 else 0.0
             if iou > 0.5:
                 c = gt_by_id[gid]["category_id"]
                 self.tp[c] += 1
@@ -54,11 +80,19 @@ class PanopticEvaluator:
                 matched_gt.add(gid)
                 matched_pred.add(pid)
         for gid, seg in gt_by_id.items():
-            if gid not in matched_gt and gt_area.get(gid, 0) > 0:
+            if (gid not in matched_gt and gt_area.get(gid, 0) > 0
+                    and not seg.get("iscrowd", 0)):
                 self.fn[seg["category_id"]] += 1
         for pid, seg in pred_by_id.items():
-            if pid not in matched_pred and pred_area.get(pid, 0) > 0:
-                self.fp[seg["category_id"]] += 1
+            if pid in matched_pred or pred_area.get(pid, 0) == 0:
+                continue
+            ignore = joint.get((VOID, pid), 0)
+            crowd_gid = crowd_by_cat.get(seg["category_id"])
+            if crowd_gid is not None:
+                ignore += joint.get((crowd_gid, pid), 0)
+            if ignore / pred_area[pid] > 0.5:
+                continue
+            self.fp[seg["category_id"]] += 1
 
     def results(self) -> dict:
         denom = self.tp + self.fp / 2 + self.fn / 2
@@ -167,11 +201,13 @@ class InstanceSegEvaluator:
             return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0}
         per_thr = np.stack(per_thr)             # [n_cls, n_thr]
         mean = per_thr.mean(axis=0)
-        i50 = int(np.argmin(np.abs(self.thrs - 0.5)))
-        i75 = int(np.argmin(np.abs(self.thrs - 0.75)))
-        return {"AP": 100.0 * float(mean.mean()),
-                "AP50": 100.0 * float(mean[i50]),
-                "AP75": 100.0 * float(mean[i75])}
+        out = {"AP": 100.0 * float(mean.mean())}
+        # AP50/AP75 only when that exact threshold is evaluated — a
+        # nearest-threshold pick would silently mislabel the metric
+        for name, t in (("AP50", 0.5), ("AP75", 0.75)):
+            hit = np.where(np.isclose(self.thrs, t))[0]
+            out[name] = 100.0 * float(mean[hit[0]]) if hit.size else float("nan")
+        return out
 
 
 class RetrievalEvaluator:
@@ -256,8 +292,11 @@ class CaptioningEvaluator:
         self.records: list = []   # (image_id, candidate, [references])
 
     def add(self, image_id, candidate: str, references: list):
+        # keep the RAW candidate beside the scoring tokens: dump_results
+        # must emit what the model produced, not a lowercased re-join
         self.records.append((image_id, candidate.lower().split(),
-                             [r.lower().split() for r in references]))
+                             [r.lower().split() for r in references],
+                             candidate))
 
     def _cider(self) -> float:
         if not self.records:
@@ -265,7 +304,7 @@ class CaptioningEvaluator:
         N = 4
         # document frequency over reference sets
         df = [defaultdict(float) for _ in range(N)]
-        for _, _, refs in self.records:
+        for _, _, refs, _ in self.records:
             for n in range(N):
                 seen = set()
                 for ref in refs:
@@ -274,7 +313,7 @@ class CaptioningEvaluator:
                     df[n][g] += 1.0
         n_docs = len(self.records)
         scores = []
-        for _, cand, refs in self.records:
+        for _, cand, refs, _ in self.records:
             score_n = []
             for n in range(N):
                 c_counts = _cider_ngrams(cand, n + 1)
@@ -305,7 +344,9 @@ class CaptioningEvaluator:
         total = [0.0] * 4
         cand_len = 0
         ref_len = 0
-        for _, cand, refs in self.records:
+        for _, cand, refs, _ in self.records:
+            if not refs:      # a record with no annotations can't score BLEU
+                continue
             cand_len += len(cand)
             # closest reference length (ties → shorter), per BLEU spec
             ref_len += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
@@ -346,7 +387,7 @@ class CaptioningEvaluator:
             return 0.0
         beta = 1.2
         scores = []
-        for _, cand, refs in self.records:
+        for _, cand, refs, _ in self.records:
             best = 0.0
             for ref in refs:
                 lcs = self._lcs(cand, ref)
@@ -391,7 +432,7 @@ class CaptioningEvaluator:
 
         alpha, beta, gamma = 0.9, 3.0, 0.5
         scores = []
-        for _, cand, refs in self.records:
+        for _, cand, refs, _ in self.records:
             best = 0.0
             for ref in refs:
                 m, chunks = match_spans(cand, ref)
@@ -416,8 +457,8 @@ class CaptioningEvaluator:
         return out
 
     def dump_results(self, path: str):
-        rows = [{"image_id": iid, "caption": " ".join(cand)}
-                for iid, cand, _ in self.records]
+        rows = [{"image_id": iid, "caption": raw}
+                for iid, _, _, raw in self.records]
         with open(path, "w") as f:
             json.dump(rows, f)
 

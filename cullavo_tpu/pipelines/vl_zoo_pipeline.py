@@ -90,11 +90,26 @@ def native_bakllava_answer_fn(model_dir: str, max_new_tokens: int = 128):
         ids = np.asarray(ids, np.int32)[None]
         pix = preprocess_numpy([np.asarray(image)], cfg.vision.image_size)
         out = generate(params, cfg, jnp.asarray(ids), jnp.asarray(pix),
-                       jnp.asarray(np.ones_like(ids)), gen,
+                       jnp.asarray(np.asarray(mask, np.int32)[None]), gen,
                        max_len=ids.shape[1] + max_new_tokens)
         return tok.decode(np.asarray(out)[0], skip_special_tokens=True).strip()
 
     return answer
+
+
+def _blip2_cfg_cls(kind: str):
+    """kind -> (config, HF class name) shared by the answer and imagenet
+    factories (was duplicated and could silently diverge)."""
+    from cullavo_tpu.models.blip2.config import (Blip2Config,
+                                                 blip2_flant5xl_config,
+                                                 instructblip_vicuna7b_config)
+
+    if kind == "flant5":
+        return blip2_flant5xl_config(), "Blip2ForConditionalGeneration"
+    if kind == "opt":
+        return Blip2Config(), "Blip2ForConditionalGeneration"
+    return (instructblip_vicuna7b_config(),
+            "InstructBlipForConditionalGeneration")
 
 
 def native_blip2_answer_fn(hf_model_dir: str, kind: str = "flant5",
@@ -114,18 +129,9 @@ def native_blip2_answer_fn(hf_model_dir: str, kind: str = "flant5",
 
     from cullavo_tpu.data.image_processing import preprocess_numpy
     from cullavo_tpu.models.blip2 import blip2_generate, import_blip2_torch
-    from cullavo_tpu.models.blip2.config import (Blip2Config,
-                                                 blip2_flant5xl_config,
-                                                 instructblip_vicuna7b_config)
     from cullavo_tpu.models.blip2.modeling import blip2_beam_generate
 
-    if kind == "flant5":
-        cfg, cls = blip2_flant5xl_config(), "Blip2ForConditionalGeneration"
-    elif kind == "opt":
-        cfg, cls = Blip2Config(), "Blip2ForConditionalGeneration"
-    else:
-        cfg, cls = (instructblip_vicuna7b_config(),
-                    "InstructBlipForConditionalGeneration")
+    cfg, cls = _blip2_cfg_cls(kind)
     hf = getattr(transformers, cls).from_pretrained(hf_model_dir)
     params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
     proc = transformers.AutoProcessor.from_pretrained(hf_model_dir)
@@ -141,7 +147,8 @@ def native_blip2_answer_fn(hf_model_dir: str, kind: str = "flant5",
             q = proc.qformer_tokenizer(text, return_tensors="np")
             kwargs = {"qformer_text_ids": jnp.asarray(q["input_ids"]),
                       "qformer_text_mask": jnp.asarray(q["attention_mask"])}
-        eos = proc.tokenizer.eos_token_id or -1
+        eos = (proc.tokenizer.eos_token_id
+               if proc.tokenizer.eos_token_id is not None else -1)
         ids = jnp.asarray(enc["input_ids"].astype(np.int32))
         mask = jnp.asarray(enc["attention_mask"].astype(np.int32))
         if num_beams > 1:
@@ -189,7 +196,9 @@ def native_kosmos2_answer_fn(hf_model_dir: str, max_new_tokens: int = 10):
             jnp.asarray(enc["input_ids"].astype(np.int32)),
             jnp.asarray(enc["image_embeds_position_mask"].astype(np.int32)),
             jnp.asarray(enc["attention_mask"].astype(np.int32)),
-            max_new_tokens)
+            max_new_tokens,
+            eos_token_id=(proc.tokenizer.eos_token_id
+                          if proc.tokenizer.eos_token_id is not None else -1))
         txt = proc.tokenizer.decode(np.asarray(out)[0],
                                     skip_special_tokens=True)
         # reference extraction: text after the last 'Answer:'
@@ -246,10 +255,12 @@ class VLZooVQAPipeline:
         return ans.strip()
 
     def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None) -> dict:
-        rows = list(dataset)
-        if limit:
-            rows = rows[:limit]    # first-class smoke subset (the reference
-            # hardcodes a 10% break, BLIP2VQAVALPipeline.py "Fast Computation")
+        import itertools
+
+        # lazy islice: list(dataset) would materialize every image before
+        # the smoke subset is taken (the reference hardcodes a 10% break,
+        # BLIP2VQAVALPipeline.py "Fast Computation")
+        rows = itertools.islice(dataset, limit) if limit else dataset
         for r in rows:
             ans = self.answer(r["question"], r.get("image"))
             self.evaluator.process(r["question_id"], ans, r["answers"],
@@ -271,9 +282,9 @@ class COCOCaptionPipeline:
 
     def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
                        out_path: Optional[str] = None) -> dict:
-        rows = list(dataset)
-        if limit:
-            rows = rows[:limit]
+        import itertools
+
+        rows = itertools.islice(dataset, limit) if limit else dataset
         for r in rows:
             cand = self.caption_fn(r["image"])
             self.evaluator.add(r["image_id"], cand, r["references"])
@@ -292,21 +303,10 @@ def native_blip2_imagenet_fns(hf_model_dir: str, class_names: list,
     import transformers
 
     from cullavo_tpu.models.blip2 import import_blip2_torch
-    from cullavo_tpu.models.blip2.config import (Blip2Config,
-                                                 blip2_flant5xl_config,
-                                                 instructblip_vicuna7b_config)
     from cullavo_tpu.models.blip2.modeling import (blip2_image_embed,
                                                    blip2_text_embed)
 
-    if kind == "flant5":
-        cfg, cls = blip2_flant5xl_config(), "Blip2ForConditionalGeneration"
-    elif kind == "opt":
-        cfg, cls = Blip2Config(), "Blip2ForConditionalGeneration"
-    else:
-        cfg, cls = (instructblip_vicuna7b_config(),
-                    "InstructBlipForConditionalGeneration")
-    import dataclasses
-
+    cfg, cls = _blip2_cfg_cls(kind)
     cfg = dataclasses.replace(
         cfg, qformer=dataclasses.replace(cfg.qformer, use_text_input=True))
     hf = getattr(transformers, cls).from_pretrained(hf_model_dir)

@@ -166,3 +166,48 @@ def test_retrieval_karpathy_grouped():
         ev.add(base[i], caps, image_id=i)
     r = ev.results()
     assert r["tr@1"] < 100.0 and r["ir@5"] == 100.0
+
+
+def test_panoptic_void_and_crowd_semantics():
+    """panopticapi rules: void overlap leaves the union; crowd GT neither
+    matches nor counts FN; a >50%-void unmatched prediction is ignored."""
+    import numpy as np
+    from cullavo_tpu.data.evaluation.evaluators import PanopticEvaluator
+
+    # gt: segment 1 covers cols 0..9 of a 10x20 map, rest VOID
+    gt = np.zeros((10, 20), np.int64)
+    gt[:, :10] = 1
+    # pred: segment 2 covers cols 0..13 (10 px on gt, 4 px on void)
+    pred = np.zeros((10, 20), np.int64)
+    pred[:, :14] = 2
+    ev = PanopticEvaluator(num_classes=5)
+    ev.add(pred, [{"id": 2, "category_id": 1}],
+           gt, [{"id": 1, "category_id": 1}])
+    # void-corrected union = 100 + 140 - 100 - 40 = 100 -> IoU 1.0 -> TP
+    assert ev.tp[1] == 1 and ev.fp[1] == 0 and ev.fn[1] == 0
+    assert ev.iou_sum[1] == 1.0
+
+    # crowd GT: never matches, never FN; a pred mostly covered by same-class
+    # crowd is ignored (not FP)
+    gt2 = np.zeros((10, 20), np.int64)
+    gt2[:, :10] = 7                      # crowd segment
+    pred2 = np.zeros((10, 20), np.int64)
+    pred2[:, :9] = 3                     # 90/90 px inside the crowd
+    ev2 = PanopticEvaluator(num_classes=5)
+    ev2.add(pred2, [{"id": 3, "category_id": 2}],
+            gt2, [{"id": 7, "category_id": 2, "iscrowd": 1}])
+    assert ev2.tp.sum() == 0 and ev2.fn.sum() == 0 and ev2.fp.sum() == 0
+
+    # a pred only lightly touching the crowd (and not mostly void) IS an FP:
+    # fill the non-crowd half with a real other-class segment so the void
+    # rule can't absorb it
+    gt3 = gt2.copy()
+    gt3[:, 10:] = 8                      # real (non-crowd) segment, class 3
+    pred3 = np.zeros((10, 20), np.int64)
+    pred3[:, 8:20] = 4                   # 20 px crowd + 100 px class-3 gt
+    ev3 = PanopticEvaluator(num_classes=5)
+    ev3.add(pred3, [{"id": 4, "category_id": 2}],
+            gt3, [{"id": 7, "category_id": 2, "iscrowd": 1},
+                  {"id": 8, "category_id": 3}])
+    # ignore = 20 crowd px of 120 (17%) -> counted FP; the class-3 gt is FN
+    assert ev3.fp[2] == 1 and ev3.fn[3] == 1
