@@ -26,62 +26,78 @@ __all__ = ["save_checkpoint", "load_checkpoint", "latest_step",
            "save_adapters", "load_adapters", "export_hf"]
 
 
-def _flatten(tree: Any, prefix: str = "") -> dict:
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(v, f"{prefix}{k}/"))
-    elif isinstance(tree, (list, tuple)):
-        for i, v in enumerate(tree):
-            out.update(_flatten(v, f"{prefix}{i}/"))
-    elif tree is None:
-        out[prefix[:-1] + "#none"] = None
-    else:
-        out[prefix[:-1]] = tree
-    return out
+def _flatten(tree: Any) -> dict:
+    """ANY registered pytree (dicts/lists, TrainState, optax NamedTuples) →
+    {jax keystr path: leaf}.  None leaves are empty subtrees in jax and
+    simply don't appear — a ``template`` at load time restores them."""
+    return {jax.tree_util.keystr(path): leaf
+            for path, leaf in jax.tree_util.tree_leaves_with_path(tree)}
 
 
-def _unflatten(flat: dict) -> Any:
+def _unflatten(flat: dict, template: Any = None) -> Any:
+    """Rebuild a tree from keystr-keyed leaves.
+
+    With ``template`` (a pytree of the SAME structure as what was saved,
+    e.g. a freshly initialized TrainState), the exact pytree — dataclasses,
+    optax NamedTuples, None leaves — is reconstructed, which is what
+    optimizer resume requires.  Without it, keystr paths are parsed into
+    plain dicts/lists (dataclass fields become dict keys): enough for
+    params-only dict states, NOT for opt_states."""
+    if template is not None:
+        leaves_p = jax.tree_util.tree_leaves_with_path(template)
+        treedef = jax.tree_util.tree_structure(template)
+        missing = [jax.tree_util.keystr(p) for p, _ in leaves_p
+                   if jax.tree_util.keystr(p) not in flat]
+        if missing:
+            raise KeyError(f"checkpoint missing {len(missing)} leaves, "
+                           f"e.g. {missing[:3]}")
+        return jax.tree_util.tree_unflatten(
+            treedef, [flat[jax.tree_util.keystr(p)] for p, _ in leaves_p])
+
+    import re
+
+    token = re.compile(r"\[u?'([^']*)'\]|\[(\d+)\]|\.([A-Za-z_]\w*)")
     root: dict = {}
     for key, value in flat.items():
-        is_none = key.endswith("#none")
-        if is_none:
-            key = key[:-len("#none")]
-        parts = key.split("/")
+        parts = [m.group(1) if m.group(1) is not None
+                 else (int(m.group(2)) if m.group(2) is not None
+                       else m.group(3))
+                 for m in token.finditer(key)]
+        if not parts:                     # scalar root
+            return value
         node = root
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = None if is_none else value
+        node[parts[-1]] = value
 
     def fix(node):
         if isinstance(node, dict):
             keys = list(node.keys())
-            if keys and all(k.isdigit() for k in keys):
-                return [fix(node[str(i)]) for i in range(len(keys))]
+            if keys and all(isinstance(k, int) for k in keys) \
+                    and sorted(keys) == list(range(len(keys))):
+                return [fix(node[i]) for i in range(len(keys))]
             return {k: fix(v) for k, v in node.items()}
         return node
 
     return fix(root)
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state: Any, overwrite: bool = True):
+def save_checkpoint(ckpt_dir: str, step: int, state: Any):
     """Write ``{ckpt_dir}/step_{N}/`` with one npz of all leaves + a manifest.
 
-    Multi-host: call on every process; only process 0 writes (callers gather
-    sharded arrays first or rely on fully-addressable arrays).
+    ``state`` may be ANY registered pytree — a plain params dict, a
+    TrainState, optax NamedTuple opt_states.  Sharded arrays are gathered
+    with ``jax.device_get`` here (fully-addressable required on process 0).
+
+    Multi-host: call on every process; only process 0 writes.
     """
     if jax.process_index() != 0:
         return
     path = os.path.join(ckpt_dir, f"step_{step}")
     os.makedirs(path, exist_ok=True)
-    flat = _flatten(state)
-    arrays = {}
-    manifest = {"step": step, "keys": []}
-    for k, v in flat.items():
-        manifest["keys"].append(k)
-        if v is None or k.endswith("#none"):
-            continue
-        arrays[k.replace("/", "|")] = np.asarray(v)
+    flat = _flatten(jax.device_get(state))
+    arrays = {k: np.asarray(v) for k, v in flat.items()}
+    manifest = {"step": step, "keys": list(arrays)}
     np.savez(os.path.join(path, "arrays.npz"), **arrays)
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f)
@@ -95,7 +111,11 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def load_checkpoint(ckpt_dir: str, step: Optional[int] = None) -> Any:
+def load_checkpoint(ckpt_dir: str, step: Optional[int] = None,
+                    template: Any = None) -> Any:
+    """Load a checkpoint.  Pass ``template`` (e.g. a freshly initialized
+    TrainState) to restore the exact pytree structure — REQUIRED for
+    optimizer-state resume (NamedTuples can't be rebuilt from paths)."""
     step = step if step is not None else latest_step(ckpt_dir)
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
@@ -103,13 +123,8 @@ def load_checkpoint(ckpt_dir: str, step: Optional[int] = None) -> Any:
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     data = np.load(os.path.join(path, "arrays.npz"))
-    flat = {}
-    for k in manifest["keys"]:
-        if k.endswith("#none"):
-            flat[k] = None
-        else:
-            flat[k] = data[k.replace("/", "|")]
-    return _unflatten(flat)
+    flat = {k: data[k] for k in manifest["keys"]}
+    return _unflatten(flat, template=template)
 
 
 def save_adapters(out_dir: str, lora_params: Any, lora_config: dict):
@@ -120,14 +135,18 @@ def save_adapters(out_dir: str, lora_params: Any, lora_config: dict):
     os.makedirs(out_dir, exist_ok=True)
     from safetensors.numpy import save_file
 
-    flat = {k: np.asarray(v) for k, v in _flatten(lora_params).items()
-            if v is not None}
+    # None leaves are empty subtrees under jax flattening — nothing to
+    # filter, and load_adapters(template=...) restores them exactly
+    flat = {k: np.asarray(v) for k, v in _flatten(jax.device_get(
+        lora_params)).items()}
     save_file(flat, os.path.join(out_dir, "adapter_model.safetensors"))
     with open(os.path.join(out_dir, "adapter_config.json"), "w") as f:
         json.dump(lora_config, f)
 
 
-def load_adapters(out_dir: str) -> tuple:
+def load_adapters(out_dir: str, template: Any = None) -> tuple:
+    """Pass ``template`` (e.g. init_lora_params output) to restore the exact
+    pytree incl. None leaves; without it, paths parse into dicts/lists."""
     from safetensors import safe_open
 
     flat = {}
@@ -137,7 +156,7 @@ def load_adapters(out_dir: str) -> tuple:
             flat[k] = f.get_tensor(k)
     with open(os.path.join(out_dir, "adapter_config.json")) as f:
         cfg = json.load(f)
-    return _unflatten(flat), cfg
+    return _unflatten(flat, template=template), cfg
 
 
 def export_hf(out_dir: str, params: Any, llava_cfg) -> None:

@@ -93,14 +93,28 @@ def train_loop(
             t_data = time.perf_counter()
             data_time.update(t_data - t_last)
 
-            if cfg.profile_steps and not profiling and global_step == cfg.profile_start:
+            # >= so a resume whose step is already past profile_start still
+            # captures a window (== never fires after restore)
+            if (cfg.profile_steps and not profiling
+                    and global_step >= cfg.profile_start):
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
 
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, frozen_params, batch, sub)
-            loss = float(metrics["loss_llm"]) if "loss_llm" in metrics else \
-                float(sum(v for k, v in metrics.items() if k.startswith("loss")))
+            # ONE host transfer for all metrics (per-key float() would be a
+            # separate device RPC each — expensive on remote transports)
+            metrics = jax.device_get(metrics)
+            # headline loss: loss_llm (CuLLaVO) or loss_total (xdecoder) —
+            # summing every loss_* key would double-count steps that report
+            # a total plus its components
+            if "loss_llm" in metrics:
+                loss = float(metrics["loss_llm"])
+            elif "loss_total" in metrics:
+                loss = float(metrics["loss_total"])
+            else:
+                loss = float(sum(v for k, v in metrics.items()
+                                 if k.startswith("loss")))
             t_step = time.perf_counter()
             step_time.update(t_step - t_data)
             t_last = t_step

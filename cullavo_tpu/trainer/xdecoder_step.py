@@ -112,5 +112,11 @@ def shard_xdecoder_step(step_fn, mesh, state: TrainState, joint: bool = False,
     else:
         in_sh = (state_sh, batch_sharding(mesh), replicated(mesh),
                  replicated(mesh))
+    # donate the state: the full-model params + fp32 AdamW moments are ~3x
+    # model size — without donation XLA holds old AND new state at the
+    # update, doubling peak HBM (same pattern as step.shard_train_step;
+    # skip on CPU where donation is unsupported and warns)
+    donate = (0,) if jax.default_backend() != "cpu" else ()
     return jax.jit(step_fn, in_shardings=in_sh,
-                   out_shardings=(state_sh, replicated(mesh)))
+                   out_shardings=(state_sh, replicated(mesh)),
+                   donate_argnums=donate)

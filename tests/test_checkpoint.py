@@ -20,11 +20,51 @@ def test_checkpoint_roundtrip(tmp_path):
     loaded = load_checkpoint(str(tmp_path))
     np.testing.assert_array_equal(loaded["params"]["w"], np.arange(6.0).reshape(2, 3))
     np.testing.assert_array_equal(loaded["params"]["lst"][1], np.zeros(3))
-    assert loaded["opt"]["nothing"] is None
+    # None leaves are empty subtrees under jax flattening: absent without a
+    # template, restored exactly with one
+    assert "nothing" not in loaded["opt"]
+    with_tpl = load_checkpoint(str(tmp_path), template=state)
+    assert with_tpl["opt"]["nothing"] is None
+    np.testing.assert_array_equal(with_tpl["params"]["lst"][0], np.ones(2))
+    assert isinstance(with_tpl["params"]["lst"], list)
     assert int(loaded["step"]) == 7
     # multiple steps → latest wins
     save_checkpoint(str(tmp_path), 12, state)
     assert latest_step(str(tmp_path)) == 12
+
+
+def test_checkpoint_trainstate_optax_resume(tmp_path):
+    """The REAL resume path: a TrainState holding an optax chain's
+    NamedTuple opt_state must round-trip structure-exactly via a template
+    (the old path-string store pickled the dataclass into one dead blob and
+    rebuilt NamedTuples as lists — optimizer resume was impossible)."""
+    import optax
+
+    from cullavo_tpu.checkpoint.store import load_checkpoint, save_checkpoint
+    from cullavo_tpu.trainer.optimizer import cullavo_optimizer
+    from cullavo_tpu.trainer.step import TrainState
+
+    params = {"w": jnp.arange(4.0), "b": jnp.zeros(2)}
+    tx = cullavo_optimizer(base_lr=1e-3, total_steps=10, grad_clip=1.0)
+    state = TrainState(params, tx.init(params), jnp.int32(3))
+    # advance one step so the moments are nonzero
+    grads = {"w": jnp.ones(4), "b": jnp.ones(2)}
+    updates, new_opt = tx.update(grads, state.opt_state, params)
+    state = TrainState(optax.apply_updates(params, updates), new_opt,
+                       jnp.int32(4))
+
+    save_checkpoint(str(tmp_path), 4, state)
+    template = TrainState(params, tx.init(params), jnp.int32(0))
+    restored = load_checkpoint(str(tmp_path), template=template)
+    assert isinstance(restored, TrainState)
+    assert int(restored.step) == 4
+    # structure-exact: tx.update must accept the restored opt_state
+    _, after = tx.update(grads, restored.opt_state, restored.trainable)
+    assert jax.tree_util.tree_structure(after) == \
+        jax.tree_util.tree_structure(new_opt)
+    for a, b in zip(jax.tree.leaves(restored.trainable),
+                    jax.tree.leaves(state.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_adapters_roundtrip(tmp_path):
