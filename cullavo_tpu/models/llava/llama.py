@@ -309,14 +309,20 @@ def llama_forward(
                 # matmul's weight feed
                 y = x @ nf4_ops.dequant_linear_planar(w, *dims, dtype=x.dtype)
         elif nf4_ops.is_quantized(w):
-            if jax.default_backend() == "tpu":
-                y = nf4_ops.nf4_linear_fused_vjp(x, w, *dims)
-            else:
-                y = nf4_ops.nf4_linear(x, w, *dims)
+            # byte-packed (non-planar) NF4 ALWAYS takes the XLA dequant:
+            # the fused kernel's uint8 shift/mask ops and lane-interleaving
+            # reshape are exactly what the Mosaic TPU compiler rejects
+            # (nf4.py planar-layout rationale) — only planar dicts have a
+            # TPU-compilable fused path
+            y = nf4_ops.nf4_linear(x, w, *dims)
         elif nf4_ops.is_quantized_int8(w):
             import os
 
             mode = os.environ.get("CULLAVO_INT8_PALLAS", "0")
+            if "q8" not in w:
+                # the fused/auto kernels read q['q8']; the transposed
+                # layout ('q8t') only has the XLA stream
+                mode = "0"
             if jax.default_backend() == "tpu" and mode == "1":
                 # fused everywhere: measured SLOWER end-to-end (5.0 vs 6.1
                 # img/s) because prefill-M tiles re-read the weight; kept for
@@ -380,23 +386,13 @@ def llama_forward(
                 # batches (valid tokens are a prefix, so logical position ==
                 # row index; pad-row outputs are masked downstream) and it
                 # selects the iota kernel, the one the axon Mosaic helper
-                # compiles (no dynamic-sublane reads)
+                # compiles (no dynamic-sublane reads).  Falls through to the
+                # shared o-proj/MLP tail below (one copy to keep in sync).
                 attn = flash_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
                                        q_positions=None,
                                        kv_valid=attention_mask, causal=True)
-                attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
-                h = residual + mm(attn, w["o"], ad.get("o"), get_rng(3),
-                                  (H * hd, D))
-                residual = h
-                x = rms_norm(h, w["post_ln"], cfg.rms_norm_eps)
-                gate = jax.nn.silu(mm(x, w["gate"], ad.get("gate"), get_rng(4),
-                                      (D, cfg.intermediate_size)).astype(jnp.float32)).astype(compute_dtype)
-                h = residual + mm(gate * mm(x, w["up"], ad.get("up"), get_rng(5),
-                                            (D, cfg.intermediate_size)),
-                                  w["down"], ad.get("down"), get_rng(6),
-                                  (cfg.intermediate_size, D))
-                return h, ys
-            attn = sdpa(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
+            else:
+                attn = sdpa(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
         elif stale_cache:
             li = scanned["li"]
             k_buf = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)

@@ -230,6 +230,31 @@ def _sample_token(logits: jax.Array, gen: GenerationConfig, key: jax.Array) -> j
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+_PRESERVE_FP32_KEYS = ("scale", "scale8", "absmax",
+                       "absmax_scale", "absmax_offset")
+
+
+def _cast_params(params, compute_dtype, from_bf16: bool = True):
+    """Cast float leaves to the compute dtype EXCEPT quantization scales —
+    bf16-rounding a per-block absmax perturbs every weight it dequantizes
+    (~0.2-0.4% rel), breaking bnb-parity; the kernels upcast scales to fp32
+    internally, but only AFTER such a cast would have rounded them.
+    ``from_bf16=False`` leaves existing bf16 leaves alone (the decode-phase
+    cast, where the prefill already owns the dtype choice)."""
+    src = ((jnp.float32, jnp.bfloat16, jnp.float16) if from_bf16
+           else (jnp.float32, jnp.float16))
+
+    def cast(path, a):
+        if a.dtype not in src:
+            return a
+        last = path[-1] if path else None
+        if getattr(last, "key", None) in _PRESERVE_FP32_KEYS:
+            return a
+        return a.astype(compute_dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "gen", "max_len", "compute_dtype"))
 def generate(
     params: Params,
@@ -248,8 +273,7 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    lm = jax.tree.map(lambda a: a.astype(compute_dtype)
-                      if a.dtype in (jnp.float32, jnp.bfloat16, jnp.float16) else a, params)
+    lm = _cast_params(params, compute_dtype)
 
     full_mask = jnp.zeros((B, max_len), jnp.int32)
     full_mask = jax.lax.dynamic_update_slice(full_mask, attention_mask.astype(jnp.int32), (0, 0))
@@ -322,8 +346,7 @@ def generate_prefill(params, cfg: LlavaConfig, input_ids, pixel_values,
     shapes change.
     """
     B, T = input_ids.shape
-    lm = jax.tree.map(lambda a: a.astype(compute_dtype)
-                      if a.dtype in (jnp.float32, jnp.float16) else a, params)
+    lm = _cast_params(params, compute_dtype, from_bf16=False)
     full_mask = jnp.zeros((B, max_len), jnp.int32)
     full_mask = jax.lax.dynamic_update_slice(full_mask,
                                              attention_mask.astype(jnp.int32), (0, 0))
@@ -443,10 +466,13 @@ def generate_decode(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig
     aliasing is what buys batch ≥10 on a 16 GB chip)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    lm = jax.tree.map(lambda a: a.astype(compute_dtype)
-                      if a.dtype in (jnp.float32, jnp.float16) else a, params)
+    lm = _cast_params(params, compute_dtype, from_bf16=False)
 
-    first = _sample_token(state["logits"], gen, rng)
+    # split BEFORE the first sample: reusing rng both inside the first
+    # categorical draw and as the parent of the loop's splits correlates
+    # token 1 with token 2 (single-use key discipline)
+    rng, first_key = jax.random.split(rng)
+    first = _sample_token(state["logits"], gen, first_key)
     done0 = first == gen.eos_token_id
 
     def step(carry, _):

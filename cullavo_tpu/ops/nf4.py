@@ -585,6 +585,7 @@ def nf4_linear_planar(x: jax.Array, q: dict, d_in: int, d_out: int,
         block_n //= 2
     assert block_n % BLOCK == 0
     nsc = block_n // BLOCK
+    assert nsc <= 8, (block_n, "scale rows are delivered sublane-padded to 8")
     nb = d_out // block_n
     # transposed, sublane-padded per-block scale rows: row 8j+c holds
     # scale[:, j*nsc + c]
