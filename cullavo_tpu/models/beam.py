@@ -112,12 +112,14 @@ def beam_search(
 
         # --- advance the model one step ------------------------------------
         # (skipped on the final iteration — those logits are never consumed;
-        # saves one full batch×beams forward per decode)
+        # saves one full batch×beams forward per decode.  The cache reorder
+        # lives INSIDE the cond for the same reason: the last iteration's
+        # full-cache gather would be discarded too.)
         flat_parent = (jnp.arange(B)[:, None] * nb + new_parent).reshape(-1)
-        state = reorder_fn(state, flat_parent)
         logits, state = jax.lax.cond(
             t + 1 < T,
-            lambda s: step_fn(new_tok.reshape(-1), s, t + 1),
+            lambda s: step_fn(new_tok.reshape(-1),
+                              reorder_fn(s, flat_parent), t + 1),
             lambda s: (logits, s),
             state)
         return (logits, state, new_scores.astype(jnp.float32), seq, hyp_score,

@@ -144,13 +144,17 @@ def class_embeddings_ensembled(params, cfg, tokenize: Callable, class_names: Seq
     templates = get_prompt_templates()
     out = []
     names = list(class_names) + (["A background in coco."] if add_background else [])
+    # jit once: an eager 12-layer forward PER CLASS is minutes of pure
+    # dispatch overhead at eval startup (133 classes x ~81 templates);
+    # template counts are uniform so one compiled shape serves every class
+    embed = jax.jit(lambda p, i, m: forward_language(p, cfg, i, m, norm=True))
     for name in names:
         if name == "A background in coco.":
             texts = [name]
         else:
             texts = [t.format(_clean(name)) for t in templates]
         ids, mask = tokenize(texts)
-        emb = forward_language(params, cfg, jnp.asarray(ids), jnp.asarray(mask), norm=True)
+        emb = embed(params, jnp.asarray(ids), jnp.asarray(mask))
         mean = jnp.mean(emb, axis=0)
         out.append(mean / (jnp.linalg.norm(mean) + 1e-7))
     return jnp.stack(out)
@@ -181,8 +185,6 @@ def import_hf_clip_text(state, cfg: TextEncoderConfig):
     (numpy arrays) onto the text-transformer params.  Used by the VQA
     pipeline's question-topic classifier (LLaVAVQAVALPipeline.py:104-116
     embeds 'a photo of {class}' with CLIP-L text + projection)."""
-    import numpy as np
-
     sd = {k.replace("text_model.", ""): np.asarray(v) for k, v in state.items()}
     L = cfg.layers
 
@@ -219,8 +221,9 @@ def import_hf_clip_text(state, cfg: TextEncoderConfig):
         "ln_final": {"scale": sd["final_layer_norm.weight"],
                      "bias": sd["final_layer_norm.bias"]},
         "lang_proj": sd["text_projection.weight"].T,
-        "logit_scale": np.zeros(()),
+        # full CLIPModel state dicts carry logit_scale (log of ~100); text-
+        # only exports don't — default exp(0)=1 ONLY in that case
+        "logit_scale": np.asarray(state.get("logit_scale", np.zeros(())),
+                                  np.float32).reshape(()),
     }
-    import jax.numpy as _jnp
-
-    return jax.tree.map(_jnp.asarray, params)
+    return jax.tree.map(jnp.asarray, params)

@@ -91,11 +91,17 @@ def flash_attention(q, k, v, q_positions=None, kv_valid=None, causal=True,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _flash_custom(q, k, v, q_positions, kv_valid, causal, block_q, block_k):
-    o, _ = _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal, block_q, block_k)
+    # inference path: no lse output (only the VJP needs it)
+    o, _, _, _ = _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal,
+                                     block_q, block_k, need_lse=False)
     return o
 
 
-def _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal, block_q, block_k):
+def _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal, block_q,
+                        block_k, need_lse=True):
+    """Shared canonicalization for the primal and VJP-forward calls (one
+    copy — drift here would silently diverge grad from the primal).
+    Returns (o, lse-or-None, q_positions, kv_valid) materialized."""
     B, H, T, d = q.shape
     iota = q_positions is None
     if q_positions is None:
@@ -104,12 +110,18 @@ def _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal, block_q, block_k
         kv_valid = jnp.ones((B, k.shape[2]), jnp.int32)
     qp = jnp.repeat(q_positions.astype(jnp.int32), H, axis=0)   # [B*H, T]
     kv = jnp.repeat(kv_valid.astype(jnp.int32), H, axis=0)      # [B*H, S]
-    return _flash_fwd_core(q, k, v, qp, kv, causal, block_q, block_k,
-                           iota_positions=iota)
+    o, lse = _flash_fwd_core(q, k, v, qp, kv, causal, block_q, block_k,
+                             iota_positions=iota, need_lse=need_lse)
+    return o, lse, q_positions, kv_valid
 
 
-def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                     *, block_k: int, causal: bool, sm_scale: float):
+def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref,
+                     *maybe_lse, block_k: int, causal: bool, sm_scale: float):
+    # NOTE: this rows-kernel variant reads qpos_ref[bh, ...] with a dynamic
+    # sublane index — validated in interpret mode; the axon Mosaic helper
+    # rejects dynamic-sublane reads, so explicit q_positions on that backend
+    # are untested on chip (the production LLaVA path always takes the iota
+    # kernel below).
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * sm_scale
@@ -147,13 +159,16 @@ def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
     l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    # lse is lane-replicated to honor the (8, 128) output tiling rule; the
-    # wrapper reads lane 0
-    lse_ref[0] = jnp.broadcast_to(m_i + jnp.log(l_safe), (bq, 128))
+    if maybe_lse:
+        # lse is lane-replicated to honor the (8, 128) output tiling rule;
+        # the wrapper reads lane 0.  Only emitted under grad — on the
+        # inference prefill path the fp32 [T, 128] write would cost ~2x the
+        # bytes of the attention output itself.
+        maybe_lse[0][0] = jnp.broadcast_to(m_i + jnp.log(l_safe), (bq, 128))
 
 
-def _fwd_kernel_iota(kvbias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                     *, block_k: int, causal: bool, sm_scale: float):
+def _fwd_kernel_iota(kvbias_ref, q_ref, k_ref, v_ref, o_ref,
+                     *maybe_lse, block_k: int, causal: bool, sm_scale: float):
     """Fast path: query positions are the global query indices (standard
     right-padded batches).  Key validity arrives as an additive fp32 bias in
     a [1, 8, S] block — the axon Mosaic helper rejects dynamic-sublane reads
@@ -195,11 +210,12 @@ def _fwd_kernel_iota(kvbias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
     l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = jnp.broadcast_to(m_i + jnp.log(l_safe), (bq, 128))
+    if maybe_lse:
+        maybe_lse[0][0] = jnp.broadcast_to(m_i + jnp.log(l_safe), (bq, 128))
 
 
 def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k,
-                    iota_positions=False):
+                    iota_positions=False, need_lse=True):
     B, H, T, d = q.shape
     S = k.shape[2]
     block_q = min(block_q, T)
@@ -214,14 +230,13 @@ def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k,
     kf = k.reshape(B * H, S, d)
     vf = v.reshape(B * H, S, d)
 
-    out_specs = (
-        pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
-        pl.BlockSpec((1, block_q, 128), lambda bh, qi: (bh, qi, 0)),
-    )
-    out_shape = (
-        jax.ShapeDtypeStruct((B * H, T, d), q.dtype),
-        jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32),
-    )
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B * H, T, d), q.dtype)]
+    if need_lse:
+        out_specs.append(pl.BlockSpec((1, block_q, 128),
+                                      lambda bh, qi: (bh, qi, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32))
+    out_specs, out_shape = tuple(out_specs), tuple(out_shape)
     data_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
         pl.BlockSpec((1, S, d), lambda bh, qi: (bh, 0, 0)),
@@ -232,7 +247,7 @@ def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k,
                                    causal=causal, sm_scale=sm_scale)
         kv_bias = jnp.where(kv_rows[:, None, :] != 0, 0.0, NEG_INF).astype(jnp.float32)
         kv_bias = jnp.broadcast_to(kv_bias, (B * H, 8, S))
-        o, lse = pl.pallas_call(
+        res = pl.pallas_call(
             kernel,
             grid=(B * H, T // block_q),
             in_specs=[pl.BlockSpec((1, 8, S), lambda bh, qi: (bh, 0, 0))] + data_specs,
@@ -243,7 +258,7 @@ def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k,
     else:
         kernel = functools.partial(_fwd_kernel_rows, block_k=block_k,
                                    causal=causal, sm_scale=sm_scale)
-        o, lse = pl.pallas_call(
+        res = pl.pallas_call(
             kernel,
             grid=(B * H, T // block_q),
             in_specs=[
@@ -254,53 +269,77 @@ def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k,
             out_shape=out_shape,
             interpret=jax.default_backend() == "cpu",
         )(qp_rows, kv_rows, qf, kf, vf)
-    return o.reshape(B, H, T, d), lse[..., 0].reshape(B, H, T)
+    o = res[0]                              # out_shape is a tuple either way
+    lse = res[1][..., 0].reshape(B, H, T) if need_lse else None
+    return o.reshape(B, H, T, d), lse
 
 
 def _flash_fwd_vjp(q, k, v, q_positions, kv_valid, causal, block_q, block_k):
-    B, H, T, d = q.shape
-    iota = q_positions is None
-    if q_positions is None:
-        q_positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-    if kv_valid is None:
-        kv_valid = jnp.ones((B, k.shape[2]), jnp.int32)
-    qp = jnp.repeat(q_positions.astype(jnp.int32), H, axis=0)
-    kv = jnp.repeat(kv_valid.astype(jnp.int32), H, axis=0)
-    o, lse = _flash_fwd_core(q, k, v, qp, kv, causal, block_q, block_k,
-                             iota_positions=iota)
+    o, lse, q_positions, kv_valid = _flash_fwd_expanded(
+        q, k, v, q_positions, kv_valid, causal, block_q, block_k,
+        need_lse=True)
     return o, (q, k, v, q_positions, kv_valid, o, lse)
 
 
 def _flash_bwd(causal, block_q, block_k, res, do):
-    """Backward via blockwise recomputation (XLA-fused; a dedicated Pallas
-    backward kernel is a planned optimization — the recompute keeps memory
-    O(T) which is the property that matters)."""
+    """Backward via blockwise recomputation, CHUNKED over query blocks so
+    peak memory is O(T * chunk), not O(T^2): a lax.scan accumulates dk/dv
+    across chunks and stacks dq.  (A full [B, H, T, S] fp32 score tensor —
+    the naive form — is ~1 GB per layer at B=8, H=32, T=S=2048, which OOMs
+    exactly where flash-attn-2 would not.)"""
     q, k, v, q_positions, kv_valid, o, lse = res
     B, H, T, d = q.shape
     S = k.shape[2]
     scale = d ** -0.5
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    qpos = q_positions[:, :, None]
-    kpos = jnp.arange(S)[None, None, :]
-    mask = jnp.ones((B, T, S), bool)
-    if causal:
-        mask = mask & (qpos >= kpos)
-    mask = mask & (kv_valid[:, None, :] != 0)
-    p = jnp.exp(scores - lse[..., None])
-    p = jnp.where(mask[:, None], p, 0.0)
+    # chunk size: T inside _flash_custom is already a 128-multiple
+    ch = T
+    for cand in (512, 256, 128):
+        if T % cand == 0 and T > cand:
+            ch = cand
+            break
+    nch = T // ch
 
-    do_f = do.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, do_f, preferred_element_type=jnp.float32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", do_f, v.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
-    delta = jnp.sum(do_f * o.astype(jnp.float32), axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    kpos = jnp.arange(S)[None, None, :]
+    kv_ok = (kv_valid[:, None, :] != 0)                     # [B, 1, S]
+
+    def one_chunk(carry, xs):
+        dk_acc, dv_acc = carry
+        qc, oc, doc, lsec, qposc = xs                       # chunk-sliced
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qc, kf,
+                            preferred_element_type=jnp.float32) * scale
+        mask = kv_ok
+        if causal:
+            mask = mask & (qposc[:, :, None] >= kpos)       # [B, ch, S]
+        p = jnp.exp(scores - lsec[..., None])
+        p = jnp.where(mask[:, None], p, 0.0)
+        do_f = doc.astype(jnp.float32)
+        dv_c = jnp.einsum("bhqk,bhqd->bhkd", p, do_f,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", do_f, vf,
+                        preferred_element_type=jnp.float32)
+        delta = jnp.sum(do_f * oc.astype(jnp.float32), axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
+        dq_c = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
+                          preferred_element_type=jnp.float32)
+        dk_c = jnp.einsum("bhqk,bhqd->bhkd", ds, q_chunk_cast(qc),
+                          preferred_element_type=jnp.float32)
+        return (dk_acc + dk_c, dv_acc + dv_c), dq_c
+
+    def q_chunk_cast(qc):
+        return qc.astype(jnp.float32)
+
+    def chunked(x, axis):
+        return jnp.moveaxis(x.reshape(x.shape[:axis] + (nch, ch)
+                                      + x.shape[axis + 1:]), axis, 0)
+
+    xs = (chunked(q, 2), chunked(o, 2), chunked(do, 2),
+          chunked(lse, 2), chunked(q_positions, 1))
+    zeros = jnp.zeros((B, H, S, d), jnp.float32)
+    (dk, dv), dq_chunks = jax.lax.scan(one_chunk, (zeros, zeros), xs)
+    dq = jnp.moveaxis(dq_chunks, 0, 2).reshape(B, H, T, d)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None)
 
 
@@ -353,10 +392,20 @@ def flash_decode(q, k_cache, v_cache, q_position, kv_valid, block_k=256):
     B, H, _, d = q.shape
     KV, S = k_cache.shape[1], k_cache.shape[2]
     group = H // KV
+    pad_s = (-S) % 128
+    if pad_s:
+        # keep the kv lane slices 128-aligned (same rule as flash_attention);
+        # an unaligned S would degrade block_k to a tiny odd value the Mosaic
+        # helper rejects
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pad_s)))
+        S = S + pad_s
     block_k = min(block_k, S)
     while S % block_k:
         block_k //= 2
     sm_scale = d ** -0.5
+
 
     qf = q.reshape(B * H, 1, d)
     qp = jnp.repeat(q_position.astype(jnp.int32).reshape(B, 1), H, axis=0)  # [B*H, 1]
