@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from cullavo_tpu.models.llava.clip_vit import layer_norm
-from cullavo_tpu.models.xdecoder import text_encoder as te
 
 NEG_INF = -1e30
 
@@ -253,8 +252,11 @@ def forward_prediction_heads(params, cfg: XDecoderConfig, output, mask_features,
     Ht, Wt = target_size
     resized = jax.image.resize(outputs_mask, (B, N, Ht, Wt), method="bilinear")
     allowed = (jax.nn.sigmoid(resized) >= 0.5).reshape(B, N, Ht * Wt)
-    # class-token row always attends everywhere
-    allowed = allowed.at[:, nq - 1:nq, :].set(True) if N >= nq else allowed
+    # reference unmasks row nq ("fill False for cls token", xdecoder.py:464-465):
+    # an empty slice in seg mode (N == nq), the first grounding query when the
+    # grounding slots are present (N == 2nq-1)
+    if N > nq:
+        allowed = allowed.at[:, nq:nq + 1, :].set(True)
     # fully-masked rows fall back to attending everywhere (xdecoder.py:266)
     dead = ~jnp.any(allowed, axis=-1, keepdims=True)
     allowed = allowed | dead
@@ -380,16 +382,20 @@ def forward_captioning(params, cfg: XDecoderConfig, features, mask_features,
                        token_embedding_fn, vocab_embs, token_ids_start):
     """Greedy autoregressive captioning (xdecoder.py:325-420): run the decoder
     with caption slots, take the captioning embedding at step t, pick the
-    vocabulary token whose projected embedding is most similar, feed back.
+    vocabulary token with the largest raw dot product, feed back.
 
     ``token_embedding_fn(ids) -> [B, T, hidden_dim]`` maps token ids to
-    decoder-space embeddings; ``vocab_embs`` [V, dim_proj] are the vocabulary
-    embeddings in the caption-head space (in the reference hidden ==
-    dim_lang == dim_proj == 512, so both come from token_embedding @
-    lang_proj).  Returns [B, contxt_len] token ids.
+    decoder-space embeddings — like the reference's per-step
+    ``forward_language_token`` call (xdecoder.py:356), it must run the CLIP
+    text transformer over the partial caption and project with lang_proj
+    (contextual embeddings, NOT a raw table lookup).  ``vocab_embs`` [V, D]
+    is the RAW token-embedding table: the reference scores with an
+    unnormalized, unprojected dot against ``token_embedding.weight``
+    (xdecoder.py:351-353,405-407 — the norm line is commented out there).
+    Returns [B, contxt_len] token ids.
     """
     cl = cfg.contxt_len
-    vocab = vocab_embs / (jnp.linalg.norm(vocab_embs, axis=-1, keepdims=True) + 1e-7)
+    steps = min(cfg.captioning_step, cl - 1)   # reference loops captioning_step
 
     def step(carry, t):
         ids = carry
@@ -399,13 +405,12 @@ def forward_captioning(params, cfg: XDecoderConfig, features, mask_features,
         cap_logits = out["pred_captionings"]          # [B, cl, dim_proj]
         logits_t = jnp.take_along_axis(
             cap_logits, jnp.full((cap_logits.shape[0], 1, 1), t), axis=1)[:, 0]
-        lt = logits_t / (jnp.linalg.norm(logits_t, axis=-1, keepdims=True) + 1e-7)
-        nxt = jnp.argmax(lt @ vocab.T, axis=-1)
+        nxt = jnp.argmax(logits_t @ vocab_embs.T, axis=-1)
         ids = jax.lax.dynamic_update_slice(ids, nxt[:, None].astype(ids.dtype),
                                            (0, t + 1))
         return ids, None
 
     B = features[0].shape[0]
     ids = jnp.full((B, cl), 0, jnp.int32).at[:, 0].set(token_ids_start)
-    ids, _ = jax.lax.scan(step, ids, jnp.arange(cl - 1))
+    ids, _ = jax.lax.scan(step, ids, jnp.arange(steps))
     return ids

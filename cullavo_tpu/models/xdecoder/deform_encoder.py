@@ -58,7 +58,9 @@ def init_deform_encoder_params(cfg: DeformEncoderConfig, key: jax.Array,
         "output": {"kernel": _conv_kernel(next(ks), 3, D, D, dtype),
                    "bias": jnp.zeros((D,), dtype),
                    "norm": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)}},
-        "mask_features": {"kernel": _conv_kernel(next(ks), 3, D, cfg.mask_dim, dtype),
+        # 1x1 like the reference ("use 1x1 conv instead",
+        # transformer_encoder_deform.py:244-252)
+        "mask_features": {"kernel": _conv_kernel(next(ks), 1, D, cfg.mask_dim, dtype),
                           "bias": jnp.zeros((cfg.mask_dim,), dtype)},
     }
     L = 3
@@ -109,8 +111,12 @@ def deform_encoder_forward(params, cfg: DeformEncoderConfig, features: dict):
         x = _conv(f, proj, padding="VALID")
         x = group_norm(x, proj["norm"]["scale"], proj["norm"]["bias"], cfg.gn_groups)
         B, H, W, _ = x.shape
-        pos = sine_position_embedding(H, W, D)[None]
-        srcs.append(x.reshape(B, H * W, D) + params["level_embed"][i])
+        # level_embed folds into the positional stream, NOT the value stream:
+        # the reference builds lvl_pos_embed = pos + level_embed and re-adds it
+        # to the evolving src every layer for the query only
+        # (transformer_encoder_deform.py:76,123-125)
+        pos = sine_position_embedding(H, W, D)[None] + params["level_embed"][i]
+        srcs.append(x.reshape(B, H * W, D))
         poss.append(jnp.broadcast_to(pos, (B, H * W, D)))
         shapes.append((H, W))
 
@@ -154,4 +160,7 @@ def deform_encoder_forward(params, cfg: DeformEncoderConfig, features: dict):
     y = jax.nn.relu(group_norm(_conv(cur + up, oc), oc["norm"]["scale"],
                                oc["norm"]["bias"], cfg.gn_groups))
     mask_features = _conv(y, params["mask_features"])
-    return mask_features, None, outs
+    # middle return = res5 transformer output, like the reference's
+    # transformer_encoder_features (transformer_encoder_deform.py:361) and
+    # fpn_forward's transformer_features
+    return mask_features, outs[0], outs

@@ -123,11 +123,22 @@ class VLPCaptioningPipeline:
         def run(params, images):
             mask_features, pyramid = backbone_and_pixel_decoder(params, cfgm, images)
             tp = params["text"]
-            vocab = tp["token_embedding"] @ tp["lang_proj"]
+            # raw, unprojected token-embedding table — the reference scores with
+            # an unnormalized dot against token_embedding.weight
+            # (xdecoder.py:351-353; its invariant is text width == dim_proj).
+            # Configs that break that invariant fall back to the projected table.
+            vocab = tp["token_embedding"]
+            if vocab.shape[-1] != cfgm.decoder.dim_proj:
+                vocab = vocab @ tp["lang_proj"]
 
             def token_embedding_fn(ids):
-                return jnp.take(tp["token_embedding"], ids, axis=0) \
-                    @ tp["lang_proj"]
+                # contextual per-step re-encode, like the reference's
+                # forward_language_token call each decode step (xdecoder.py:356)
+                from cullavo_tpu.models.xdecoder.text_encoder import (
+                    forward_language_token)
+                mask = jnp.ones(ids.shape, jnp.int32)
+                token_emb, _ = forward_language_token(tp, cfgm.text, ids, mask)
+                return token_emb
 
             return forward_captioning(params["decoder"], cfgm.decoder, pyramid,
                                       mask_features, token_embedding_fn, vocab,

@@ -344,7 +344,7 @@ def _deform_state(cfg):
     add("adapter_1.norm.weight", (D,)); add("adapter_1.norm.bias", (D,))
     add("layer_1.weight", (D, D, 3, 3)); add("layer_1.bias", (D,))
     add("layer_1.norm.weight", (D,)); add("layer_1.norm.bias", (D,))
-    add("mask_features.weight", (cfg.mask_dim, D, 3, 3))
+    add("mask_features.weight", (cfg.mask_dim, D, 1, 1))  # 1x1 conv in the reference
     add("mask_features.bias", (cfg.mask_dim,))
     return sd
 
