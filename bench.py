@@ -160,11 +160,15 @@ def run_quant_mode(quant_mode: str) -> dict:
     # decode the full batch once — the per-step weight-stream dequant is
     # batch-independent, so a big decode batch amortizes it (the NF4 lever)
     chunk = int(os.environ.get("BENCH_PREFILL_CHUNK", B))
+    # BENCH_KV=int8: quantized KV cache — halves the decode step's dominant
+    # HBM stream (the cache read) and the cache footprint, buying batch
+    kv_quant = os.environ.get("BENCH_KV") or None
 
     def run():
         state = generate_prefill_chunked(params, cfg, jids, jpix, jmask,
                                          max_len, chunk,
-                                         compute_dtype=jnp.bfloat16)
+                                         compute_dtype=jnp.bfloat16,
+                                         kv_quant=kv_quant)
         # return_state=True lets the donated prefill cache alias the output
         # cache (in-place decode; one cache-sized buffer instead of two)
         out, _ = generate_decode(params, cfg, state, gen,
@@ -196,6 +200,7 @@ def run_quant_mode(quant_mode: str) -> dict:
         "batch": B,
         "prefill_chunk": chunk,
         "quant": quant_mode,
+        "kv_quant": kv_quant or "bf16",
         "params_b": 7.06,
     }
 

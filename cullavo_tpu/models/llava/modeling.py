@@ -142,6 +142,7 @@ def llava_forward(
     prefill_pad_len: Optional[int] = None,
     remat: bool = False,
     return_hidden: bool = False,
+    kv_quant: Optional[str] = None,
 ):
     embed = params["language_model"]["embed_tokens"]
     inputs_embeds = jnp.take(embed, jnp.clip(input_ids, 0, embed.shape[0] - 1), axis=0)
@@ -162,7 +163,7 @@ def llava_forward(
                                       dropout_rng=dropout_rng,
                                       stale_cache=stale_cache,
                                       prefill_pad_len=prefill_pad_len,
-                                      remat=remat)
+                                      remat=remat, kv_quant=kv_quant)
     if last_logit_only:
         # only the last valid position feeds sampling — skips the [B, T, V]
         # logits tensor during prefill (vocab matmul over one position)
@@ -255,7 +256,8 @@ def _cast_params(params, compute_dtype, from_bf16: bool = True):
     return jax.tree_util.tree_map_with_path(cast, params)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "gen", "max_len", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "max_len",
+                                             "compute_dtype", "kv_quant"))
 def generate(
     params: Params,
     cfg: LlavaConfig,
@@ -266,6 +268,7 @@ def generate(
     max_len: int,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    kv_quant: Optional[str] = None,
 ):
     """Prefill + decode loop entirely under jit.  Returns [B, max_new_tokens]
     generated ids (right-padded with eos after stop)."""
@@ -288,7 +291,7 @@ def generate(
     # llama_forward's prefill_pad_len doc; this was the batch-8 prefill OOM)
     logits, cache = llava_forward(lm, cfg, input_ids, pixel_values, attention_mask,
                                   position_ids, last_logit_only=True,
-                                  prefill_pad_len=max_len)
+                                  prefill_pad_len=max_len, kv_quant=kv_quant)
     last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
     next_logits = logits[:, 0]
 
@@ -335,9 +338,11 @@ def generate(
 # two-phase generation (separate prefill / decode programs)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "compute_dtype",
+                                             "kv_quant"))
 def generate_prefill(params, cfg: LlavaConfig, input_ids, pixel_values,
-                     attention_mask, max_len: int, compute_dtype=jnp.bfloat16):
+                     attention_mask, max_len: int, compute_dtype=jnp.bfloat16,
+                     kv_quant: Optional[str] = None):
     """Prefill phase: build the cache, return the sampling state.
 
     Split from the decode loop so each program compiles independently — the
@@ -356,7 +361,7 @@ def generate_prefill(params, cfg: LlavaConfig, input_ids, pixel_values,
     # cache-building prefill (one cache-sized buffer; see llama_forward doc)
     logits, cache = llava_forward(lm, cfg, input_ids, pixel_values, attention_mask,
                                   position_ids, last_logit_only=True,
-                                  prefill_pad_len=max_len)
+                                  prefill_pad_len=max_len, kv_quant=kv_quant)
     last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
     return {"logits": logits[:, 0], "cache": cache, "full_mask": full_mask,
             "key_pos": key_pos, "cur_pos": last_idx + 1,
@@ -379,9 +384,9 @@ def alloc_decode_state(chunk_state: dict, total_batch: int) -> dict:
         return jnp.zeros(shape, a.dtype)
     return {
         "logits": z(chunk_state["logits"], 0),
-        # cache is S-major [L, S, B, KV, hd] (llama.sdpa_smajor): batch = 2
-        "cache": {"k": z(chunk_state["cache"]["k"], 2),
-                  "v": z(chunk_state["cache"]["v"], 2)},
+        # cache leaves are S-major [L, S, B, ...] (llama.sdpa_smajor): batch
+        # axis 2 for values AND the int8-mode k_s/v_s scale planes
+        "cache": {name: z(a, 2) for name, a in chunk_state["cache"].items()},
         "full_mask": z(chunk_state["full_mask"], 0),
         "key_pos": z(chunk_state["key_pos"], 0),
         "cur_pos": z(chunk_state["cur_pos"], 0),
@@ -404,10 +409,10 @@ def merge_decode_state(big: dict, chunk: dict, batch_offset) -> dict:
         "logits": jax.lax.dynamic_update_slice(
             big["logits"], chunk["logits"].astype(big["logits"].dtype), (off, 0)),
         "cache": {
-            "k": jax.lax.dynamic_update_slice(
-                big["cache"]["k"], chunk["cache"]["k"], (0, 0, off, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(
-                big["cache"]["v"], chunk["cache"]["v"], (0, 0, off, 0, 0)),
+            name: jax.lax.dynamic_update_slice(
+                big["cache"][name], a,
+                (0, 0, off) + (0,) * (a.ndim - 3))
+            for name, a in chunk["cache"].items()
         },
         "full_mask": jax.lax.dynamic_update_slice(
             big["full_mask"], chunk["full_mask"], (off, 0)),
@@ -421,7 +426,8 @@ def merge_decode_state(big: dict, chunk: dict, batch_offset) -> dict:
 
 def generate_prefill_chunked(params, cfg: LlavaConfig, input_ids, pixel_values,
                              attention_mask, max_len: int, chunk: int,
-                             compute_dtype=jnp.bfloat16):
+                             compute_dtype=jnp.bfloat16,
+                             kv_quant: Optional[str] = None):
     """Prefill ``input_ids`` in batch chunks of ``chunk`` rows, merging each
     into one full-batch decode state (see ``alloc_decode_state``).  Returns a
     state interchangeable with ``generate_prefill``'s.  A non-divisible batch
@@ -430,14 +436,14 @@ def generate_prefill_chunked(params, cfg: LlavaConfig, input_ids, pixel_values,
     if chunk >= B:
         return generate_prefill(params, cfg, input_ids, pixel_values,
                                 attention_mask, max_len,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype, kv_quant=kv_quant)
     state = None
     for off in range(0, B, chunk):
         cs = generate_prefill(params, cfg, input_ids[off:off + chunk],
                               None if pixel_values is None
                               else pixel_values[off:off + chunk],
                               attention_mask[off:off + chunk], max_len,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, kv_quant=kv_quant)
         if state is None:
             state = alloc_decode_state(cs, B)
         state = merge_decode_state(state, cs, off)

@@ -44,7 +44,8 @@ class VQAPipeline:
     def __init__(self, cfg, model_cfg: LlavaConfig, tokenizer, params,
                  topic_fn: Optional[Callable[[str], str]] = None,
                  batch_size: int = 8, max_new_tokens: int = 16,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 kv_quant: Optional[str] = None):
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.tokenizer = tokenizer
@@ -56,6 +57,9 @@ class VQAPipeline:
         # (decode cost is dominated by the batch-independent weight stream —
         # see modeling.generate_prefill_chunked); None = fused generate
         self.prefill_chunk = prefill_chunk
+        # "int8": quantized KV cache — halves decode's dominant HBM stream
+        # and the cache footprint (llama.init_kv_cache); None = bf16 cache
+        self.kv_quant = kv_quant
         self.evaluator = VQAEvaluator()
         self.per_topic: dict[str, VQAEvaluator] = {}
 
@@ -88,14 +92,14 @@ class VQAPipeline:
                 self.params, self.model_cfg, jnp.asarray(ids),
                 jnp.asarray(pixel_values), jnp.asarray(mask),
                 L + self.max_new_tokens, self.prefill_chunk,
-                compute_dtype=jnp.bfloat16)
+                compute_dtype=jnp.bfloat16, kv_quant=self.kv_quant)
             out = generate_decode(self.params, self.model_cfg, state, gen,
                                   compute_dtype=jnp.bfloat16)
         else:
             out = generate(self.params, self.model_cfg, jnp.asarray(ids),
                            jnp.asarray(pixel_values), jnp.asarray(mask), gen,
                            max_len=L + self.max_new_tokens,
-                           compute_dtype=jnp.bfloat16)
+                           compute_dtype=jnp.bfloat16, kv_quant=self.kv_quant)
         answers = []
         for b in range(B):
             toks = np.asarray(out[b]).tolist()

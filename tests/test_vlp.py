@@ -88,6 +88,38 @@ def test_vlp_arrow_load_and_image_decode(tmp_path):
     assert img.shape == (32, 32, 3)
 
 
+def test_instruction_family_registration(tmp_path):
+    """instruction_*/instp_* splits share the vlp arrow loader but keep train
+    captions whole and parse path-style image ids
+    (register_instruction_datasets.py:55-76)."""
+    import pyarrow as pa
+
+    from cullavo_tpu.data.registry import get_dataset, get_metadata
+    from cullavo_tpu.data.vlp_datasets import register_vlp
+
+    table = pa.table({
+        "image": [b"x", b"y"],
+        "caption": [["human: what? gpt: that"], ["human: who? gpt: them"]],
+        "image_id": ["coco/train2017/000123.jpg", "vg/images/77.jpg"],
+    })
+    with pa.OSFile(str(tmp_path / "instr.arrow"), "wb") as sink:
+        with pa.ipc.new_file(sink, table.schema) as w:
+            w.write_table(table)
+
+    register_vlp("instruction_train", str(tmp_path), arrow_paths=["instr.arrow"])
+    records = get_dataset("instruction_train")
+    assert len(records) == 2                       # not exploded per caption
+    assert records[0]["image_id"] == 123           # path-style id parse
+    assert records[1]["image_id"] == 77
+    assert records[0]["captions"] == [["human: what? gpt: that"]]
+    assert get_metadata("instruction_train")["evaluator_type"] == "retrieval"
+
+    register_vlp("instp_captioning_val", str(tmp_path), arrow_paths=["instr.arrow"])
+    val = get_dataset("instp_captioning_val")
+    assert val[0]["captions"] == ["human: what? gpt: that"]  # val keeps lists
+    assert get_metadata("instp_captioning_val")["evaluator_type"] == "captioning"
+
+
 def _hash_tokenize(texts, T=8, V=64):
     ids = np.zeros((len(texts), T), np.int32)
     mask = np.zeros((len(texts), T), np.int32)
