@@ -208,3 +208,62 @@ def test_loader_device_prefetch():
     assert len(batches) == 2
     assert isinstance(batches[0]["x"], jax.Array)
     np.testing.assert_array_equal(np.asarray(batches[0]["x"])[:, 0], [0, 1, 2, 3])
+
+
+def test_semantic_train_mapper():
+    """mask_former_semantic semantics: one mask per present class, ignore
+    pixels excluded, stuff (is_thing False), PanopticMapper-shaped output
+    (mask_former_semantic_dataset_mapper.py:166-173)."""
+    from cullavo_tpu.data.mappers import SemanticTrainMapper
+    from cullavo_tpu.data.coco_panoptic import pad_targets
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    sem = np.full((40, 60), 255, np.uint8)        # ignore everywhere...
+    sem[5:20, 10:30] = 3                           # ...except two classes
+    sem[25:38, 35:55] = 7
+    mapper = SemanticTrainMapper(image_size=32, scale_range=(1.0, 1.0),
+                                 flip_prob=0.0, seed=0)
+    out = mapper({"image": img, "sem_seg": sem, "image_id": 1})
+    assert set(out["classes"].tolist()) <= {3, 7}
+    assert len(out["classes"]) >= 1
+    assert out["masks"].shape[1:] == (32, 32)
+    assert not out["is_thing"].any()
+    # each mask covers exactly its class's pixels
+    for cid, m in zip(out["classes"], out["masks"]):
+        assert m.sum() > 0
+    # composes with the SPMD target padding
+    batch = pad_targets([out], max_instances=4)
+    assert batch["classes"].shape == (1, 4)
+
+    # all-ignore label map → skipped record
+    assert mapper({"image": img, "sem_seg": np.full((40, 60), 255, np.uint8)}) is None
+
+
+def test_instance_train_mapper_lsj():
+    """coco_instance_lsj semantics: polygon → mask, crowd filter, LSJ+flip,
+    fully-cropped-out instances dropped."""
+    from cullavo_tpu.data.mappers import InstanceTrainMapper
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    square = [[10.0, 10.0, 30.0, 10.0, 30.0, 30.0, 10.0, 30.0]]
+    record = {
+        "image": img, "height": 64, "width": 64, "image_id": 5,
+        "annotations": [
+            {"bbox": [10, 10, 20, 20], "segmentation": square,
+             "category_id": 2, "iscrowd": 0},
+            {"bbox": [0, 0, 5, 5], "segmentation": square,
+             "category_id": 9, "iscrowd": 1},      # crowd: filtered
+        ],
+    }
+    mapper = InstanceTrainMapper(image_size=48, scale_range=(1.0, 1.0),
+                                 flip_prob=0.0, seed=0)
+    out = mapper(record)
+    assert out is not None
+    assert out["classes"].tolist() == [2]
+    assert out["is_thing"].all()
+    assert out["masks"].shape == (1, 48, 48)
+    assert out["masks"][0].sum() > 0
+    x0, y0, x1, y1 = out["boxes"][0]
+    assert 0 <= x0 < x1 <= 48 and 0 <= y0 < y1 <= 48
