@@ -549,11 +549,18 @@ def _eval_vl(cfg) -> dict:
     import cullavo_tpu.pipelines.vqa_pipeline  # noqa: F401 (registration)
 
     model_cfg, params, tokenizer = _build_llava(cfg)
+    extra = {}
+    if cfg.get("KV_QUANT"):
+        # "int8" stores the decode cache quantized — half the footprint and
+        # half the decode-step cache read (llama.init_kv_cache).  Passed
+        # only when set: zoo pipelines don't take the kwarg.
+        extra["kv_quant"] = cfg.get("KV_QUANT")
     pipe = build_pipeline(cfg.get("PIPELINE", "LLaVAVQAVALPipeline"), cfg,
                           model_cfg=model_cfg, tokenizer=tokenizer,
                           params=params,
                           batch_size=int(cfg.get("BATCH_SIZE", 8)),
-                          max_new_tokens=int(cfg.get("MAX_NEW_TOKENS", 16)))
+                          max_new_tokens=int(cfg.get("MAX_NEW_TOKENS", 16)),
+                          **extra)
     limit = int(cfg.get("LIMIT", 0)) or None
     mapper = VQAEvalMapper(image_size=model_cfg.vision.image_size)
     results = {}

@@ -193,6 +193,43 @@ DATASETS:
     assert os.path.exists(out_dir / "vqa_results.json")
 
 
+def test_eval_cli_vl_test_kv_quant(tmp_path, capsys):
+    """KV_QUANT: int8 reaches the pipeline: the int8-quantized decode cache
+    (llama.init_kv_cache) runs the same VQA workload end-to-end."""
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    _save_png(img_dir / "COCO_val2014_000000000001.jpg",
+              rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    qj, aj = tmp_path / "q.json", tmp_path / "a.json"
+    with open(qj, "w") as f:
+        json.dump({"questions": [
+            {"question_id": 100, "question": "what is it?", "image_id": 1}]}, f)
+    with open(aj, "w") as f:
+        json.dump({"annotations": [
+            {"question_id": 100, "question_type": "what is",
+             "answer_type": "other",
+             "answers": [{"answer": "cat"}] * 10}]}, f)
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: vl_test
+PIPELINE: LLaVAVQAVALPipeline
+BATCH_SIZE: 1
+MAX_NEW_TOKENS: 4
+KV_QUANT: int8
+SAVE_DIR: {tmp_path / "out"}
+DATASETS:
+  TEST: [fix_vqa_kv]
+  REGISTER:
+    fix_vqa_kv:
+      KIND: vqa
+      QUESTIONS_JSON: {qj}
+      ANNOTATIONS_JSON: {aj}
+      IMAGE_DIR: {img_dir}
+""")
+    res = _run_eval(capsys, conf)
+    assert res["fix_vqa_kv"]["n"] == 1
+
+
 def test_eval_cli_vl_test_vqa_testdev_submission(tmp_path, capsys):
     """test-dev split: no annotations — the run produces the EvalAI
     submission JSON, no accuracy (LLaVAVQATESTPipeline.py:29-143)."""
