@@ -89,3 +89,29 @@ def test_sharded_int8_generate_matches_single_device():
                                   jax.device_put(jnp.asarray(mask), bs),
                                   gen, max_len=max_len))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_kv_int8_generate_matches_single_device():
+    """int8 KV cache under TP/DP sharding: the cache (and its per-head scale
+    planes) are created inside jit from sharded activations, so the mesh
+    run must stay token-exact vs single-device with the SAME quantized
+    cache (quantization decisions are deterministic)."""
+    cfg = tiny_llava_config(128)
+    params = init_llava_params(cfg, jax.random.PRNGKey(5))
+    ids, mask, pix = _inputs(cfg, seed=6)
+    gen = GenerationConfig(max_new_tokens=5, do_sample=False, eos_token_id=-1)
+    max_len = ids.shape[1] + 5
+
+    ref = np.asarray(generate(params, cfg, jnp.asarray(ids), jnp.asarray(pix),
+                              jnp.asarray(mask), gen, max_len=max_len,
+                              kv_quant="int8"))
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    sharded = shard_params(params, mesh)
+    bs = batch_sharding(mesh)
+    with mesh:
+        out = np.asarray(generate(sharded, cfg,
+                                  jax.device_put(jnp.asarray(ids), bs),
+                                  jax.device_put(jnp.asarray(pix), bs),
+                                  jax.device_put(jnp.asarray(mask), bs),
+                                  gen, max_len=max_len, kv_quant="int8"))
+    np.testing.assert_array_equal(out, ref)
