@@ -93,10 +93,25 @@ def build_llava7b_params(quant_mode: str, cfg=None):
                 fn = jax.jit(lambda k, s=shape: synthetic_planar_nf4(*s, k))
                 layers[name] = jax.block_until_ready(fn(jax.random.PRNGKey(i)))
         else:
-            layout = __import__("os").environ.get("BENCH_INT8_LAYOUT", "kn")
+            os_mod = __import__("os")
+            layout = os_mod.environ.get("BENCH_INT8_LAYOUT", "kn")
+            # activation-quant calibration mode for the s8s8 prefill path
+            # (synthetic values — the COST is what the bench must price):
+            #   smooth (default): SmoothQuant per-channel migration scales
+            #   outliers: LLM.int8 static outlier channels (o_w side-matmul)
+            #   none: plain per-token quant / exact convert-in-dot only
+            calib = os_mod.environ.get("BENCH_INT8_CALIB", "smooth")
+            o_idx = sm = None
+            if layout == "kn" and calib == "outliers":
+                n_out = int(os_mod.environ.get("BENCH_INT8_OUTLIERS", 64))
+                o_idx = np.random.default_rng(1234).permutation(
+                    shape[-2])[:n_out]
+            elif layout == "kn" and calib == "smooth":
+                sm = np.exp(np.random.default_rng(1234).normal(
+                    0.0, 0.3, shape[-2])).astype(np.float32)
             fn = jax.jit(lambda k, s=shape: quantize_linear_int8(
                 (jax.random.normal(k, s) * (s[-2] ** -0.5)).astype(jnp.bfloat16),
-                layout=layout))
+                layout=layout, outlier_idx=o_idx, smooth_scale=sm))
             layers[name] = jax.block_until_ready(fn(jax.random.PRNGKey(i)))
     layers["input_ln"] = jnp.ones((L, D), jnp.bfloat16)
     layers["post_ln"] = jnp.ones((L, D), jnp.bfloat16)

@@ -418,6 +418,20 @@ def llama_forward(
                 # scripts/decode_probe.py) — XLA's convert-in-dot stream
                 # beats the Pallas kernel at M=8; kept for tile tuning.
                 y = nf4_ops.int8_linear_auto_vjp(x, w)
+            elif ("q8" in w
+                  and {"auto": "o_w" in w or "sq_inv" in w,
+                       "1": True, "0": False}[
+                      os.environ.get("CULLAVO_INT8_S8S8", "auto")]):
+                # LLM.int8-style native s8s8 MXU dot at prefill M (per-token
+                # activation quant + outlier decomposition, the reference's
+                # actual load_in_8bit numerics — bitsandbytes Linear8bitLt);
+                # decode M stays on the convert-in-dot stream (memory-bound).
+                # Default "auto": on when the dict carries calibrated static
+                # outlier channels (quantize_linear_int8 outlier_idx) —
+                # int8 7B prefill measured 14.06 vs 11.14 img/s e2e; dicts
+                # without calibration keep the exact bf16 convert-in-dot
+                # unless CULLAVO_INT8_S8S8=1 forces plain per-token quant.
+                y = nf4_ops.int8_linear_s8s8_auto(x, w)
             else:
                 # default: XLA path — per-output-channel scale folded in
                 # after the matmul so the weight operand is a pure int8→bf16

@@ -312,19 +312,75 @@ def is_quantized(w) -> bool:
 # pipeline/LLaVAVQAVALPipeline.py:94-102)
 # ---------------------------------------------------------------------------
 
-def quantize_linear_int8(w: jax.Array, layout: str = "kn") -> dict:
+def quantize_linear_int8(w: jax.Array, layout: str = "kn",
+                         outlier_idx=None, smooth_scale=None) -> dict:
     """[..., d_in, d_out] → {"q8": int8, "scale8": fp32 per output channel}.
-    Per-out-channel absmax symmetric quantization (LLM.int8-style without the
-    outlier decomposition — adequate at bf16 compute for eval parity).
+    Per-out-channel absmax symmetric quantization (the reference's
+    load_in_8bit eval mode, bitsandbytes Linear8bitLt).
+
+    ``outlier_idx`` (static numpy int array, [mo]) — input channels whose
+    activations are known (from calibration) to cross the LLM.int8 outlier
+    threshold.  Their weight rows are zeroed in ``q8`` and stored separately:
+      - ``o_w``  bf16 [mo, N]: the dequantized outlier rows (bnb dequantizes
+        its int8 weight for the outlier product too — extract_outliers)
+      - ``o_hot`` bf16 [K, mo]: one-hot column extractor so the runtime
+        gathers x's outlier columns with a tiny matmul instead of a gather
+      - ``o_mask`` bf16 [1, K]: zeros at outlier channels, to exclude them
+        from the per-token activation quantization (LLM.int8 semantics)
+    This makes the s8s8 prefill path (int8_linear_s8s8) pay ZERO dynamic
+    cost for outlier decomposition — measured 14.06 vs 10.97 img/s at 7B
+    for static vs per-call top_k outliers.
+
+    ``smooth_scale`` (per-input-channel [K] positive array) — SmoothQuant
+    scale migration: the weight is quantized as ``W' = diag(s) @ W`` and the
+    reciprocal is stored (``sq_inv`` [1, K] bf16) so the runtime computes
+    ``(x / s) @ W'`` — exact in fp, but the activation outlier channels are
+    divided DOWN into quantizable range while the well-behaved weights
+    absorb the scale.  Unlike the outlier decomposition this costs one
+    fused elementwise multiply (zero epilogue traffic): measured 13.9 vs
+    12.1 img/s at 7B for smooth vs static-outlier s8s8.  Calibrate
+    ``s_k = amax_act_k**alpha / amax_w_k**(1-alpha)`` (SmoothQuant α≈0.5).
+    Mutually exclusive with ``outlier_idx``.
 
     ``layout="nk"`` stores the quantized weight transposed ([..., d_out,
     d_in], key "q8t") so the dot contracts on the weight's MINOR dimension —
     an experimental decode-stream layout (see scripts/matmul_probe.py)."""
+    if smooth_scale is not None:
+        assert outlier_idx is None, "smooth_scale excludes outlier_idx"
+        # [K] shared across stacked layers, or [..., K] per layer
+        s = jnp.asarray(smooth_scale, jnp.float32)
+        w = w.astype(jnp.float32) * s[..., :, None]
     absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
     scale = jnp.where(absmax == 0, 1.0, absmax) / 127.0
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     if layout == "nk":
         return {"q8t": jnp.swapaxes(q, -1, -2), "scale8": scale}
+    if outlier_idx is not None and len(outlier_idx) > 0:
+        import numpy as _np
+
+        idx = _np.asarray(outlier_idx, _np.int32)
+        K = w.shape[-2]
+        jidx = jnp.asarray(idx)
+        o_w = (jnp.take(q, jidx, axis=-2).astype(jnp.float32)
+               * scale).astype(jnp.bfloat16)       # [..., mo, N]
+        hot = _np.zeros((K, len(idx)), _np.float32)
+        hot[idx, _np.arange(len(idx))] = 1.0
+        mask = _np.ones((1, K), _np.float32)
+        mask[0, idx] = 0.0
+        q = jnp.moveaxis(jnp.moveaxis(q, -2, 0).at[jidx].set(0), 0, -2)
+        lead = w.shape[:-2]                        # stacked layers, if any
+        o_hot = jnp.broadcast_to(jnp.asarray(hot, jnp.bfloat16),
+                                 lead + hot.shape)
+        o_mask = jnp.broadcast_to(jnp.asarray(mask, jnp.bfloat16),
+                                  lead + mask.shape)
+        return {"q8": q, "scale8": scale,
+                "o_w": o_w, "o_hot": o_hot, "o_mask": o_mask}
+    if smooth_scale is not None:
+        lead = w.shape[:-2]
+        sq_inv = jnp.broadcast_to(
+            (1.0 / s).astype(jnp.bfloat16)[..., None, :],
+            lead + (1, w.shape[-2]))
+        return {"q8": q, "scale8": scale, "sq_inv": sq_inv}
     return {"q8": q, "scale8": scale}
 
 
@@ -336,12 +392,21 @@ def int8_linear(x: jax.Array, q: dict) -> jax.Array:
     int8→bf16 convert that XLA fuses into the dot's weight stream, where the
     pre-multiplied form materializes a full bf16 weight in HBM (3× decode
     weight traffic).  Also avoids bf16-rounding the dequantized weights."""
+    if "sq_inv" in q:
+        # SmoothQuant dicts store W' = diag(s) @ W; undo on the activation
+        x = x * q["sq_inv"].reshape(1, -1).astype(x.dtype)
     if "q8t" in q:
         wt = q["q8t"].astype(x.dtype)                  # [N, K]
         y = jax.lax.dot_general(x, wt, (((x.ndim - 1,), (1,)), ((), ())))
     else:
         y = x @ q["q8"].astype(x.dtype)
-    return y * q["scale8"].reshape(1, -1).astype(x.dtype)
+    y = y * q["scale8"].reshape(1, -1).astype(x.dtype)
+    if "o_w" in q:
+        # static-outlier dicts zero the outlier rows out of q8; add their
+        # exact (dequantized-row) product back regardless of x's dtype path
+        y = y + ((x @ q["o_hot"].astype(x.dtype))
+                 @ q["o_w"].astype(x.dtype))
+    return y
 
 
 def is_quantized_int8(w) -> bool:
@@ -689,6 +754,29 @@ def nf4_dequant_planar_pallas(q: dict, d_in: int, d_out: int,
 _NF4_DEQ_M_THRESHOLD = int(__import__("os").environ.get("CULLAVO_NF4_DEQ_M", 512))
 
 
+def s8s8_matmul_dynamic(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Per-call W8A8 matmul on the int8 MXU: per-out-channel weight quant +
+    per-token activation quant + native s8s8 dot (int32 accumulate).
+
+    The quantization passes are a few elementwise sweeps; the dot runs at
+    the int8 MXU rate (2× bf16) — a win whenever the matmul is
+    compute-bound (prefill M).  NOT bit-faithful to the bf16 product
+    (~1%-relative); callers gate it behind explicit opt-ins."""
+    wf = w.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True),
+                     1e-12) / 127.0                        # [1, N]
+    wi = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    K = x.shape[-1]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K).astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x2), axis=-1, keepdims=True),
+                     1e-12) / 127.0                        # [M, 1]
+    xi = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xi, wi, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * sw).reshape(*lead, -1)
+
+
 def nf4_linear_planar_auto(x: jax.Array, q: dict, d_in: int, d_out: int):
     """Pick fused (small M) vs decode-once+XLA-matmul (large M) by token count."""
     M = 1
@@ -696,6 +784,13 @@ def nf4_linear_planar_auto(x: jax.Array, q: dict, d_in: int, d_out: int):
         M *= s
     if M >= _NF4_DEQ_M_THRESHOLD:
         w = nf4_dequant_planar_pallas(q, d_in, d_out, jnp.bfloat16)
+        if (os.environ.get("CULLAVO_NF4_S8S8", "0") == "1"
+                and jax.default_backend() == "tpu"):
+            # opt-in W8A8 prefill for the NF4 storage mode: requantize the
+            # decoded weights to int8 on the fly and run the int8 MXU.
+            # DEVIATES from the reference's NF4 numerics (a second
+            # quantization on top of NF4) — throughput experiments only.
+            return s8s8_matmul_dynamic(x, w).astype(x.dtype)
         return (x.astype(jnp.bfloat16) @ w).astype(x.dtype)
     return nf4_linear_planar(x, q, d_in, d_out)
 
@@ -775,6 +870,8 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
 def int8_linear_pallas(x: jax.Array, q: dict, block_n: int = 256,
                        block_m: int = 512) -> jax.Array:
     """x [..., K] @ dequant(q8 [K, N], scale8 [1, N]) with int8 HBM stream."""
+    if "sq_inv" in q:
+        x = x * q["sq_inv"].reshape(1, -1).astype(x.dtype)
     *lead_shape, d_in = x.shape
     d_out = q["q8"].shape[-1]
     M = 1
@@ -807,7 +904,13 @@ def int8_linear_pallas(x: jax.Array, q: dict, block_n: int = 256,
         out_shape=jax.ShapeDtypeStruct((Mp, d_out), x.dtype),
         interpret=jax.default_backend() == "cpu",
     )(x2, w, scale)
-    return out[:M].reshape(*lead_shape, d_out)
+    out = out[:M].reshape(*lead_shape, d_out)
+    if "o_w" in q:
+        # static-outlier dicts zero the outlier rows out of q8 (see
+        # quantize_linear_int8); add their exact product outside the kernel
+        out = out + ((x @ q["o_hot"].astype(x.dtype))
+                     @ q["o_w"].astype(x.dtype))
+    return out
 
 
 @jax.custom_vjp
@@ -823,7 +926,15 @@ def _int8f_bwd(q, dy):
     # dx = dy @ (q8*scale)^T == (dy * scale) @ q8^T — scale is per column of
     # the forward weight, so fold it into dy and keep q8 an int8 stream
     dys = dy * q["scale8"].reshape(1, -1).astype(dy.dtype)
-    return (dys @ q["q8"].astype(dy.dtype).T, jax.tree.map(jnp.zeros_like, q))
+    dx = dys @ q["q8"].astype(dy.dtype).T
+    if "sq_inv" in q:
+        dx = dx * q["sq_inv"].reshape(1, -1).astype(dy.dtype)
+    if "o_w" in q:
+        # static-outlier dicts zero the outlier rows out of q8; route their
+        # gradient through the stored dequantized rows
+        dx = dx + ((dy @ q["o_w"].astype(dy.dtype).T)
+                   @ q["o_hot"].astype(dy.dtype).T)
+    return (dx, jax.tree.map(jnp.zeros_like, q))
 
 
 int8_linear_fused_vjp.defvjp(_int8f_fwd, _int8f_bwd)
@@ -856,6 +967,109 @@ def _int8a_fwd(x, q):
 
 
 int8_linear_auto_vjp.defvjp(_int8a_fwd, _int8f_bwd)
+
+
+# ---------------------------------------------------------------------------
+# LLM.int8-style s8s8 matmul (native int8 MXU path for prefill)
+# ---------------------------------------------------------------------------
+# The reference's load_in_8bit eval mode runs bitsandbytes Linear8bitLt:
+# per-row (token) int8 activation quantization, a native int8×int8 GEMM, and
+# an fp16 side-matmul for "outlier" feature columns whose batch absmax
+# exceeds a threshold (LLM.int8, threshold 6.0).  The convert-in-dot path
+# above is *more* accurate (activations stay bf16) but runs the MXU at bf16
+# rate; at prefill M the matmul is compute-bound and the int8 MXU path has
+# 2× the MAC rate, so this is both closer to the reference's semantics and
+# faster.  Static shapes: a fixed budget of ``max_outliers`` top-|x| columns
+# is extracted (columns under the threshold inside that budget stay in the
+# int8 operand and contribute zero to the fp16 part).
+
+_S8S8_THRESHOLD = 6.0      # LLM.int8 outlier threshold (bnb default)
+# static outlier-column budget (0 = plain per-token quant, no decomposition)
+_S8S8_MAX_OUTLIERS = int(__import__("os").environ.get(
+    "CULLAVO_S8S8_OUTLIERS", 64))
+
+
+def _int8_s8s8_raw(x: jax.Array, q: dict,
+                   threshold: float = _S8S8_THRESHOLD,
+                   max_outliers: int = _S8S8_MAX_OUTLIERS) -> jax.Array:
+    q8 = q["q8"]                                   # [K, N] int8
+    s_col = q["scale8"].reshape(1, -1).astype(jnp.float32)   # [1, N]
+    K = x.shape[-1]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K).astype(jnp.float32)      # [M, K]
+    static_out = "o_w" in q
+
+    dynamic_out = False
+    if "sq_inv" in q:
+        # SmoothQuant migration: x/s fuses into the quantization pass (the
+        # weight was pre-scaled by diag(s) at quantize time)
+        x_in = x2 * q["sq_inv"].astype(jnp.float32)
+    elif static_out:
+        # calibrated outlier channels: weight rows already zeroed in q8,
+        # extractor/mask precomputed at quantize time — no top_k, no gather
+        x_in = x2 * q["o_mask"].astype(jnp.float32)
+    elif max_outliers > 0:
+        col_amax = jnp.max(jnp.abs(x2), axis=0)    # [K]
+        oa, oidx = jax.lax.top_k(col_amax, max_outliers)
+        is_out = oa >= threshold                   # [max_outliers]
+        # zero outlier columns out of the int8 operand
+        colmask = jnp.ones((K,), jnp.float32).at[oidx].set(
+            jnp.where(is_out, 0.0, 1.0))
+        x_in = x2 * colmask[None, :]
+        dynamic_out = True
+    else:
+        x_in = x2
+
+    sx = jnp.maximum(jnp.max(jnp.abs(x_in), axis=-1, keepdims=True),
+                     1e-12) / 127.0                # [M, 1]
+    xi = jnp.clip(jnp.round(x_in / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xi, q8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * s_col       # [M, N]
+
+    if static_out:
+        xb = x.reshape(-1, K).astype(jnp.bfloat16)
+        y = y + ((xb @ q["o_hot"]) @ q["o_w"]).astype(jnp.float32)
+    elif dynamic_out:
+        # fp side-matmul over the extracted columns against the SAME
+        # int8-quantized weight rows (bnb dequantizes its int8 weight for
+        # the outlier product too — weight precision is still 8-bit)
+        w_out = q8[oidx, :].astype(jnp.float32) * s_col      # [mo, N]
+        x_out = x2[:, oidx] * is_out[None, :].astype(jnp.float32)
+        y = y + x_out @ w_out
+    return y.reshape(*lead, -1).astype(x.dtype)
+
+
+@jax.custom_vjp
+def int8_linear_s8s8(x: jax.Array, q: dict):
+    """LLM.int8-semantics forward; exact convert-in-dot backward (the
+    backward matmuls are themselves large-M, but gradient fidelity matters
+    more than the 2× there — and Q-LoRA never differentiates w.r.t. q)."""
+    return _int8_s8s8_raw(x, q)
+
+
+def _s8s8_fwd(x, q):
+    return _int8_s8s8_raw(x, q), q
+
+
+int8_linear_s8s8.defvjp(_s8s8_fwd, _int8f_bwd)
+
+
+# M at or above this → s8s8 (compute-bound regime where the int8 MXU rate
+# wins); below → convert-in-dot stream (decode M is memory-bound and the
+# activation-quant VPU pass would be pure overhead).
+_S8S8_MIN_M = int(__import__("os").environ.get("CULLAVO_S8S8_MIN_M", 1024))
+
+
+def int8_linear_s8s8_auto(x: jax.Array, q: dict) -> jax.Array:
+    """Phase-aware dispatch: prefill-sized M takes the native s8s8 MXU path,
+    decode-sized M keeps the bf16 convert-in-dot weight stream."""
+    M = 1
+    for s in x.shape[:-1]:
+        M *= s
+    if M >= _S8S8_MIN_M and "q8" in q:
+        return int8_linear_s8s8(x, q)
+    return int8_linear(x, q)
 
 
 def synthetic_planar_nf4(L: int, K: int, N: int, key) -> dict:

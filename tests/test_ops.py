@@ -296,6 +296,42 @@ def test_int8_llama_forward_close_to_fp():
     assert float(agree) > 0.85, float(agree)  # int8 is tighter than nf4
 
 
+def test_int8_s8s8_llama_forward_close_to_exact(monkeypatch):
+    """Full llava forward with SmoothQuant-calibrated int8 weights through
+    the s8s8 prefill path (forced low M threshold) tracks the exact
+    convert-in-dot int8 forward — the model-level wiring of the auto
+    dispatch in llama.mm."""
+    import importlib
+
+    import jax
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.lora import quantize_llm_weights
+    from cullavo_tpu.models.llava.modeling import (init_llava_params,
+                                                   llava_forward)
+    from cullavo_tpu.ops import nf4 as nf4_mod
+
+    cfg = tiny_llava_config(128)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    D = cfg.text.hidden_size
+    H = cfg.text.num_attention_heads * cfg.text.head_dim
+    inner = cfg.text.intermediate_size
+    dims = {"q": D, "k": D, "v": D, "o": H, "gate": D, "up": D,
+            "down": inner}
+    sm = {t: np.exp(np.random.default_rng(3).normal(0, 0.2, k))
+          .astype(np.float32) for t, k in dims.items()}
+    q_sm = quantize_llm_weights(params, bits=8, smooth_scales=sm)
+    q_pl = quantize_llm_weights(params, bits=8)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 120, size=(2, 9)))
+    mask = jnp.ones((2, 9), jnp.int32)
+    exact, _ = llava_forward(q_pl, cfg, ids, None, mask)
+    # force the s8s8 branch at tiny M (threshold is read at import time)
+    monkeypatch.setattr(nf4_mod, "_S8S8_MIN_M", 1)
+    s8s8, _ = llava_forward(q_sm, cfg, ids, None, mask)
+    agree = (jnp.argmax(exact, -1) == jnp.argmax(s8s8, -1)).mean()
+    assert float(agree) > 0.85, float(agree)
+
+
 def test_nf4_planar_decode_once_matches_xla_dequant():
     from cullavo_tpu.ops.nf4 import (dequant_linear_planar,
                                      nf4_dequant_planar_pallas,
@@ -358,6 +394,182 @@ def test_int8_auto_dispatch_matches_xla():
         gref = jax.grad(lambda x: int8_linear(x, q).sum())(x)
         np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=2e-2,
                                    rtol=2e-2)
+
+
+def test_int8_s8s8_matches_llm_int8_oracle():
+    """The s8s8 path == a numpy LLM.int8 oracle: per-row activation quant
+    over non-outlier columns, int32-accumulated int8 GEMM, fp side-matmul
+    for columns whose batch absmax crosses the threshold (bitsandbytes
+    Linear8bitLt semantics, the reference's load_in_8bit eval mode)."""
+    from cullavo_tpu.ops.nf4 import (_S8S8_THRESHOLD, _int8_s8s8_raw,
+                                     quantize_linear_int8)
+    rng = np.random.default_rng(7)
+    K, N, M = 128, 192, 16
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    x[:, 7] *= 40.0    # an outlier feature column (absmax >> 6.0)
+    x[:, 91] *= 25.0   # a second one
+    q = quantize_linear_int8(jnp.asarray(w))
+    q8 = np.asarray(q["q8"], np.int32)
+    s_col = np.asarray(q["scale8"], np.float32).reshape(1, -1)
+
+    out_cols = np.max(np.abs(x), axis=0) >= _S8S8_THRESHOLD
+    x_in = x * (~out_cols)[None, :]
+    sx = np.maximum(np.max(np.abs(x_in), axis=1, keepdims=True), 1e-12) / 127.0
+    xi = np.clip(np.round(x_in / sx), -127, 127).astype(np.int32)
+    ref = (xi @ q8).astype(np.float32) * sx * s_col
+    ref += (x * out_cols[None, :]) @ (q8.astype(np.float32) * s_col)
+
+    out = np.asarray(_int8_s8s8_raw(jnp.asarray(x), q))
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-4)
+
+
+def test_int8_s8s8_outliers_preserve_accuracy():
+    """With a huge activation column, plain per-row quant destroys the
+    result; the outlier decomposition keeps it near the fp product."""
+    from cullavo_tpu.ops.nf4 import _int8_s8s8_raw, quantize_linear_int8
+    rng = np.random.default_rng(8)
+    K, N, M = 256, 128, 32
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    x[:, 3] *= 300.0
+    q = quantize_linear_int8(jnp.asarray(w))
+    exact = x @ (np.asarray(q["q8"], np.float32)
+                 * np.asarray(q["scale8"]).reshape(1, -1))
+    with_out = np.asarray(_int8_s8s8_raw(jnp.asarray(x), q))
+    without = np.asarray(_int8_s8s8_raw(jnp.asarray(x), q, max_outliers=0))
+    err_with = np.abs(with_out - exact).max() / np.abs(exact).max()
+    err_without = np.abs(without - exact).max() / np.abs(exact).max()
+    assert err_with < 0.01, err_with
+    assert err_without > 5 * err_with, (err_without, err_with)
+
+
+def test_int8_s8s8_static_outliers_match_dynamic():
+    """Quantizing with a calibrated ``outlier_idx`` == the dynamic LLM.int8
+    path detecting the same columns at runtime — but with zero runtime
+    top_k/gather cost.  Covers: zeroed q8 rows, o_hot extractor, o_mask
+    exclusion from activation quant, int8_linear's exact-path o_w re-add,
+    stacked [L, K, N] weights, and the VJP routing through o_w."""
+    from cullavo_tpu.ops.nf4 import (_int8_s8s8_raw, int8_linear,
+                                     int8_linear_s8s8, quantize_linear_int8)
+    rng = np.random.default_rng(11)
+    K, N, M = 128, 96, 24
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    x[:, 5] *= 50.0
+    x[:, 77] *= 30.0
+    q_dyn = quantize_linear_int8(jnp.asarray(w))
+    q_st = quantize_linear_int8(jnp.asarray(w), outlier_idx=np.array([5, 77]))
+    dyn = np.asarray(_int8_s8s8_raw(jnp.asarray(x), q_dyn, max_outliers=2))
+    st = np.asarray(_int8_s8s8_raw(jnp.asarray(x), q_st))
+    # static path runs the outlier side-matmul in bf16 (bnb uses fp16 —
+    # half precision is the spec); dynamic reference computes it in f32
+    np.testing.assert_allclose(st, dyn, atol=0.2, rtol=2e-2)
+    # the exact (convert-in-dot) path re-adds the zeroed rows' product
+    exact_full = x @ (np.asarray(q_dyn["q8"], np.float32)
+                      * np.asarray(q_dyn["scale8"]).reshape(1, -1))
+    exact_st = np.asarray(int8_linear(jnp.asarray(x), q_st))
+    # o_w is stored bf16 (the outlier rows' half-precision is the spec)
+    np.testing.assert_allclose(exact_st, exact_full, atol=0.12, rtol=2e-2)
+    # VJP: dx through the static dict == dx through the plain dict
+    g_st = jax.grad(lambda x: int8_linear_s8s8(x, q_st).sum())(jnp.asarray(x))
+    g_dyn = jax.grad(lambda x: int8_linear(x, q_dyn).sum())(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_st), np.asarray(g_dyn),
+                               atol=2e-3, rtol=1e-3)
+    # stacked layers: per-layer slices equal unstacked quantization
+    ws = np.stack([w, w * 0.5])
+    q_stk = quantize_linear_int8(jnp.asarray(ws), outlier_idx=np.array([5, 77]))
+    sl = {k: v[1] for k, v in q_stk.items()}
+    out_sl = np.asarray(_int8_s8s8_raw(jnp.asarray(x), sl))
+    q_l1 = quantize_linear_int8(jnp.asarray(ws[1]),
+                                outlier_idx=np.array([5, 77]))
+    np.testing.assert_allclose(out_sl,
+                               np.asarray(_int8_s8s8_raw(jnp.asarray(x), q_l1)),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_int8_smoothquant_scale_migration():
+    """SmoothQuant dicts: (x/s) @ quant(diag(s)W) == x @ W up to quant noise
+    in every path (exact convert-in-dot, s8s8, VJP) — and with an outlier
+    activation channel, migration beats plain per-token quant."""
+    from cullavo_tpu.ops.nf4 import (_int8_s8s8_raw, int8_linear,
+                                     int8_linear_s8s8, quantize_linear_int8)
+    rng = np.random.default_rng(12)
+    K, N, M = 128, 96, 32
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    x[:, 9] *= 80.0                       # outlier activation channel
+    amax_act = np.abs(x).max(axis=0)
+    amax_w = np.abs(w).max(axis=1)
+    s = np.sqrt(amax_act / np.maximum(amax_w, 1e-6))   # SmoothQuant α=0.5
+    exact = x @ w
+    q_sm = quantize_linear_int8(jnp.asarray(w), smooth_scale=s)
+    q_pl = quantize_linear_int8(jnp.asarray(w))
+    # exact path stays exact (weight-quant noise only)
+    y_exact = np.asarray(int8_linear(jnp.asarray(x), q_sm))
+    rel = np.abs(y_exact - exact).max() / np.abs(exact).max()
+    assert rel < 0.02, rel
+    # s8s8: migrated quantization ≫ plain per-token quant under the outlier
+    y_sm = np.asarray(_int8_s8s8_raw(jnp.asarray(x), q_sm, max_outliers=0))
+    y_pl = np.asarray(_int8_s8s8_raw(jnp.asarray(x), q_pl, max_outliers=0))
+    err_sm = np.abs(y_sm - exact).max() / np.abs(exact).max()
+    err_pl = np.abs(y_pl - exact).max() / np.abs(exact).max()
+    assert err_sm < 0.02, err_sm
+    assert err_pl > 3 * err_sm, (err_pl, err_sm)
+    # VJP: dx == x-grad of the unscaled product (chain through diag(s))
+    g = jax.grad(lambda x: int8_linear_s8s8(x, q_sm).sum())(jnp.asarray(x))
+    gref = jnp.ones((M, N)) @ jnp.asarray(w).T
+    rel_g = (np.abs(np.asarray(g) - np.asarray(gref)).max()
+             / np.abs(np.asarray(gref)).max())
+    assert rel_g < 0.02, rel_g
+    # stacked layers round-trip
+    ws = np.stack([w, w * 2.0])
+    q_stk = quantize_linear_int8(jnp.asarray(ws), smooth_scale=s)
+    sl = {k: v[0] for k, v in q_stk.items()}
+    np.testing.assert_allclose(
+        np.asarray(int8_linear(jnp.asarray(x), sl)), y_exact,
+        atol=5e-3, rtol=5e-3)
+
+
+def test_s8s8_matmul_dynamic_close_to_fp():
+    """Per-call W8A8 (the NF4-mode prefill opt-in) tracks the fp product to
+    ~1% relative on well-conditioned inputs."""
+    from cullavo_tpu.ops.nf4 import s8s8_matmul_dynamic
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(64, 128)).astype(np.float32)
+    w = rng.normal(size=(128, 96)).astype(np.float32) * 0.1
+    ref = x @ w
+    out = np.asarray(s8s8_matmul_dynamic(jnp.asarray(x), jnp.asarray(w)))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.02, rel
+
+
+def test_int8_s8s8_auto_dispatch_and_grads():
+    """Auto dispatch: decode M routes to the exact convert-in-dot path,
+    prefill M to s8s8 (within quant tolerance of it); x-grads of the s8s8
+    form equal the exact path's (custom VJP uses the int8 stream)."""
+    from cullavo_tpu.ops.nf4 import (_S8S8_MIN_M, int8_linear,
+                                     int8_linear_s8s8,
+                                     int8_linear_s8s8_auto,
+                                     quantize_linear_int8)
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.normal(size=(128, 192)).astype(np.float32) * 0.1)
+    q = quantize_linear_int8(w)
+    x_small = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+    ref = np.asarray(int8_linear(x_small, q))
+    np.testing.assert_allclose(np.asarray(int8_linear_s8s8_auto(x_small, q)),
+                               ref, atol=0, rtol=0)  # identical path
+    m_big = max(_S8S8_MIN_M, 1024)
+    x_big = jnp.asarray(rng.normal(size=(m_big, 128)).astype(np.float32))
+    ref = np.asarray(int8_linear(x_big, q))
+    out = np.asarray(int8_linear_s8s8_auto(x_big, q))
+    # activation-quant noise: row absmax ~4 → step ~0.03; the error is a
+    # sum of K uniform terms, so allow a few-sigma tail on the atol
+    np.testing.assert_allclose(out, ref, atol=1e-1, rtol=3e-2)
+    g = jax.grad(lambda x: int8_linear_s8s8(x, q).sum())(x_small)
+    gref = jax.grad(lambda x: int8_linear(x, q).sum())(x_small)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=2e-5,
+                               rtol=2e-5)
 
 
 def test_sdpa_decode_stale_matches_full_attention():
