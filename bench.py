@@ -139,6 +139,22 @@ def build_llava7b_params(quant_mode: str, cfg=None):
                            "lm_head": small["lm_head"], "norm": small["norm"],
                            "layers": layers},
     }
+    if (quant_mode == "int8" and __import__("os").environ.get(
+            "BENCH_VISION_INT8", "0") == "1"):
+        # bnb load_in_8bit quantizes the vision tower too (skip list is
+        # only projector+lm_head).  Default OFF: measured 13.93 vs 14.52
+        # img/s (kv-int8 b20) — CLIP-L matmuls are too small for W8A8, the
+        # activation-quant passes dominate; int8 storage remains available
+        # for memory-constrained configs / reference-fidelity runs
+        from cullavo_tpu.models.llava.lora import (VISION_TARGETS,
+                                                   quantize_vision_weights)
+
+        vl = params["vision_tower"]["layers"]
+        vsm = {t: np.exp(np.random.default_rng(77).normal(
+            0.0, 0.3, vl[t].shape[-2])).astype(np.float32)
+            for t in VISION_TARGETS}
+        params = jax.block_until_ready(jax.jit(
+            lambda p: quantize_vision_weights(p, smooth_scales=vsm))(params))
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
     log(f"leaves hold {n_params/1e9:.2f}B elements in {time.time()-t0:.1f}s")
     return params
@@ -245,11 +261,13 @@ def main():
         print(json.dumps(run_quant_mode(want)))
         return
     res = {}
-    # three measurements: the exact-fidelity headline (int8 weights, bf16 KV
-    # — bit-identical logits to the unquantized-cache model), NF4 (the
+    # three measurements: the headline (int8 weights + SmoothQuant-calibrated
+    # s8s8 prefill — the same W8A8 numerics class as the reference's
+    # load_in_8bit / bitsandbytes Linear8bitLt eval mode; BENCH_INT8_CALIB=
+    # none reverts to the exact bf16 convert-in-dot path), NF4 (the
     # reference's Q-LoRA storage mode), and the int8-KV serving config
-    # (quantized decode cache: +7% throughput, near-lossless for 16-token
-    # greedy decode but not bit-exact, so it stays a secondary key)
+    # (quantized decode cache: near-lossless for 16-token greedy decode but
+    # not bit-exact, so it stays a secondary key)
     for name, quant, kv in (("int8", "int8", None), ("nf4", "nf4", None),
                             ("kv_int8", "int8", "int8")):
         # one mode crashing (tunnel wedge / OOM) must not lose the others'

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from cullavo_tpu.models.llava.config import ClipVisionConfig
+from cullavo_tpu.ops import nf4 as nf4_ops
 
 Params = Any
 
@@ -108,7 +109,13 @@ def clip_vision_forward(
         ad = scanned.get("lora", {}) if isinstance(scanned, dict) else {}
 
         def mm(x, weight, bias, adapter):
-            y = x @ weight + bias
+            if nf4_ops.is_quantized_int8(weight):
+                # int8 vision tower (quantize_vision_weights): s8s8 MXU at
+                # the tower's prefill-sized M when calibrated, exact
+                # convert-in-dot otherwise — same policy as llama.mm
+                y = nf4_ops.int8_linear_policy(x, weight) + bias
+            else:
+                y = x @ weight + bias
             if adapter is not None:
                 upd = ((x @ adapter["a"]) @ adapter["b"]) * adapter["mask"][0, 0]
                 y = y + lora_scaling * upd.astype(y.dtype)

@@ -294,8 +294,17 @@ def llama_forward(
     prefill_pad_len: Optional[int] = None,    # cache-building prefill (see below)
     remat: bool = False,                      # checkpoint each scan layer
     kv_quant: Optional[str] = None,           # "int8": quantized cache (see init_kv_cache)
+    act_stats: bool = False,                  # collect per-channel activation absmax
 ):
     """Run the decoder stack; returns (final_hidden, new_cache).
+
+    ``act_stats=True`` (calibration mode, cache-free forward only):
+    additionally returns a third element — per-layer per-channel absmax of
+    the four distinct linear inputs ``{"attn_in": [L, D], "attn_out":
+    [L, H*hd], "mlp_in": [L, D], "mlp_down": [L, I]}`` — the statistics
+    SmoothQuant calibration needs (ops/calibrate.py).  Padded positions are
+    included (their activations are real embeddings of pad tokens; the max
+    is dominated by valid tokens in practice).
 
     Without a cache the attention is causal over T with key-side padding
     masking.  With a cache, the T new tokens are written at ``cache_index``
@@ -418,25 +427,13 @@ def llama_forward(
                 # scripts/decode_probe.py) — XLA's convert-in-dot stream
                 # beats the Pallas kernel at M=8; kept for tile tuning.
                 y = nf4_ops.int8_linear_auto_vjp(x, w)
-            elif ("q8" in w
-                  and {"auto": "o_w" in w or "sq_inv" in w,
-                       "1": True, "0": False}[
-                      os.environ.get("CULLAVO_INT8_S8S8", "auto")]):
-                # LLM.int8-style native s8s8 MXU dot at prefill M (per-token
-                # activation quant + outlier decomposition, the reference's
-                # actual load_in_8bit numerics — bitsandbytes Linear8bitLt);
-                # decode M stays on the convert-in-dot stream (memory-bound).
-                # Default "auto": on when the dict carries calibrated static
-                # outlier channels (quantize_linear_int8 outlier_idx) —
-                # int8 7B prefill measured 14.06 vs 11.14 img/s e2e; dicts
-                # without calibration keep the exact bf16 convert-in-dot
-                # unless CULLAVO_INT8_S8S8=1 forces plain per-token quant.
-                y = nf4_ops.int8_linear_s8s8_auto(x, w)
             else:
-                # default: XLA path — per-output-channel scale folded in
-                # after the matmul so the weight operand is a pure int8→bf16
-                # convert fused into the dot (see int8_linear)
-                y = nf4_ops.int8_linear(x, w)
+                # default policy: LLM.int8-style native s8s8 MXU dot at
+                # prefill M for calibration-carrying dicts (SmoothQuant
+                # sq_inv / static outlier o_w — measured 13.73 vs 11.14
+                # img/s at 7B), exact bf16 convert-in-dot otherwise and at
+                # decode M (memory-bound); CULLAVO_INT8_S8S8 overrides
+                y = nf4_ops.int8_linear_policy(x, w)
         else:
             y = x @ w
         if ad is None:
@@ -460,6 +457,9 @@ def llama_forward(
         get_rng = (lambda i: jax.random.fold_in(rngs, i)) if rngs is not None else (lambda i: None)
         residual = h
         x = rms_norm(h, w["input_ln"], cfg.rms_norm_eps)
+        amax_c = (lambda v: jnp.max(jnp.abs(v.astype(jnp.float32))
+                                    .reshape(-1, v.shape[-1]), axis=0))
+        st = {"attn_in": amax_c(x)} if act_stats else None
         q = mm(x, w["q"], ad.get("q"), get_rng(0), (D, H * hd)).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         k = mm(x, w["k"], ad.get("k"), get_rng(1), (D, KV * hd)).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
         v = mm(x, w["v"], ad.get("v"), get_rng(2), (D, KV * hd)).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
@@ -562,8 +562,13 @@ def llama_forward(
         residual = h
         x = rms_norm(h, w["post_ln"], cfg.rms_norm_eps)
         gate = jax.nn.silu(mm(x, w["gate"], ad.get("gate"), get_rng(4), (D, cfg.intermediate_size)).astype(jnp.float32)).astype(compute_dtype)
-        h = residual + mm(gate * mm(x, w["up"], ad.get("up"), get_rng(5), (D, cfg.intermediate_size)),
-                          w["down"], ad.get("down"), get_rng(6), (cfg.intermediate_size, D))
+        down_in = gate * mm(x, w["up"], ad.get("up"), get_rng(5), (D, cfg.intermediate_size))
+        h = residual + mm(down_in, w["down"], ad.get("down"), get_rng(6),
+                          (cfg.intermediate_size, D))
+        if act_stats:
+            st.update({"attn_out": amax_c(attn), "mlp_in": amax_c(x),
+                       "mlp_down": amax_c(down_in)})
+            ys = {**(ys or {}), "act_stats": st}
         if stale_cache:
             return ((h, kc, vc, ksc, vsc) if kv_q8 else (h, kc, vc)), ys
         return h, ys
@@ -614,6 +619,8 @@ def llama_forward(
             new_cache.update({"k_s": scanned_out["k_scale"],
                               "v_s": scanned_out["v_scale"]})
     final = rms_norm(final, params["norm"], cfg.rms_norm_eps)
+    if act_stats:
+        return final, new_cache, scanned_out["act_stats"]
     return final, new_cache
 
 

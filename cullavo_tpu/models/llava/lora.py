@@ -214,6 +214,32 @@ def quantize_llm_weights(params: Any, bits: int = 4,
     return {**params, "language_model": lm}
 
 
+VISION_TARGETS = ("q", "k", "v", "o", "fc1", "fc2")
+
+
+def quantize_vision_weights(params: Any, smooth_scales: Any = None) -> Any:
+    """int8-quantize the CLIP vision tower's linear weights (biases and
+    norms stay bf16).  bitsandbytes' load_in_8bit quantizes EVERY nn.Linear
+    outside the skip list — including the vision tower
+    (cullavo/load_cullavo.py:65-83: skip = [multi_modal_projector,
+    lm_head]) — so this matches the reference eval mode more closely than
+    a bf16 tower and saves ~300 MB at CLIP-L scale.  With
+    ``smooth_scales`` (keyed by VISION_TARGETS) the tower's prefill
+    matmuls take the s8s8 MXU path — measured a small LOSS at CLIP-L
+    sizes (13.93 vs 14.52 img/s e2e: the [M, 1024] matmuls are too small
+    to amortize the activation-quant passes), so calibrate the vision
+    tower only when its memory savings matter more than ~4% throughput."""
+    from cullavo_tpu.ops.nf4 import quantize_linear_int8
+
+    vt = dict(params["vision_tower"])
+    layers = dict(vt["layers"])
+    for t in VISION_TARGETS:
+        sm = (smooth_scales or {}).get(t)
+        layers[t] = quantize_linear_int8(layers[t], smooth_scale=sm)
+    vt["layers"] = layers
+    return {**params, "vision_tower": vt}
+
+
 def add_step2_adapters(params: Any, step1_lora: dict, cfg: LlavaConfig,
                        lora: LoraConfig, key: jax.Array,
                        merge_step1: bool = False, dtype=jnp.float32):

@@ -143,6 +143,7 @@ def llava_forward(
     remat: bool = False,
     return_hidden: bool = False,
     kv_quant: Optional[str] = None,
+    act_stats: bool = False,   # calibration: also return per-channel absmax
 ):
     embed = params["language_model"]["embed_tokens"]
     inputs_embeds = jnp.take(embed, jnp.clip(input_ids, 0, embed.shape[0] - 1), axis=0)
@@ -154,16 +155,22 @@ def llava_forward(
         position_ids = jnp.cumsum(attention_mask, axis=1) - 1
         position_ids = jnp.maximum(position_ids, 0)
     mask = full_attention_mask if cache is not None else attention_mask
-    hidden, new_cache = llama_forward(params["language_model"], cfg.text,
-                                      inputs_embeds, mask, position_ids,
-                                      cache, cache_index, key_position_ids,
-                                      lora=(lora or {}).get("language_model"),
-                                      lora_scaling=lora_scaling,
-                                      lora_dropout=lora_dropout,
-                                      dropout_rng=dropout_rng,
-                                      stale_cache=stale_cache,
-                                      prefill_pad_len=prefill_pad_len,
-                                      remat=remat, kv_quant=kv_quant)
+    stats = None
+    out = llama_forward(params["language_model"], cfg.text,
+                        inputs_embeds, mask, position_ids,
+                        cache, cache_index, key_position_ids,
+                        lora=(lora or {}).get("language_model"),
+                        lora_scaling=lora_scaling,
+                        lora_dropout=lora_dropout,
+                        dropout_rng=dropout_rng,
+                        stale_cache=stale_cache,
+                        prefill_pad_len=prefill_pad_len,
+                        remat=remat, kv_quant=kv_quant,
+                        act_stats=act_stats)
+    if act_stats:
+        hidden, new_cache, stats = out
+    else:
+        hidden, new_cache = out
     if last_logit_only:
         # only the last valid position feeds sampling — skips the [B, T, V]
         # logits tensor during prefill (vocab matmul over one position)
@@ -172,9 +179,9 @@ def llava_forward(
     if return_hidden:
         # training fast path: the caller computes a CHUNKED vocab projection
         # + CE so the [B, T, V] fp32 logits never materialize
-        return hidden, new_cache
+        return (hidden, new_cache, stats) if act_stats else (hidden, new_cache)
     logits = lm_logits(params["language_model"], cfg.text, hidden)
-    return logits, new_cache
+    return (logits, new_cache, stats) if act_stats else (logits, new_cache)
 
 
 def causal_lm_loss(logits: jax.Array, labels: jax.Array, attention_mask: jax.Array,

@@ -1072,6 +1072,21 @@ def int8_linear_s8s8_auto(x: jax.Array, q: dict) -> jax.Array:
     return int8_linear(x, q)
 
 
+def int8_linear_policy(x: jax.Array, q: dict) -> jax.Array:
+    """The default int8 linear for model towers: s8s8 (phase-aware) when
+    the CULLAVO_INT8_S8S8 policy enables it, exact convert-in-dot
+    otherwise.  Default "auto" = s8s8 only for dicts carrying activation
+    calibration (``sq_inv`` SmoothQuant scales or ``o_w`` static LLM.int8
+    outliers) — uncalibrated checkpoints never silently lose outlier
+    protection; "1" forces the dynamic bnb-exact mode; "0" disables."""
+    mode = os.environ.get("CULLAVO_INT8_S8S8", "auto")
+    enabled = {"auto": "o_w" in q or "sq_inv" in q,
+               "1": True, "0": False}[mode]
+    if enabled and "q8" in q:
+        return int8_linear_s8s8_auto(x, q)
+    return int8_linear(x, q)
+
+
 def synthetic_planar_nf4(L: int, K: int, N: int, key) -> dict:
     """Random planar-NF4 dict with the production memory layout (q4p int32
     nibble planes + [K, N/BLOCK] block scales) built ON DEVICE — for

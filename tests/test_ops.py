@@ -332,6 +332,44 @@ def test_int8_s8s8_llama_forward_close_to_exact(monkeypatch):
     assert float(agree) > 0.85, float(agree)
 
 
+def test_int8_vision_tower_forward_close_to_fp(monkeypatch):
+    """int8-quantized CLIP vision tower (quantize_vision_weights) tracks the
+    fp tower — exact path and the s8s8 path (SmoothQuant-calibrated, forced
+    low M threshold)."""
+    import jax
+    from cullavo_tpu.models.llava.clip_vit import clip_vision_forward
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.lora import (VISION_TARGETS,
+                                               quantize_vision_weights)
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+    from cullavo_tpu.ops import nf4 as nf4_mod
+
+    cfg = tiny_llava_config(128)
+    params = init_llava_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(2)
+    pix = jnp.asarray(rng.normal(size=(
+        2, 3, cfg.vision.image_size, cfg.vision.image_size))
+        .astype(np.float32))
+    ref = np.asarray(clip_vision_forward(
+        params["vision_tower"], cfg.vision, pix, cfg.vision_feature_layer))
+
+    q = quantize_vision_weights(params)
+    out = np.asarray(clip_vision_forward(
+        q["vision_tower"], cfg.vision, pix, cfg.vision_feature_layer))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.1, rel
+
+    vl = params["vision_tower"]["layers"]
+    vsm = {t: np.exp(rng.normal(0, 0.2, vl[t].shape[-2])).astype(np.float32)
+           for t in VISION_TARGETS}
+    q_sm = quantize_vision_weights(params, smooth_scales=vsm)
+    monkeypatch.setattr(nf4_mod, "_S8S8_MIN_M", 1)
+    out_sm = np.asarray(clip_vision_forward(
+        q_sm["vision_tower"], cfg.vision, pix, cfg.vision_feature_layer))
+    rel = np.abs(out_sm - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.15, rel
+
+
 def test_nf4_planar_decode_once_matches_xla_dequant():
     from cullavo_tpu.ops.nf4 import (dequant_linear_planar,
                                      nf4_dequant_planar_pallas,
