@@ -436,6 +436,9 @@ def llama_forward(
                 y = nf4_ops.int8_linear_policy(x, w)
         else:
             y = x @ w
+        return _adapter(y, x, ad, rng)
+
+    def _adapter(y, x, ad, rng):
         if ad is None:
             return y
         xa = x
@@ -443,6 +446,20 @@ def llama_forward(
             keep = jax.random.bernoulli(rng, 1.0 - lora_dropout, x.shape)
             xa = jnp.where(keep, x / (1.0 - lora_dropout), jnp.zeros_like(x))
         return y + lora_scaling * ((xa @ ad["a"]) @ ad["b"]).astype(y.dtype)
+
+    def mm_group(x, w, ad, names, rngs, dims_of):
+        """q/k/v (or gate/up) share one activation-quantization pass when
+        every member is a SmoothQuant-calibrated int8 dict and M is
+        prefill-sized (nf4.int8_linear_s8s8_group) — the quant chain was
+        ~30% of s8s8 prefill device time and XLA cannot CSE it across
+        members because each dict's sq_inv is a distinct buffer."""
+        ws = [w[n] for n in names]
+        if nf4_ops.s8s8_group_enabled(ws, x):
+            ys = nf4_ops.int8_linear_s8s8_group(x, tuple(ws))
+            return [_adapter(y, x, ad.get(n), rng)
+                    for n, y, rng in zip(names, ys, rngs)]
+        return [mm(x, w[n], ad.get(n), rng, dims_of[n])
+                for n, rng in zip(names, rngs)]
 
     def layer(carry, scanned):
         if stale_cache and kv_q8:
@@ -460,9 +477,13 @@ def llama_forward(
         amax_c = (lambda v: jnp.max(jnp.abs(v.astype(jnp.float32))
                                     .reshape(-1, v.shape[-1]), axis=0))
         st = {"attn_in": amax_c(x)} if act_stats else None
-        q = mm(x, w["q"], ad.get("q"), get_rng(0), (D, H * hd)).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        k = mm(x, w["k"], ad.get("k"), get_rng(1), (D, KV * hd)).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
-        v = mm(x, w["v"], ad.get("v"), get_rng(2), (D, KV * hd)).reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
+        yq, yk, yv = mm_group(x, w, ad, ("q", "k", "v"),
+                              (get_rng(0), get_rng(1), get_rng(2)),
+                              {"q": (D, H * hd), "k": (D, KV * hd),
+                               "v": (D, KV * hd)})
+        q = yq.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        k = yk.reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
+        v = yv.reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -496,11 +517,15 @@ def llama_forward(
                 # batches (valid tokens are a prefix, so logical position ==
                 # row index; pad-row outputs are masked downstream) and it
                 # selects the iota kernel, the one the axon Mosaic helper
-                # compiles (no dynamic-sublane reads).  Falls through to the
-                # shared o-proj/MLP tail below (one copy to keep in sync).
+                # compiles (no dynamic-sublane reads).  kv_valid=None under
+                # the same right-padding contract: causality already hides
+                # every padded key from every valid query, so the kernel
+                # runs bias-free (saves a [bq, bk] add + bias read per
+                # block).  Falls through to the shared o-proj/MLP tail
+                # below (one copy to keep in sync).
                 attn = flash_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
                                        q_positions=None,
-                                       kv_valid=attention_mask, causal=True)
+                                       kv_valid=None, causal=True)
             else:
                 attn = sdpa(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
         elif stale_cache and kv_q8:
@@ -561,8 +586,12 @@ def llama_forward(
 
         residual = h
         x = rms_norm(h, w["post_ln"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(mm(x, w["gate"], ad.get("gate"), get_rng(4), (D, cfg.intermediate_size)).astype(jnp.float32)).astype(compute_dtype)
-        down_in = gate * mm(x, w["up"], ad.get("up"), get_rng(5), (D, cfg.intermediate_size))
+        y_gate, y_up = mm_group(x, w, ad, ("gate", "up"),
+                                (get_rng(4), get_rng(5)),
+                                {"gate": (D, cfg.intermediate_size),
+                                 "up": (D, cfg.intermediate_size)})
+        gate = jax.nn.silu(y_gate.astype(jnp.float32)).astype(compute_dtype)
+        down_in = gate * y_up
         h = residual + mm(down_in, w["down"], ad.get("down"), get_rng(6),
                           (cfg.intermediate_size, D))
         if act_stats:

@@ -73,12 +73,16 @@ def flash_attention(q, k, v, q_positions=None, kv_valid=None, causal=True,
     pad_t = (-T) % 128
     pad_s = (-S) % 128
     if pad_t or pad_s:
-        if kv_valid is None:
+        if kv_valid is None and not (causal and q_positions is None):
+            # kv_valid=None stays None on the causal iota path — padded
+            # keys are causally invisible to valid queries, so the kernel
+            # can run bias-free (see _flash_fwd_expanded no_bias)
             kv_valid = jnp.ones((B, S), jnp.int32)
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
-        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pad_s)))
+        if kv_valid is not None:
+            kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pad_s)))
         if q_positions is not None:
             # continue each row's position run so padded rows stay causal-legal
             tail = q_positions[:, -1:] + 1 + jnp.arange(pad_t, dtype=q_positions.dtype)[None]
@@ -104,6 +108,11 @@ def _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal, block_q,
     Returns (o, lse-or-None, q_positions, kv_valid) materialized."""
     B, H, T, d = q.shape
     iota = q_positions is None
+    # causal + iota positions + no explicit key mask → every padded key
+    # (right padding) is already causally invisible to every valid query,
+    # so the kv bias is mathematically redundant: drop it from the kernel
+    # entirely (saves a [bq, bk] add + bias read per block)
+    no_bias = iota and causal and kv_valid is None
     if q_positions is None:
         q_positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     if kv_valid is None:
@@ -111,7 +120,8 @@ def _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal, block_q,
     qp = jnp.repeat(q_positions.astype(jnp.int32), H, axis=0)   # [B*H, T]
     kv = jnp.repeat(kv_valid.astype(jnp.int32), H, axis=0)      # [B*H, S]
     o, lse = _flash_fwd_core(q, k, v, qp, kv, causal, block_q, block_k,
-                             iota_positions=iota, need_lse=need_lse)
+                             iota_positions=iota, need_lse=need_lse,
+                             no_bias=no_bias)
     return o, lse, q_positions, kv_valid
 
 
@@ -167,55 +177,89 @@ def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref,
         maybe_lse[0][0] = jnp.broadcast_to(m_i + jnp.log(l_safe), (bq, 128))
 
 
-def _fwd_kernel_iota(kvbias_ref, q_ref, k_ref, v_ref, o_ref,
-                     *maybe_lse, block_k: int, causal: bool, sm_scale: float):
+def _fwd_kernel_iota(*refs, block_q: int, block_k: int, causal: bool,
+                     sm_scale: float, has_bias: bool):
+    if has_bias:
+        kvbias_ref, q_ref, k_ref, v_ref, o_ref, *maybe_lse = refs
+    else:
+        kvbias_ref = None
+        q_ref, k_ref, v_ref, o_ref, *maybe_lse = refs
     """Fast path: query positions are the global query indices (standard
     right-padded batches).  Key validity arrives as an additive fp32 bias in
     a [1, 8, S] block — the axon Mosaic helper rejects dynamic-sublane reads
     (``ref[bh, ...]``), so per-row data is delivered via per-program
     BlockSpecs with static in-kernel indices."""
-    qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * sm_scale
-    bq, d = q.shape
+    T = q_ref.shape[1]
     S = k_ref.shape[1]
-    num_kb = S // block_k
-    if causal:
-        # query block qi covers global rows [qi*bq, qi*bq + bq); every key
-        # block strictly beyond its last row is fully masked — skip it
-        # entirely (≈2× fewer score matmuls over the causal triangle)
-        num_kb = jnp.minimum(num_kb, (qi * bq + bq + block_k - 1) // block_k)
+    bq = min(block_q, T)
+    d = q_ref.shape[2]
 
-    acc = jnp.zeros((bq, d), jnp.float32)
-    m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l_i = jnp.zeros((bq, 1), jnp.float32)
-
-    def body(kb, carry):
-        acc, m_i, l_i = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-        s = s + kvbias_ref[0, 0:1, pl.ds(kb * block_k, block_k)]
+    # ONE program per (batch·head), ALL query blocks handled by a static
+    # python unroll: the two-axis grid form paid ~47 µs of fixed program
+    # overhead × (B·H · T/bq) programs — 126 ms of a 1.0 s prefill at 7B
+    # batch 14 (scripts/prefill_trace.py custom-call row) for ~3 ms of
+    # roofline compute.  Unrolling also makes the causal kv-block bound a
+    # python int per block (no dynamic fori_loop trip count).
+    for qi in range(T // bq):
+        # operands keep the INPUT dtype (bf16 in the model → MXU native
+        # rate; the old .astype(f32) form ran the score dots in f32 MXU
+        # mode, ~4 ms/layer at 7B prefill shapes); accumulation and the
+        # softmax state are f32, probabilities round to the input dtype for
+        # the PV dot — flash-attention-2's own numerics for half inputs,
+        # and exactly the old full-precision math for f32 inputs (tests)
+        q = q_ref[0, pl.ds(qi * bq, bq), :]
+        num_kb = S // block_k
         if causal:
-            qpos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
-            kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-            s = jnp.where(qpos >= kpos, s, NEG_INF)
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p.astype(jnp.float32), v_blk.astype(jnp.float32),
-                                    preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
+            # every key block strictly beyond this query block's last row
+            # is fully masked — statically skip it (≈2× fewer score
+            # matmuls over the causal triangle)
+            num_kb = min(num_kb, (qi * bq + bq + block_k - 1) // block_k)
 
-    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
-    l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    if maybe_lse:
-        maybe_lse[0][0] = jnp.broadcast_to(m_i + jnp.log(l_safe), (bq, 128))
+        acc = jnp.zeros((bq, d), jnp.float32)
+        m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+        l_i = jnp.zeros((bq, 1), jnp.float32)
+
+        # full blocks strictly below the causal diagonal need NO causal
+        # mask (every key in them precedes every query row of this block);
+        # only the blocks overlapping the diagonal pay the iota/where work
+        n_unmasked = (qi * bq) // block_k if causal else num_kb
+
+        def body(kb, carry, qi=qi, q=q, masked=True):
+            acc, m_i, l_i = carry
+            k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+            v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+            s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * sm_scale
+            if has_bias:
+                s = s + kvbias_ref[0, 0:1, pl.ds(kb * block_k, block_k)]
+            if causal and masked:
+                qpos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+                kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+                s = jnp.where(qpos >= kpos, s, NEG_INF)
+            m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_i - m_new)
+            l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
+                                        preferred_element_type=jnp.float32)
+            return acc, m_new, l_new
+
+        carry = (acc, m_i, l_i)
+        carry = jax.lax.fori_loop(
+            0, n_unmasked, functools.partial(body, masked=False), carry)
+        for kb in range(n_unmasked, num_kb):   # diagonal blocks, static
+            carry = body(kb, carry)
+        acc, m_i, l_i = carry
+        l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
+        o_ref[0, pl.ds(qi * bq, bq), :] = (acc / l_safe).astype(o_ref.dtype)
+        if maybe_lse:
+            maybe_lse[0][0, pl.ds(qi * bq, bq), :] = jnp.broadcast_to(
+                m_i + jnp.log(l_safe), (bq, 128))
 
 
 def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k,
-                    iota_positions=False, need_lse=True):
+                    iota_positions=False, need_lse=True, no_bias=False):
     B, H, T, d = q.shape
     S = k.shape[2]
     block_q = min(block_q, T)
@@ -243,18 +287,35 @@ def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k,
         pl.BlockSpec((1, S, d), lambda bh, qi: (bh, 0, 0)),
     ]
     if iota_positions:
-        kernel = functools.partial(_fwd_kernel_iota, block_k=block_k,
-                                   causal=causal, sm_scale=sm_scale)
-        kv_bias = jnp.where(kv_rows[:, None, :] != 0, 0.0, NEG_INF).astype(jnp.float32)
-        kv_bias = jnp.broadcast_to(kv_bias, (B * H, 8, S))
+        kernel = functools.partial(_fwd_kernel_iota, block_q=block_q,
+                                   block_k=block_k, causal=causal,
+                                   sm_scale=sm_scale, has_bias=not no_bias)
+        # one program per (batch·head): the kernel unrolls the query blocks
+        # internally (see _fwd_kernel_iota) — full-T q/o blocks here
+        one_out_specs = [pl.BlockSpec((1, T, d), lambda bh: (bh, 0, 0))]
+        if need_lse:
+            one_out_specs.append(pl.BlockSpec((1, T, 128),
+                                              lambda bh: (bh, 0, 0)))
+        data_in = [
+            pl.BlockSpec((1, T, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, S, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, S, d), lambda bh: (bh, 0, 0)),
+        ]
+        operands = [qf, kf, vf]
+        if not no_bias:
+            kv_bias = jnp.where(kv_rows[:, None, :] != 0, 0.0,
+                                NEG_INF).astype(jnp.float32)
+            kv_bias = jnp.broadcast_to(kv_bias, (B * H, 8, S))
+            data_in = [pl.BlockSpec((1, 8, S), lambda bh: (bh, 0, 0))] + data_in
+            operands = [kv_bias] + operands
         res = pl.pallas_call(
             kernel,
-            grid=(B * H, T // block_q),
-            in_specs=[pl.BlockSpec((1, 8, S), lambda bh, qi: (bh, 0, 0))] + data_specs,
-            out_specs=out_specs,
+            grid=(B * H,),
+            in_specs=data_in,
+            out_specs=tuple(one_out_specs),
             out_shape=out_shape,
             interpret=jax.default_backend() == "cpu",
-        )(kv_bias, qf, kf, vf)
+        )(*operands)
     else:
         kernel = functools.partial(_fwd_kernel_rows, block_k=block_k,
                                    causal=causal, sm_scale=sm_scale)

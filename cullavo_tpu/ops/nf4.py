@@ -996,19 +996,12 @@ def _int8_s8s8_raw(x: jax.Array, q: dict,
     s_col = q["scale8"].reshape(1, -1).astype(jnp.float32)   # [1, N]
     K = x.shape[-1]
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, K).astype(jnp.float32)      # [M, K]
     static_out = "o_w" in q
 
     dynamic_out = False
-    if "sq_inv" in q:
-        # SmoothQuant migration: x/s fuses into the quantization pass (the
-        # weight was pre-scaled by diag(s) at quantize time)
-        x_in = x2 * q["sq_inv"].astype(jnp.float32)
-    elif static_out:
-        # calibrated outlier channels: weight rows already zeroed in q8,
-        # extractor/mask precomputed at quantize time — no top_k, no gather
-        x_in = x2 * q["o_mask"].astype(jnp.float32)
-    elif max_outliers > 0:
+    if max_outliers > 0 and not static_out and "sq_inv" not in q:
+        # dynamic LLM.int8 (bnb-exact reference mode): f32 math throughout
+        x2 = x.reshape(-1, K).astype(jnp.float32)
         col_amax = jnp.max(jnp.abs(x2), axis=0)    # [K]
         oa, oidx = jax.lax.top_k(col_amax, max_outliers)
         is_out = oa >= threshold                   # [max_outliers]
@@ -1017,12 +1010,31 @@ def _int8_s8s8_raw(x: jax.Array, q: dict,
             jnp.where(is_out, 0.0, 1.0))
         x_in = x2 * colmask[None, :]
         dynamic_out = True
+        sx = jnp.maximum(jnp.max(jnp.abs(x_in), axis=-1, keepdims=True),
+                         1e-12) / 127.0            # [M, 1]
+        xi = jnp.clip(jnp.round(x_in / sx), -127, 127).astype(jnp.int8)
     else:
-        x_in = x2
-
-    sx = jnp.maximum(jnp.max(jnp.abs(x_in), axis=-1, keepdims=True),
-                     1e-12) / 127.0                # [M, 1]
-    xi = jnp.clip(jnp.round(x_in / sx), -127, 127).astype(jnp.int8)
+        # hot path (smooth / static-outlier / plain): quantize in bf16 —
+        # the f32-cast chain was 31% of prefill device time (abs_reduce +
+        # round loop fusions, scripts/prefill_trace.py); round() outputs
+        # integers ≤ 127 which bf16 represents exactly, and bnb's own
+        # quantization is half-precision, so bf16 is in-spec.  Only the
+        # per-row SCALE stays f32 (it multiplies the int32 accumulator).
+        xb = x.reshape(-1, K).astype(jnp.bfloat16)
+        if "sq_inv" in q:
+            # SmoothQuant migration: x/s fuses into the quantization pass
+            # (the weight was pre-scaled by diag(s) at quantize time)
+            x_in = xb * q["sq_inv"].astype(jnp.bfloat16)
+        elif static_out:
+            # calibrated outlier channels: weight rows already zeroed in
+            # q8, extractor/mask precomputed — no top_k, no gather
+            x_in = xb * q["o_mask"].astype(jnp.bfloat16)
+        else:
+            x_in = xb
+        sx = jnp.maximum(jnp.max(jnp.abs(x_in), axis=-1, keepdims=True)
+                         .astype(jnp.float32), 1e-12) / 127.0   # [M, 1]
+        xi = jnp.clip(jnp.round(x_in * (1.0 / sx).astype(jnp.bfloat16)),
+                      -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(xi, q8, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * sx * s_col       # [M, N]
@@ -1070,6 +1082,81 @@ def int8_linear_s8s8_auto(x: jax.Array, q: dict) -> jax.Array:
     if M >= _S8S8_MIN_M and "q8" in q:
         return int8_linear_s8s8(x, q)
     return int8_linear(x, q)
+
+
+def _s8s8_prequant(x2: jax.Array, q: dict):
+    """bf16 activation quantization for the s8s8 hot path — shared by the
+    single and grouped forms.  ``q`` supplies the calibration (sq_inv /
+    o_mask); returns (xi int8 [M, K], sx f32 [M, 1])."""
+    if "sq_inv" in q:
+        x_in = x2 * q["sq_inv"].astype(jnp.bfloat16)
+    elif "o_w" in q:
+        x_in = x2 * q["o_mask"].astype(jnp.bfloat16)
+    else:
+        x_in = x2
+    sx = jnp.maximum(jnp.max(jnp.abs(x_in), axis=-1, keepdims=True)
+                     .astype(jnp.float32), 1e-12) / 127.0
+    xi = jnp.clip(jnp.round(x_in * (1.0 / sx).astype(jnp.bfloat16)),
+                  -127, 127).astype(jnp.int8)
+    return xi, sx
+
+
+def _s8s8_apply(xi, sx, x2, q):
+    """int8 dot + epilogue (+ static-outlier side product) for pre-quantized
+    activations."""
+    s_col = q["scale8"].reshape(1, -1).astype(jnp.float32)
+    acc = jax.lax.dot_general(xi, q["q8"], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * s_col
+    if "o_w" in q:
+        y = y + ((x2 @ q["o_hot"]) @ q["o_w"]).astype(jnp.float32)
+    return y
+
+
+@jax.custom_vjp
+def int8_linear_s8s8_group(x: jax.Array, qs: tuple):
+    """Grouped s8s8: several linears consuming the SAME input tensor (q/k/v;
+    gate/up) share ONE activation-quantization pass.  All dicts must share
+    the group's calibration (calibrate.py emits one scale per input tensor);
+    the quant uses ``qs[0]``'s.  Returns a tuple of outputs in x.dtype."""
+    K = x.shape[-1]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K).astype(jnp.bfloat16)
+    xi, sx = _s8s8_prequant(x2, qs[0])
+    return tuple(_s8s8_apply(xi, sx, x2, q).reshape(*lead, -1).astype(x.dtype)
+                 for q in qs)
+
+
+def _s8s8g_fwd(x, qs):
+    return int8_linear_s8s8_group(x, qs), qs
+
+
+def _s8s8g_bwd(qs, dys):
+    dx = None
+    for q, dy in zip(qs, dys):
+        d = _int8f_bwd(q, dy)[0]
+        dx = d if dx is None else dx + d
+    return dx, jax.tree.map(jnp.zeros_like, qs)
+
+
+int8_linear_s8s8_group.defvjp(_s8s8g_fwd, _s8s8g_bwd)
+
+
+def s8s8_group_enabled(ws, x) -> bool:
+    """True when the grouped s8s8 path should run: every weight is an
+    int8 dict with SmoothQuant calibration, the policy is on, and M is
+    prefill-sized.  (Static-outlier dicts are excluded from grouping: their
+    o_mask may differ per target.)"""
+    mode = os.environ.get("CULLAVO_INT8_S8S8", "auto")
+    if mode == "0":
+        return False
+    if not all(isinstance(w, dict) and "q8" in w and "sq_inv" in w
+               for w in ws):
+        return False
+    M = 1
+    for s in x.shape[:-1]:
+        M *= s
+    return M >= _S8S8_MIN_M
 
 
 def int8_linear_policy(x: jax.Array, q: dict) -> jax.Array:

@@ -48,9 +48,29 @@ class CuLLaVOPipeline:
     # -- model ------------------------------------------------------------
     def initialize_model(self):
         opt = self.cfg.get("OPTIMIZER", {})
-        lora_cfg = LoraConfig(
-            r=opt.get("LORA_R", 64) if hasattr(opt, "get") else 64,
-            alpha=16.0, dropout=0.05)
+        llm_cfg = (self.cfg.get("MODEL", {}) or {}).get("LLM", {}) \
+            if "MODEL" in self.cfg else {}
+        bits = int(llm_cfg.get("BITS", 0) or 0) if hasattr(llm_cfg, "get") else 0
+        if bits in (4, 8) and not any(
+                isinstance(w, dict)
+                for w in self.params["language_model"]["layers"].values()):
+            # the reference's Q-LoRA base is quantized at load
+            # (cullavo_step1.yaml LLM.BITS: 4 → NF4, load_cullavo.py:65-83;
+            # BITS: 8 → LLM.int8) — apply it on the config path too, not
+            # just when callers pre-quantize
+            from cullavo_tpu.models.llava.lora import quantize_llm_weights
+
+            self.params = jax.jit(
+                lambda p: quantize_llm_weights(p, bits=bits))(self.params)
+        def _opt_get(key, default):
+            for src in (llm_cfg, opt):
+                if hasattr(src, "get") and src.get(key) is not None:
+                    return src.get(key)
+            return default
+
+        lora_cfg = LoraConfig(r=int(_opt_get("LORA_R", 64)),
+                              alpha=float(_opt_get("LORA_ALPHA", 16)),
+                              dropout=0.05)
         lora = init_lora_params(self.params, self.model_cfg, lora_cfg,
                                 jax.random.PRNGKey(1))
         trainable = trainable_partition(self.params, lora)

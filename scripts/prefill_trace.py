@@ -1,0 +1,96 @@
+"""Profile one 7B prefill+decode step and print the top HLO ops by device
+time (jax.profiler trace → parse the trace.json.gz ourselves — no
+TensorBoard in this environment).
+
+Env: TRACE_QUANT (int8|nf4, default int8), BENCH_* as in bench.py.
+Writes the trace under /tmp/jaxtrace and prints a JSON summary.
+"""
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import DEFAULT_BATCH, PROMPT_TEXT_TOKENS, build_llava7b_params
+    from cullavo_tpu.models.llava.config import LlavaConfig
+    from cullavo_tpu.models.llava.modeling import (GenerationConfig,
+                                                   generate_decode,
+                                                   generate_prefill_chunked)
+
+    quant = os.environ.get("TRACE_QUANT", "int8")
+    cfg = LlavaConfig()
+    params = build_llava7b_params(quant, cfg)
+    B = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH[(quant, None)]))
+    n_img = cfg.num_image_tokens
+    T = 1 + n_img + PROMPT_TEXT_TOKENS
+    max_len = T + 16
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 32000, size=(B, T)).astype(np.int32)
+    ids[:, 1:1 + n_img] = cfg.image_token_id
+    pix = rng.normal(size=(B, 3, 336, 336)).astype(np.float32)
+    gen = GenerationConfig(max_new_tokens=16, do_sample=False, eos_token_id=-1)
+    jids, jpix = jnp.asarray(ids), jnp.asarray(pix)
+    jmask = jnp.ones_like(jids)
+
+    def run():
+        state = generate_prefill_chunked(params, cfg, jids, jpix, jmask,
+                                         max_len, B,
+                                         compute_dtype=jnp.bfloat16)
+        out, _ = generate_decode(params, cfg, state, gen,
+                                 compute_dtype=jnp.bfloat16,
+                                 return_state=True)
+        return np.asarray(out)
+
+    print("compiling...", file=sys.stderr)
+    run()
+    t0 = time.time()
+    run()
+    print(f"steady-state: {time.time()-t0:.3f}s", file=sys.stderr)
+
+    trace_dir = "/tmp/jaxtrace"
+    os.system(f"rm -rf {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    run()
+    jax.profiler.stop_trace()
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        print(json.dumps({"error": "no trace produced", "dir": trace_dir}))
+        return
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+    # device-lane complete events: aggregate wall by op name prefix
+    by_name = defaultdict(float)
+    total = 0.0
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        pid_name = ev.get("pid")
+        name = ev.get("name", "")
+        # keep only TPU op lanes (heuristic: XLA op names contain '.' or
+        # fusion/dot/copy markers); host python lanes are excluded by dur
+        if not name or name.startswith(("$", "process_")):
+            continue
+        args = ev.get("args", {})
+        if "long_name" in args or "hlo_op" in args or True:
+            key = name.split(".")[0][:48]
+            by_name[key] += ev["dur"]
+            total += ev["dur"]
+    top = sorted(by_name.items(), key=lambda kv: -kv[1])[:25]
+    print(json.dumps({"total_us_allevents": round(total, 1),
+                      "top": [{"op": k, "ms": round(v / 1e3, 2)}
+                              for k, v in top]}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,28 @@ def test_flash_custom_positions():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_flash_biasfree_right_padded_equals_masked():
+    """causal + iota positions + kv_valid=None (the bias-free fast path)
+    == the explicit right-padded mask for every VALID query row: causality
+    already hides the padded keys, so the kernel may drop the bias input.
+    Padded-row outputs are unspecified (masked downstream) — compare only
+    valid rows.  Uses an odd T to cover the internal pad-to-128 too."""
+    B, T = 2, 67
+    q, k, v = _qkv(B=B, T=T)
+    valid = np.ones((B, T), np.int32)
+    valid[0, 50:] = 0
+    valid[1, 33:] = 0
+    masked = flash_attention(q, k, v, kv_valid=jnp.asarray(valid),
+                             causal=True, block_q=32, block_k=32)
+    free = flash_attention(q, k, v, kv_valid=None, causal=True,
+                           block_q=32, block_k=32)
+    for b in range(B):
+        n = int(valid[b].sum())
+        np.testing.assert_allclose(np.asarray(free)[b, :, :n],
+                                   np.asarray(masked)[b, :, :n],
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_flash_backward_matches_reference():
     q, k, v = _qkv(B=1, H=2, T=32, d=32)
 
@@ -567,6 +589,32 @@ def test_int8_smoothquant_scale_migration():
     np.testing.assert_allclose(
         np.asarray(int8_linear(jnp.asarray(x), sl)), y_exact,
         atol=5e-3, rtol=5e-3)
+
+
+def test_int8_s8s8_group_matches_single():
+    """Grouped s8s8 (one shared activation-quant pass for q/k/v-style
+    groups) == the single-linear s8s8 path bit-for-bit when the dicts share
+    calibration, and its x-grad equals the sum of per-member grads."""
+    from cullavo_tpu.ops.nf4 import (int8_linear_s8s8, int8_linear_s8s8_group,
+                                     quantize_linear_int8)
+    rng = np.random.default_rng(14)
+    K = 128
+    s = np.exp(rng.normal(0, 0.2, K)).astype(np.float32)
+    ws = [rng.normal(size=(K, n)).astype(np.float32) * 0.1
+          for n in (96, 64, 64)]
+    qs = tuple(quantize_linear_int8(jnp.asarray(w), smooth_scale=s)
+               for w in ws)
+    x = jnp.asarray(rng.normal(size=(32, K)).astype(np.float32))
+    ys = int8_linear_s8s8_group(x, qs)
+    for q, y in zip(qs, ys):
+        np.testing.assert_array_equal(np.asarray(y),
+                                      np.asarray(int8_linear_s8s8(x, q)))
+    g = jax.grad(lambda x: sum(jnp.sum(y) for y in
+                               int8_linear_s8s8_group(x, qs)))(x)
+    gref = jax.grad(lambda x: sum(jnp.sum(int8_linear_s8s8(x, q))
+                                  for q in qs))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_s8s8_matmul_dynamic_close_to_fp():
