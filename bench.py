@@ -153,8 +153,14 @@ def build_llava7b_params(quant_mode: str, cfg=None):
         vsm = {t: np.exp(np.random.default_rng(77).normal(
             0.0, 0.3, vl[t].shape[-2])).astype(np.float32)
             for t in VISION_TARGETS}
-        params = jax.block_until_ready(jax.jit(
-            lambda p: quantize_vision_weights(p, smooth_scales=vsm))(params))
+        # jit ONLY the vision subtree: passing the whole params tree through
+        # one jit returns fresh buffers for every leaf (no donation) — a
+        # transient second ~7 GiB copy of the int8 LLM on a 16 GiB chip
+        vt = jax.block_until_ready(jax.jit(
+            lambda v: quantize_vision_weights(
+                {"vision_tower": v}, smooth_scales=vsm)["vision_tower"])(
+                    params["vision_tower"]))
+        params = {**params, "vision_tower": vt}
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
     log(f"leaves hold {n_params/1e9:.2f}B elements in {time.time()-t0:.1f}s")
     return params

@@ -59,15 +59,14 @@ def _build_llava(cfg):
         tokenizer = ByteTokenizer()
     bits = int((cfg.get("MODEL", {}).get("LLM", {}).get("BITS") or 0)
                if "MODEL" in cfg else 0)
-    if bits in (4, 8):
-        # the reference loads the LLM quantized (BITS: 4 → NF4 Q-LoRA base,
-        # load_cullavo.py:65-83; the VL eval pipelines load 8-bit,
-        # LLaVAVQAVALPipeline.py:94-102) — honor it on every CLI workload.
-        # For the 8-bit s8s8 fast path, calibrate first (ops/calibrate.py)
-        # and pass smooth_scales via quantize_llm_weights directly.
-        from cullavo_tpu.models.llava.lora import quantize_llm_weights
+    # the reference loads the LLM quantized (BITS: 4 → NF4 Q-LoRA base,
+    # load_cullavo.py:65-83; the VL eval pipelines load 8-bit,
+    # LLaVAVQAVALPipeline.py:94-102) — honor it on every CLI workload.
+    # For the 8-bit s8s8 fast path, calibrate first (ops/calibrate.py)
+    # and pass smooth_scales via quantize_llm_weights directly.
+    from cullavo_tpu.models.llava.lora import maybe_quantize_base
 
-        params = jax.jit(lambda p: quantize_llm_weights(p, bits=bits))(params)
+    params = maybe_quantize_base(params, bits)
     return model_cfg, params, tokenizer
 
 

@@ -195,6 +195,25 @@ def quantize_llm_weights(params: Any, bits: int = 4,
                                      quantize_linear_int8,
                                      quantize_linear_planar)
 
+    if smooth_scales:
+        # targets consuming the SAME tensor (q/k/v; gate/up) MUST share one
+        # scale: the grouped s8s8 path (nf4.int8_linear_s8s8_group)
+        # quantizes the shared input once with qs[0]'s sq_inv — distinct
+        # per-member scales would silently compute (x/s_q)·diag(s_k)W_k,
+        # wrong by s_k/s_q per channel.  calibrate.smooth_scales_from_stats
+        # emits shared scales by construction; enforce it for other callers.
+        import numpy as _np
+        for group in (("q", "k", "v"), ("gate", "up")):
+            present = [t for t in group if smooth_scales.get(t) is not None]
+            ref = smooth_scales.get(present[0]) if present else None
+            for t in present[1:]:
+                if not _np.array_equal(_np.asarray(ref),
+                                       _np.asarray(smooth_scales[t])):
+                    raise ValueError(
+                        f"smooth_scales for group {group} differ at {t!r}: "
+                        "members sharing an input tensor must share ONE "
+                        "SmoothQuant scale (see int8_linear_s8s8_group)")
+
     def quant(w, name=None):
         if bits == 8:
             sm = (smooth_scales or {}).get(name) if name else None
@@ -214,7 +233,17 @@ def quantize_llm_weights(params: Any, bits: int = 4,
     return {**params, "language_model": lm}
 
 
-VISION_TARGETS = ("q", "k", "v", "o", "fc1", "fc2")
+def maybe_quantize_base(params: Any, bits: int) -> Any:
+    """Config-driven base quantization (MODEL.LLM.BITS → 4 = NF4,
+    8 = LLM.int8; reference load_cullavo.py:65-83).  No-op when bits is
+    neither, or when the LLM linears are already quantized dicts (callers
+    may pre-quantize with calibration — don't double-quantize).  Runs under
+    jit so init never falls into eager per-op RPCs on remote backends."""
+    if bits not in (4, 8) or any(
+            isinstance(w, dict)
+            for w in params["language_model"]["layers"].values()):
+        return params
+    return jax.jit(lambda p: quantize_llm_weights(p, bits=bits))(params)
 
 
 def quantize_vision_weights(params: Any, smooth_scales: Any = None) -> Any:

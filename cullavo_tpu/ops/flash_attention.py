@@ -179,16 +179,18 @@ def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref,
 
 def _fwd_kernel_iota(*refs, block_q: int, block_k: int, causal: bool,
                      sm_scale: float, has_bias: bool):
+    """Fast path: query positions are the global query indices (standard
+    right-padded batches).  With ``has_bias`` a key-validity bias arrives as
+    an additive fp32 [1, 8, S] block; the bias-free mode (causal +
+    right-padded contract) omits that operand entirely — causality already
+    hides every padded key from every valid query.  The axon Mosaic helper
+    rejects dynamic-sublane reads (``ref[bh, ...]``), so per-row data is
+    delivered via per-program BlockSpecs with static in-kernel indices."""
     if has_bias:
         kvbias_ref, q_ref, k_ref, v_ref, o_ref, *maybe_lse = refs
     else:
         kvbias_ref = None
         q_ref, k_ref, v_ref, o_ref, *maybe_lse = refs
-    """Fast path: query positions are the global query indices (standard
-    right-padded batches).  Key validity arrives as an additive fp32 bias in
-    a [1, 8, S] block — the axon Mosaic helper rejects dynamic-sublane reads
-    (``ref[bh, ...]``), so per-row data is delivered via per-program
-    BlockSpecs with static in-kernel indices."""
     T = q_ref.shape[1]
     S = k_ref.shape[1]
     bq = min(block_q, T)

@@ -345,6 +345,12 @@ def quantize_linear_int8(w: jax.Array, layout: str = "kn",
     ``layout="nk"`` stores the quantized weight transposed ([..., d_out,
     d_in], key "q8t") so the dot contracts on the weight's MINOR dimension —
     an experimental decode-stream layout (see scripts/matmul_probe.py)."""
+    if layout == "nk" and (smooth_scale is not None or outlier_idx is not None):
+        # the nk path stores only {"q8t", "scale8"} — it has nowhere to put
+        # sq_inv / o_w, so a calibrated nk dict would silently compute
+        # x @ diag(s)W with no x/s correction (wrong by up to the clip range)
+        raise ValueError("layout='nk' does not support smooth_scale/"
+                         "outlier_idx calibration; use layout='kn'")
     if smooth_scale is not None:
         assert outlier_idx is None, "smooth_scale excludes outlier_idx"
         # [K] shared across stacked layers, or [..., K] per layer
@@ -998,57 +1004,41 @@ def _int8_s8s8_raw(x: jax.Array, q: dict,
     lead = x.shape[:-1]
     static_out = "o_w" in q
 
-    dynamic_out = False
-    if max_outliers > 0 and not static_out and "sq_inv" not in q:
-        # dynamic LLM.int8 (bnb-exact reference mode): f32 math throughout
-        x2 = x.reshape(-1, K).astype(jnp.float32)
-        col_amax = jnp.max(jnp.abs(x2), axis=0)    # [K]
-        oa, oidx = jax.lax.top_k(col_amax, max_outliers)
-        is_out = oa >= threshold                   # [max_outliers]
-        # zero outlier columns out of the int8 operand
-        colmask = jnp.ones((K,), jnp.float32).at[oidx].set(
-            jnp.where(is_out, 0.0, 1.0))
-        x_in = x2 * colmask[None, :]
-        dynamic_out = True
-        sx = jnp.maximum(jnp.max(jnp.abs(x_in), axis=-1, keepdims=True),
-                         1e-12) / 127.0            # [M, 1]
-        xi = jnp.clip(jnp.round(x_in / sx), -127, 127).astype(jnp.int8)
-    else:
+    if not (max_outliers > 0 and not static_out and "sq_inv" not in q):
         # hot path (smooth / static-outlier / plain): quantize in bf16 —
         # the f32-cast chain was 31% of prefill device time (abs_reduce +
         # round loop fusions, scripts/prefill_trace.py); round() outputs
         # integers ≤ 127 which bf16 represents exactly, and bnb's own
         # quantization is half-precision, so bf16 is in-spec.  Only the
         # per-row SCALE stays f32 (it multiplies the int32 accumulator).
+        # The quant + dot + epilogue is the SAME numerics-critical chain as
+        # the grouped path — shared via _s8s8_prequant/_s8s8_apply.
         xb = x.reshape(-1, K).astype(jnp.bfloat16)
-        if "sq_inv" in q:
-            # SmoothQuant migration: x/s fuses into the quantization pass
-            # (the weight was pre-scaled by diag(s) at quantize time)
-            x_in = xb * q["sq_inv"].astype(jnp.bfloat16)
-        elif static_out:
-            # calibrated outlier channels: weight rows already zeroed in
-            # q8, extractor/mask precomputed — no top_k, no gather
-            x_in = xb * q["o_mask"].astype(jnp.bfloat16)
-        else:
-            x_in = xb
-        sx = jnp.maximum(jnp.max(jnp.abs(x_in), axis=-1, keepdims=True)
-                         .astype(jnp.float32), 1e-12) / 127.0   # [M, 1]
-        xi = jnp.clip(jnp.round(x_in * (1.0 / sx).astype(jnp.bfloat16)),
-                      -127, 127).astype(jnp.int8)
+        xi, sx = _s8s8_prequant(xb, q)
+        y = _s8s8_apply(xi, sx, xb, q)
+        return y.reshape(*lead, -1).astype(x.dtype)
+
+    # dynamic LLM.int8 (bnb-exact reference mode): f32 math throughout
+    x2 = x.reshape(-1, K).astype(jnp.float32)
+    col_amax = jnp.max(jnp.abs(x2), axis=0)        # [K]
+    oa, oidx = jax.lax.top_k(col_amax, max_outliers)
+    is_out = oa >= threshold                       # [max_outliers]
+    # zero outlier columns out of the int8 operand
+    colmask = jnp.ones((K,), jnp.float32).at[oidx].set(
+        jnp.where(is_out, 0.0, 1.0))
+    x_in = x2 * colmask[None, :]
+    sx = jnp.maximum(jnp.max(jnp.abs(x_in), axis=-1, keepdims=True),
+                     1e-12) / 127.0                # [M, 1]
+    xi = jnp.clip(jnp.round(x_in / sx), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(xi, q8, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * sx * s_col       # [M, N]
-
-    if static_out:
-        xb = x.reshape(-1, K).astype(jnp.bfloat16)
-        y = y + ((xb @ q["o_hot"]) @ q["o_w"]).astype(jnp.float32)
-    elif dynamic_out:
-        # fp side-matmul over the extracted columns against the SAME
-        # int8-quantized weight rows (bnb dequantizes its int8 weight for
-        # the outlier product too — weight precision is still 8-bit)
-        w_out = q8[oidx, :].astype(jnp.float32) * s_col      # [mo, N]
-        x_out = x2[:, oidx] * is_out[None, :].astype(jnp.float32)
-        y = y + x_out @ w_out
+    # fp side-matmul over the extracted columns against the SAME
+    # int8-quantized weight rows (bnb dequantizes its int8 weight for
+    # the outlier product too — weight precision is still 8-bit)
+    w_out = q8[oidx, :].astype(jnp.float32) * s_col          # [mo, N]
+    x_out = x2[:, oidx] * is_out[None, :].astype(jnp.float32)
+    y = y + x_out @ w_out
     return y.reshape(*lead, -1).astype(x.dtype)
 
 
@@ -1142,13 +1132,24 @@ def _s8s8g_bwd(qs, dys):
 int8_linear_s8s8_group.defvjp(_s8s8g_fwd, _s8s8g_bwd)
 
 
+def _s8s8_mode() -> str:
+    """Validated CULLAVO_INT8_S8S8 policy value ("auto" | "1" | "0")."""
+    mode = os.environ.get("CULLAVO_INT8_S8S8", "auto")
+    if mode not in ("auto", "1", "0"):
+        raise ValueError(
+            f"CULLAVO_INT8_S8S8={mode!r}: expected 'auto' (s8s8 only for "
+            "calibrated dicts), '1' (force dynamic bnb-exact), or '0' (off)")
+    return mode
+
+
 def s8s8_group_enabled(ws, x) -> bool:
     """True when the grouped s8s8 path should run: every weight is an
     int8 dict with SmoothQuant calibration, the policy is on, and M is
     prefill-sized.  (Static-outlier dicts are excluded from grouping: their
-    o_mask may differ per target.)"""
-    mode = os.environ.get("CULLAVO_INT8_S8S8", "auto")
-    if mode == "0":
+    o_mask may differ per target.)  All group members must carry the SAME
+    sq_inv values — enforced at quantize time by quantize_llm_weights;
+    int8_linear_s8s8_group quantizes the shared input with qs[0]'s."""
+    if _s8s8_mode() == "0":
         return False
     if not all(isinstance(w, dict) and "q8" in w and "sq_inv" in w
                for w in ws):
@@ -1166,7 +1167,7 @@ def int8_linear_policy(x: jax.Array, q: dict) -> jax.Array:
     calibration (``sq_inv`` SmoothQuant scales or ``o_w`` static LLM.int8
     outliers) — uncalibrated checkpoints never silently lose outlier
     protection; "1" forces the dynamic bnb-exact mode; "0" disables."""
-    mode = os.environ.get("CULLAVO_INT8_S8S8", "auto")
+    mode = _s8s8_mode()
     enabled = {"auto": "o_w" in q or "sq_inv" in q,
                "1": True, "0": False}[mode]
     if enabled and "q8" in q:

@@ -51,17 +51,14 @@ class CuLLaVOPipeline:
         llm_cfg = (self.cfg.get("MODEL", {}) or {}).get("LLM", {}) \
             if "MODEL" in self.cfg else {}
         bits = int(llm_cfg.get("BITS", 0) or 0) if hasattr(llm_cfg, "get") else 0
-        if bits in (4, 8) and not any(
-                isinstance(w, dict)
-                for w in self.params["language_model"]["layers"].values()):
-            # the reference's Q-LoRA base is quantized at load
-            # (cullavo_step1.yaml LLM.BITS: 4 → NF4, load_cullavo.py:65-83;
-            # BITS: 8 → LLM.int8) — apply it on the config path too, not
-            # just when callers pre-quantize
-            from cullavo_tpu.models.llava.lora import quantize_llm_weights
+        # the reference's Q-LoRA base is quantized at load
+        # (cullavo_step1.yaml LLM.BITS: 4 → NF4, load_cullavo.py:65-83;
+        # BITS: 8 → LLM.int8) — apply it on the config path too, not
+        # just when callers pre-quantize (maybe_quantize_base no-ops on
+        # already-quantized dicts)
+        from cullavo_tpu.models.llava.lora import maybe_quantize_base
 
-            self.params = jax.jit(
-                lambda p: quantize_llm_weights(p, bits=bits))(self.params)
+        self.params = maybe_quantize_base(self.params, bits)
         def _opt_get(key, default):
             for src in (llm_cfg, opt):
                 if hasattr(src, "get") and src.get(key) is not None:

@@ -72,17 +72,26 @@ def main():
     # device-lane complete events: aggregate wall by op name prefix
     by_name = defaultdict(float)
     total = 0.0
+    # map pid → process name so only device (TPU) lanes are aggregated;
+    # host python / launch / runtime threads would double-count wall time
+    # against device op time otherwise
+    pid_names = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev.get("pid")] = ev.get("args", {}).get("name", "")
+    device_pids = {pid for pid, n in pid_names.items()
+                   if "TPU" in n or "/device:" in n}
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X" or "dur" not in ev:
             continue
-        pid_name = ev.get("pid")
         name = ev.get("name", "")
-        # keep only TPU op lanes (heuristic: XLA op names contain '.' or
-        # fusion/dot/copy markers); host python lanes are excluded by dur
         if not name or name.startswith(("$", "process_")):
             continue
+        # device lanes when identifiable; otherwise fall back to events
+        # carrying HLO metadata (XLA op events annotate long_name/hlo_op)
         args = ev.get("args", {})
-        if "long_name" in args or "hlo_op" in args or True:
+        if (ev.get("pid") in device_pids if device_pids
+                else ("long_name" in args or "hlo_op" in args)):
             key = name.split(".")[0][:48]
             by_name[key] += ev["dur"]
             total += ev["dur"]

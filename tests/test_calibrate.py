@@ -95,3 +95,68 @@ def test_smooth_scales_shapes_and_effect():
     for t, s in scales.items():
         assert s.shape == layers[t].shape[:-1], t
         assert (s > 0).all()
+
+
+def test_group_scale_mismatch_rejected():
+    """quantize_llm_weights must refuse per-member smooth scales for a
+    group (q/k/v) — the grouped s8s8 path quantizes the shared input with
+    qs[0]'s sq_inv, so distinct scales silently corrupt k/v outputs."""
+    import pytest
+
+    from cullavo_tpu.models.llava.lora import quantize_llm_weights
+
+    cfg = tiny_llava_config(120)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    L, K = params["language_model"]["layers"]["q"].shape[:2]
+    good = np.ones((L, K), np.float32)
+    bad = dict(q=good, k=good * 2.0, v=good)
+    with pytest.raises(ValueError, match="group"):
+        quantize_llm_weights(params, bits=8, smooth_scales=bad)
+    # shared scales pass
+    quantize_llm_weights(params, bits=8,
+                         smooth_scales=dict(q=good, k=good, v=good))
+
+
+def test_nk_layout_rejects_calibration():
+    import pytest
+
+    from cullavo_tpu.ops.nf4 import quantize_linear_int8
+
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)),
+                    jnp.float32)
+    with pytest.raises(ValueError, match="nk"):
+        quantize_linear_int8(w, layout="nk",
+                             smooth_scale=np.ones(16, np.float32))
+    with pytest.raises(ValueError, match="nk"):
+        quantize_linear_int8(w, layout="nk",
+                             outlier_idx=np.array([1], np.int32))
+
+
+def test_s8s8_mode_env_validation(monkeypatch):
+    """Unknown CULLAVO_INT8_S8S8 values raise a clear error from BOTH
+    policy entry points (they used to diverge: KeyError vs silently-on)."""
+    import pytest
+
+    from cullavo_tpu.ops import nf4
+
+    monkeypatch.setenv("CULLAVO_INT8_S8S8", "true")
+    x = jnp.ones((4, 8), jnp.float32)
+    q = nf4.quantize_linear_int8(jnp.ones((8, 4), jnp.float32))
+    with pytest.raises(ValueError, match="CULLAVO_INT8_S8S8"):
+        nf4.int8_linear_policy(x, q)
+    with pytest.raises(ValueError, match="CULLAVO_INT8_S8S8"):
+        nf4.s8s8_group_enabled((q, q), x)
+
+
+def test_maybe_quantize_base_guard():
+    """maybe_quantize_base quantizes once and no-ops on re-entry (the
+    entry + pipeline both call it; double quantization must be impossible)."""
+    from cullavo_tpu.models.llava.lora import maybe_quantize_base
+
+    cfg = tiny_llava_config(120)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    q1 = maybe_quantize_base(params, 8)
+    assert isinstance(q1["language_model"]["layers"]["q"], dict)
+    q2 = maybe_quantize_base(q1, 8)
+    assert q2 is q1
+    assert maybe_quantize_base(params, 0) is params
