@@ -178,7 +178,8 @@ def apply_trainable(params: Any, trainable: dict) -> tuple[Any, dict]:
 
 
 def quantize_llm_weights(params: Any, bits: int = 4,
-                         smooth_scales: Any = None) -> Any:
+                         smooth_scales: Any = None,
+                         act_scales: Any = None) -> Any:
     """Quantize the stacked LLaMA linear weights (the frozen Q-LoRA base).
 
     bits=4 → NF4 (load_cullavo.py:65-83 semantics); bits=8 → int8 per-channel
@@ -190,7 +191,13 @@ def quantize_llm_weights(params: Any, bits: int = 4,
     channel SmoothQuant migration scale ([K] or stacked [L, K], from
     activation calibration).  Calibrated dicts enable the s8s8 prefill path
     (ops/nf4.py int8_linear_s8s8_auto) — measured 13.73 vs 11.14 img/s at
-    7B on one v5e chip."""
+    7B on one v5e chip.
+
+    ``act_scales`` (bits=8, requires smooth_scales): dict mapping target →
+    STATIC per-layer activation scale ([L], from
+    calibrate.static_act_scales_from_stats) — W8A8 static serving mode:
+    skips the per-token absmax reduce at runtime (clips out-of-range
+    tokens; not bnb per-token semantics)."""
     from cullavo_tpu.ops.nf4 import (BLOCK, quantize_linear,
                                      quantize_linear_int8,
                                      quantize_linear_planar)
@@ -203,21 +210,26 @@ def quantize_llm_weights(params: Any, bits: int = 4,
         # wrong by s_k/s_q per channel.  calibrate.smooth_scales_from_stats
         # emits shared scales by construction; enforce it for other callers.
         import numpy as _np
-        for group in (("q", "k", "v"), ("gate", "up")):
-            present = [t for t in group if smooth_scales.get(t) is not None]
-            ref = smooth_scales.get(present[0]) if present else None
-            for t in present[1:]:
-                if not _np.array_equal(_np.asarray(ref),
-                                       _np.asarray(smooth_scales[t])):
-                    raise ValueError(
-                        f"smooth_scales for group {group} differ at {t!r}: "
-                        "members sharing an input tensor must share ONE "
-                        "SmoothQuant scale (see int8_linear_s8s8_group)")
+        for scales in (smooth_scales, act_scales):
+            if not scales:
+                continue
+            for group in (("q", "k", "v"), ("gate", "up")):
+                present = [t for t in group if scales.get(t) is not None]
+                ref = scales.get(present[0]) if present else None
+                for t in present[1:]:
+                    if not _np.array_equal(_np.asarray(ref),
+                                           _np.asarray(scales[t])):
+                        raise ValueError(
+                            f"calibration scales for group {group} differ "
+                            f"at {t!r}: members sharing an input tensor "
+                            "must share ONE scale (int8_linear_s8s8_group "
+                            "quantizes the shared input with qs[0]'s)")
 
     def quant(w, name=None):
         if bits == 8:
             sm = (smooth_scales or {}).get(name) if name else None
-            return quantize_linear_int8(w, smooth_scale=sm)
+            sa = (act_scales or {}).get(name) if name else None
+            return quantize_linear_int8(w, smooth_scale=sm, act_scale=sa)
         d_in, d_out = w.shape[-2], w.shape[-1]
         # planar layout (Mosaic-compilable fused kernel) when dims allow;
         # flat byte layout otherwise (tiny test models)

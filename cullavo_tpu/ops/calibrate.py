@@ -94,6 +94,23 @@ def smooth_scales_from_stats(stats: dict, params: Any, alpha: float = 0.5,
     return out
 
 
+def static_act_scales_from_stats(stats: dict, smooth_scales: dict) -> dict:
+    """STATIC per-tensor activation scales for W8A8 serving (SmoothQuant O3):
+    ``sa_l = max_k(absmax_act[l, k] / s[l, k]) / 127`` — the absmax of the
+    SMOOTHED activation the runtime actually quantizes.  Returns
+    {target: [L] float32} for ``quantize_llm_weights(act_scales=...)``.
+    Tokens beyond the calibrated range clip at runtime; use enough
+    representative batches."""
+    out = {}
+    for stat_key, targets in _STAT_TO_TARGETS.items():
+        a = np.maximum(stats[stat_key], 1e-6)            # [L, K]
+        for t in targets:
+            s = np.asarray(smooth_scales[t], np.float32)
+            out[t] = np.maximum((a / s).max(axis=-1) / 127.0,
+                                1e-8).astype(np.float32)
+    return out
+
+
 def outlier_idx_from_stats(stats: dict, threshold: float = 6.0,
                            max_outliers: int = 64) -> dict:
     """Static LLM.int8 outlier channels per target: the up-to-
@@ -116,13 +133,18 @@ def outlier_idx_from_stats(stats: dict, threshold: float = 6.0,
 def calibrate_and_quantize_llm(params: Any, cfg, batches: Iterable[dict],
                                alpha: float = 0.5,
                                compute_dtype=jnp.bfloat16,
-                               stats: Optional[dict] = None) -> Any:
+                               stats: Optional[dict] = None,
+                               static_act: bool = False) -> Any:
     """One-call W8A8 setup: collect stats → SmoothQuant scales → int8
     quantization with calibration baked in.  The returned params enable the
-    s8s8 prefill path automatically (nf4.int8_linear_policy "auto")."""
+    s8s8 prefill path automatically (nf4.int8_linear_policy "auto").
+    ``static_act=True`` additionally bakes static per-tensor activation
+    scales (W8A8 static serving — skips the runtime per-token absmax)."""
     from cullavo_tpu.models.llava.lora import quantize_llm_weights
 
     if stats is None:
         stats = collect_llm_act_stats(params, cfg, batches, compute_dtype)
     scales = smooth_scales_from_stats(stats, params, alpha=alpha)
-    return quantize_llm_weights(params, bits=8, smooth_scales=scales)
+    act = static_act_scales_from_stats(stats, scales) if static_act else None
+    return quantize_llm_weights(params, bits=8, smooth_scales=scales,
+                                act_scales=act)

@@ -20,6 +20,7 @@ reference uses for its one native op (ops/test.py:35-48).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +54,7 @@ def mha_reference(q, k, v, bias=None, causal=True, positions=None, kv_valid=None
 # ---------------------------------------------------------------------------
 
 def flash_attention(q, k, v, q_positions=None, kv_valid=None, causal=True,
-                    block_q=128, block_k=128):
+                    block_q=None, block_k=None):
     """Fused attention: q,k,v [B, H, T/S, d] (kv heads already repeated).
 
     q_positions: [B, T] logical positions (for padded/packed inputs).
@@ -68,6 +69,10 @@ def flash_attention(q, k, v, q_positions=None, kv_valid=None, causal=True,
     than 64 because the kv-bias lane slice at ``kb * block_k`` must be
     statically 128-aligned for the axon Mosaic helper.
     """
+    if block_q is None:
+        block_q = int(os.environ.get("CULLAVO_FLASH_BQ", 384))
+    if block_k is None:
+        block_k = int(os.environ.get("CULLAVO_FLASH_BK", 384))
     B, H, T, d = q.shape
     S = k.shape[2]
     pad_t = (-T) % 128
@@ -178,14 +183,17 @@ def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _fwd_kernel_iota(*refs, block_q: int, block_k: int, causal: bool,
-                     sm_scale: float, has_bias: bool):
+                     sm_scale: float, has_bias: bool, group: int):
     """Fast path: query positions are the global query indices (standard
     right-padded batches).  With ``has_bias`` a key-validity bias arrives as
-    an additive fp32 [1, 8, S] block; the bias-free mode (causal +
+    an additive fp32 [group, 8, S] block; the bias-free mode (causal +
     right-padded contract) omits that operand entirely — causality already
     hides every padded key from every valid query.  The axon Mosaic helper
     rejects dynamic-sublane reads (``ref[bh, ...]``), so per-row data is
-    delivered via per-program BlockSpecs with static in-kernel indices."""
+    delivered via per-program BlockSpecs with static in-kernel indices.
+    ``group`` (batch·head) rows are processed per program with a static
+    unroll — at 7B prefill shapes the per-(b·h) compute is ~1 µs of MXU
+    work, so per-program fixed overhead dominates a group=1 launch."""
     if has_bias:
         kvbias_ref, q_ref, k_ref, v_ref, o_ref, *maybe_lse = refs
     else:
@@ -196,80 +204,125 @@ def _fwd_kernel_iota(*refs, block_q: int, block_k: int, causal: bool,
     bq = min(block_q, T)
     d = q_ref.shape[2]
 
-    # ONE program per (batch·head), ALL query blocks handled by a static
-    # python unroll: the two-axis grid form paid ~47 µs of fixed program
-    # overhead × (B·H · T/bq) programs — 126 ms of a 1.0 s prefill at 7B
-    # batch 14 (scripts/prefill_trace.py custom-call row) for ~3 ms of
-    # roofline compute.  Unrolling also makes the causal kv-block bound a
-    # python int per block (no dynamic fori_loop trip count).
-    for qi in range(T // bq):
-        # operands keep the INPUT dtype (bf16 in the model → MXU native
-        # rate; the old .astype(f32) form ran the score dots in f32 MXU
-        # mode, ~4 ms/layer at 7B prefill shapes); accumulation and the
-        # softmax state are f32, probabilities round to the input dtype for
-        # the PV dot — flash-attention-2's own numerics for half inputs,
-        # and exactly the old full-precision math for f32 inputs (tests)
-        q = q_ref[0, pl.ds(qi * bq, bq), :]
-        num_kb = S // block_k
-        if causal:
-            # every key block strictly beyond this query block's last row
-            # is fully masked — statically skip it (≈2× fewer score
-            # matmuls over the causal triangle)
-            num_kb = min(num_kb, (qi * bq + bq + block_k - 1) // block_k)
+    # ONE program per (batch·head)/group, ALL query blocks handled by a
+    # static python unroll: the two-axis grid form paid ~47 µs of fixed
+    # program overhead × (B·H · T/bq) programs — 126 ms of a 1.0 s prefill
+    # at 7B batch 14 (scripts/prefill_trace.py custom-call row) for ~3 ms
+    # of roofline compute.  Unrolling also makes the causal kv-block bound
+    # a python int per block (no dynamic fori_loop trip count).
+    for gi in range(group):
+        for qi in range(T // bq):
+            # operands keep the INPUT dtype (bf16 in the model → MXU native
+            # rate; the old .astype(f32) form ran the score dots in f32 MXU
+            # mode, ~4 ms/layer at 7B prefill shapes); accumulation and the
+            # softmax state are f32, probabilities round to the input dtype
+            # for the PV dot — flash-attention-2's own numerics for half
+            # inputs, and exactly the old full-precision math for f32 inputs
+            q = q_ref[gi, pl.ds(qi * bq, bq), :]
+            num_kb = S // block_k
+            if causal:
+                # every key block strictly beyond this query block's last
+                # row is fully masked — statically skip it (≈2× fewer score
+                # matmuls over the causal triangle)
+                num_kb = min(num_kb, (qi * bq + bq + block_k - 1) // block_k)
 
-        acc = jnp.zeros((bq, d), jnp.float32)
-        m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-        l_i = jnp.zeros((bq, 1), jnp.float32)
+            acc = jnp.zeros((bq, d), jnp.float32)
+            m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+            l_i = jnp.zeros((bq, 1), jnp.float32)
 
-        # full blocks strictly below the causal diagonal need NO causal
-        # mask (every key in them precedes every query row of this block);
-        # only the blocks overlapping the diagonal pay the iota/where work
-        n_unmasked = (qi * bq) // block_k if causal else num_kb
+            # full blocks strictly below the causal diagonal need NO causal
+            # mask (every key in them precedes every query row of this
+            # block); only blocks overlapping the diagonal pay iota/where
+            n_unmasked = (qi * bq) // block_k if causal else num_kb
 
-        def body(kb, carry, qi=qi, q=q, masked=True):
-            acc, m_i, l_i = carry
-            k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
-            v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
-            s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = s * sm_scale
-            if has_bias:
-                s = s + kvbias_ref[0, 0:1, pl.ds(kb * block_k, block_k)]
-            if causal and masked:
-                qpos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
-                kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-                s = jnp.where(qpos >= kpos, s, NEG_INF)
-            m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_i - m_new)
-            l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
+            def body(kb, carry, qi=qi, q=q, gi=gi, masked=True):
+                acc, m_i, l_i = carry
+                k_blk = k_ref[gi, pl.ds(kb * block_k, block_k), :]
+                v_blk = v_ref[gi, pl.ds(kb * block_k, block_k), :]
+                s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-            return acc, m_new, l_new
+                s = s * sm_scale
+                if has_bias:
+                    s = s + kvbias_ref[gi, 0:1, pl.ds(kb * block_k, block_k)]
+                if causal and masked:
+                    qpos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+                    kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+                    s = jnp.where(qpos >= kpos, s, NEG_INF)
+                m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_i - m_new)
+                l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
+                                            preferred_element_type=jnp.float32)
+                return acc, m_new, l_new
 
-        carry = (acc, m_i, l_i)
-        carry = jax.lax.fori_loop(
-            0, n_unmasked, functools.partial(body, masked=False), carry)
-        for kb in range(n_unmasked, num_kb):   # diagonal blocks, static
-            carry = body(kb, carry)
-        acc, m_i, l_i = carry
-        l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
-        o_ref[0, pl.ds(qi * bq, bq), :] = (acc / l_safe).astype(o_ref.dtype)
-        if maybe_lse:
-            maybe_lse[0][0, pl.ds(qi * bq, bq), :] = jnp.broadcast_to(
-                m_i + jnp.log(l_safe), (bq, 128))
+            carry = (acc, m_i, l_i)
+            carry = jax.lax.fori_loop(
+                0, n_unmasked, functools.partial(body, masked=False), carry)
+            for kb in range(n_unmasked, num_kb):   # diagonal blocks, static
+                carry = body(kb, carry)
+            acc, m_i, l_i = carry
+            l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
+            o_ref[gi, pl.ds(qi * bq, bq), :] = (acc / l_safe).astype(o_ref.dtype)
+            if maybe_lse:
+                maybe_lse[0][gi, pl.ds(qi * bq, bq), :] = jnp.broadcast_to(
+                    m_i + jnp.log(l_safe), (bq, 128))
+
+
+def _fit_block(pref: int, T: int) -> int:
+    """Largest 128-multiple ≤ ``pref`` dividing T (T is always padded to a
+    128-multiple by the wrapper).  Bigger blocks cut the online-softmax
+    bookkeeping passes (m/l updates, acc rescales): 384 measured 15.61 vs
+    128's 14.30 img/s on the 7B prefill (768-padded T, v5e).  The old
+    halve-until-divides loop degenerated for non-power-of-2 ratios
+    (e.g. pref 384 at T=1024 walked down to 1)."""
+    pref = min(pref, T)
+    best = 0
+    b = 128
+    while b <= pref:
+        if T % b == 0:
+            best = b
+        b += 128
+    if best:
+        return best
+    # sub-128 T (tests, tiny models): largest divisor of T within pref
+    for b in range(pref, 0, -1):
+        if T % b == 0:
+            return b
+    return T
+
+
+def _flash_group(bh: int, T: int, S: int, d: int, need_lse: bool,
+                 has_bias: bool) -> int:
+    """(batch·head) rows per program for the iota kernel: the largest of
+    8/4/2/1 that divides ``bh`` and fits the VMEM budget.  Buffer estimate ×
+    the ~4× Mosaic scoped-stack factor measured for the focal kernel
+    (ops/focal_pallas.py) against a conservative 12 MiB budget;
+    CULLAVO_FLASH_GROUP overrides."""
+    env = os.environ.get("CULLAVO_FLASH_GROUP")
+    if env:
+        g = int(env)
+        if bh % g:
+            raise ValueError(f"CULLAVO_FLASH_GROUP={g} does not divide B*H={bh}")
+        return g
+    per = (2 * T + 2 * S) * d * 2                  # q,o + k,v bf16
+    if need_lse:
+        per += T * 128 * 4
+    if has_bias:
+        per += 8 * S * 4
+    budget = 12 * 1024 * 1024
+    for g in (8, 4, 2):
+        if bh % g == 0 and 4 * g * per <= budget:
+            return g
+    return 1
 
 
 def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k,
                     iota_positions=False, need_lse=True, no_bias=False):
     B, H, T, d = q.shape
     S = k.shape[2]
-    block_q = min(block_q, T)
-    block_k = min(block_k, S)
-    while T % block_q:
-        block_q //= 2
-    while S % block_k:
-        block_k //= 2
+    block_q = _fit_block(block_q, T)
+    block_k = _fit_block(block_k, S)
     sm_scale = d ** -0.5
 
     qf = q.reshape(B * H, T, d)
@@ -289,30 +342,35 @@ def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k,
         pl.BlockSpec((1, S, d), lambda bh, qi: (bh, 0, 0)),
     ]
     if iota_positions:
+        G = _flash_group(B * H, T, S, d, need_lse, not no_bias)
         kernel = functools.partial(_fwd_kernel_iota, block_q=block_q,
                                    block_k=block_k, causal=causal,
-                                   sm_scale=sm_scale, has_bias=not no_bias)
-        # one program per (batch·head): the kernel unrolls the query blocks
-        # internally (see _fwd_kernel_iota) — full-T q/o blocks here
-        one_out_specs = [pl.BlockSpec((1, T, d), lambda bh: (bh, 0, 0))]
+                                   sm_scale=sm_scale, has_bias=not no_bias,
+                                   group=G)
+        # one program per G (batch·head) rows: the kernel unrolls the query
+        # blocks (and the G rows) internally (see _fwd_kernel_iota) —
+        # full-T q/o blocks here.  At 7B prefill shapes per-program fixed
+        # overhead dominates a G=1 launch (448 programs × ~7 µs for ~1 µs
+        # of MXU work each), so G amortizes it within the VMEM budget.
+        one_out_specs = [pl.BlockSpec((G, T, d), lambda bh: (bh, 0, 0))]
         if need_lse:
-            one_out_specs.append(pl.BlockSpec((1, T, 128),
+            one_out_specs.append(pl.BlockSpec((G, T, 128),
                                               lambda bh: (bh, 0, 0)))
         data_in = [
-            pl.BlockSpec((1, T, d), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, S, d), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, S, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((G, T, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((G, S, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((G, S, d), lambda bh: (bh, 0, 0)),
         ]
         operands = [qf, kf, vf]
         if not no_bias:
             kv_bias = jnp.where(kv_rows[:, None, :] != 0, 0.0,
                                 NEG_INF).astype(jnp.float32)
             kv_bias = jnp.broadcast_to(kv_bias, (B * H, 8, S))
-            data_in = [pl.BlockSpec((1, 8, S), lambda bh: (bh, 0, 0))] + data_in
+            data_in = [pl.BlockSpec((G, 8, S), lambda bh: (bh, 0, 0))] + data_in
             operands = [kv_bias] + operands
         res = pl.pallas_call(
             kernel,
-            grid=(B * H,),
+            grid=(B * H // G,),
             in_specs=data_in,
             out_specs=tuple(one_out_specs),
             out_shape=out_shape,

@@ -313,7 +313,8 @@ def is_quantized(w) -> bool:
 # ---------------------------------------------------------------------------
 
 def quantize_linear_int8(w: jax.Array, layout: str = "kn",
-                         outlier_idx=None, smooth_scale=None) -> dict:
+                         outlier_idx=None, smooth_scale=None,
+                         act_scale=None) -> dict:
     """[..., d_in, d_out] → {"q8": int8, "scale8": fp32 per output channel}.
     Per-out-channel absmax symmetric quantization (the reference's
     load_in_8bit eval mode, bitsandbytes Linear8bitLt).
@@ -342,9 +343,21 @@ def quantize_linear_int8(w: jax.Array, layout: str = "kn",
     ``s_k = amax_act_k**alpha / amax_w_k**(1-alpha)`` (SmoothQuant α≈0.5).
     Mutually exclusive with ``outlier_idx``.
 
+    ``act_scale`` (requires ``smooth_scale``; scalar or [L] per stacked
+    layer) — STATIC per-tensor activation scale for W8A8 serving
+    (SmoothQuant's O3 config): the s8s8 runtime skips the per-token absmax
+    reduction entirely and quantizes with this calibrated constant
+    (``sa = max_k(act_absmax_k / s_k) / 127`` over the calibration set).
+    Saves the VPU-bound per-token reduce (~0.6 ms per pass at 7B prefill,
+    4 passes/layer) at the cost of clipping tokens that exceed the
+    calibrated range — a serving-mode tradeoff, NOT bnb semantics.
+
     ``layout="nk"`` stores the quantized weight transposed ([..., d_out,
     d_in], key "q8t") so the dot contracts on the weight's MINOR dimension —
     an experimental decode-stream layout (see scripts/matmul_probe.py)."""
+    if act_scale is not None and smooth_scale is None:
+        raise ValueError("act_scale requires smooth_scale (static W8A8 is "
+                         "only calibrated jointly with SmoothQuant migration)")
     if layout == "nk" and (smooth_scale is not None or outlier_idx is not None):
         # the nk path stores only {"q8t", "scale8"} — it has nowhere to put
         # sq_inv / o_w, so a calibrated nk dict would silently compute
@@ -386,7 +399,17 @@ def quantize_linear_int8(w: jax.Array, layout: str = "kn",
         sq_inv = jnp.broadcast_to(
             (1.0 / s).astype(jnp.bfloat16)[..., None, :],
             lead + (1, w.shape[-2]))
-        return {"q8": q, "scale8": scale, "sq_inv": sq_inv}
+        out = {"q8": q, "scale8": scale, "sq_inv": sq_inv}
+        if act_scale is not None:
+            # static W8A8: one f32 scale per (stacked) layer, shaped
+            # lead + (1, 1) so the per-layer scan slice broadcasts over
+            # [M, 1] exactly like the dynamic per-token sx
+            sa = jnp.broadcast_to(
+                jnp.asarray(act_scale, jnp.float32).reshape(
+                    lead + (1, 1) if lead else (1, 1)),
+                lead + (1, 1))
+            out["sa"] = sa
+        return out
     return {"q8": q, "scale8": scale}
 
 
@@ -1074,6 +1097,23 @@ def int8_linear_s8s8_auto(x: jax.Array, q: dict) -> jax.Array:
     return int8_linear(x, q)
 
 
+def _row_absmax(x_in: jax.Array) -> jax.Array:
+    """Per-row absmax of [M, K], K on the minor (lane) dimension.
+
+    A direct ``max(|x|, axis=-1)`` lowers to a kLoop fusion on TPU whose
+    own cost model reads ~546k cycles at [8974, 4096] (0.58 ms — ~117 GB/s
+    effective, 7× off the HBM roofline; /tmp/prefill_hlo.txt
+    abs_reduce_fusion backend_config).  Splitting the reduction so the
+    HEAVY stage runs across the sublane dimension keeps all 128 lanes busy:
+    [M, K] → [M, K/128, 128], max over the K/128 axis (lane-parallel),
+    then one cheap [M, 128] lane reduce."""
+    K = x_in.shape[-1]
+    if K % 128 == 0 and K > 128:
+        a = jnp.abs(x_in).reshape(x_in.shape[0], K // 128, 128)
+        return jnp.max(jnp.max(a, axis=1), axis=-1, keepdims=True)
+    return jnp.max(jnp.abs(x_in), axis=-1, keepdims=True)
+
+
 def _s8s8_prequant(x2: jax.Array, q: dict):
     """bf16 activation quantization for the s8s8 hot path — shared by the
     single and grouped forms.  ``q`` supplies the calibration (sq_inv /
@@ -1084,8 +1124,15 @@ def _s8s8_prequant(x2: jax.Array, q: dict):
         x_in = x2 * q["o_mask"].astype(jnp.bfloat16)
     else:
         x_in = x2
-    sx = jnp.maximum(jnp.max(jnp.abs(x_in), axis=-1, keepdims=True)
-                     .astype(jnp.float32), 1e-12) / 127.0
+    if "sa" in q:
+        # static W8A8 (see quantize_linear_int8 act_scale): calibrated
+        # per-layer constant replaces the per-token absmax reduce — the
+        # reduce is a VPU-bound kLoop fusion (~0.6 ms per pass at 7B
+        # prefill), 4 passes/layer
+        sx = q["sa"].reshape(1, 1)
+    else:
+        sx = jnp.maximum(_row_absmax(x_in).astype(jnp.float32),
+                         1e-12) / 127.0
     xi = jnp.clip(jnp.round(x_in * (1.0 / sx).astype(jnp.bfloat16)),
                   -127, 127).astype(jnp.int8)
     return xi, sx

@@ -920,3 +920,100 @@ def test_fused_focal_ctx_grad_and_xla_donor():
     gw_ref = pack_level_weights([g for g in gr[2]])
     np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gw_ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_int8_s8s8_static_act_scale_oracle():
+    """Static W8A8 (act_scale baked at quantize time) == a numpy oracle
+    that quantizes the smoothed activation with the SAME constant scale;
+    and the output tracks the dynamic per-token path closely when the
+    calibrated scale covers the data range."""
+    from cullavo_tpu.ops.nf4 import _int8_s8s8_raw, quantize_linear_int8
+
+    rng = np.random.default_rng(5)
+    K, N, M = 64, 48, 16
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    s = np.exp(rng.normal(0.0, 0.2, K)).astype(np.float32)
+    x_sm = (x.astype(np.float32) / s).astype(np.float32)
+    sa = float(np.abs(x_sm).max() / 127.0) * 1.05   # covers the range
+
+    q = quantize_linear_int8(jnp.asarray(w), smooth_scale=s, act_scale=sa)
+    assert "sa" in q and q["sa"].shape == (1, 1)
+    out = np.asarray(_int8_s8s8_raw(jnp.asarray(x), q), np.float32)
+
+    # numpy oracle with identical bf16 rounding points skipped: f32 math,
+    # same constant scale — agreement bound loosened for the bf16 quant
+    w_s = w * s[:, None]
+    amax_w = np.abs(w_s).max(axis=0)
+    s_col = np.where(amax_w == 0, 1.0, amax_w) / 127.0
+    q8 = np.clip(np.round(w_s / s_col), -127, 127)
+    xi = np.clip(np.round(x_sm / sa), -127, 127)
+    ref = (xi @ q8) * sa * s_col
+    assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6) < 2e-2
+
+    # dynamic per-token path on the same dict sans sa: close agreement
+    q_dyn = quantize_linear_int8(jnp.asarray(w), smooth_scale=s)
+    dyn = np.asarray(_int8_s8s8_raw(jnp.asarray(x), q_dyn), np.float32)
+    rel = np.abs(out - dyn).max() / (np.abs(dyn).max() + 1e-6)
+    assert rel < 5e-2, rel
+
+
+def test_static_act_scale_requires_smooth():
+    import pytest
+
+    from cullavo_tpu.ops.nf4 import quantize_linear_int8
+
+    with pytest.raises(ValueError, match="act_scale"):
+        quantize_linear_int8(jnp.ones((8, 4), jnp.float32), act_scale=1.0)
+
+
+def test_calibrate_static_act_forward_runs():
+    """calibrate_and_quantize_llm(static_act=True) produces dicts carrying
+    sa and the forward still tracks the exact path's argmax."""
+    import os as _os
+
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.modeling import (init_llava_params,
+                                                   llava_forward)
+    from cullavo_tpu.ops.calibrate import calibrate_and_quantize_llm
+
+    cfg = tiny_llava_config(120)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, T = 2, 9
+    batches = [{"input_ids": rng.integers(4, 120, size=(B, T)).astype(np.int32),
+                "attention_mask": np.ones((B, T), np.int32),
+                "pixel_values": None} for _ in range(2)]
+    qp = calibrate_and_quantize_llm(params, cfg, batches, static_act=True)
+    assert "sa" in qp["language_model"]["layers"]["q"]
+    ids = jnp.asarray(batches[0]["input_ids"])
+    mask = jnp.asarray(batches[0]["attention_mask"])
+    exact, _ = llava_forward(params, cfg, ids, None, mask)
+    _os.environ["CULLAVO_S8S8_MIN_M"] = "1"
+    try:
+        import cullavo_tpu.ops.nf4 as nf4
+        old = nf4._S8S8_MIN_M
+        nf4._S8S8_MIN_M = 1
+        stat, _ = llava_forward(qp, cfg, ids, None, mask)
+        nf4._S8S8_MIN_M = old
+    finally:
+        del _os.environ["CULLAVO_S8S8_MIN_M"]
+    # tiny random models + per-tensor static quant are noisy; the numerics
+    # contract is the oracle test above — this is a wiring smoke test
+    agree = (jnp.argmax(exact, -1) == jnp.argmax(stat, -1)).mean()
+    assert agree > 0.8, agree
+
+
+def test_flash_fit_block():
+    """Block picker: largest 128-multiple ≤ pref dividing T — the old
+    halve-until-divides loop walked 384 → 1 at T=1024."""
+    from cullavo_tpu.ops.flash_attention import _fit_block
+
+    assert _fit_block(384, 768) == 384
+    assert _fit_block(384, 1024) == 256
+    assert _fit_block(128, 768) == 128
+    assert _fit_block(384, 896) == 128
+    assert _fit_block(384, 128) == 128
+    assert _fit_block(256, 64) == 64      # sub-128 T: clamp to T
+    assert _fit_block(96, 64) == 64       # pref > T after clamp divides T
+    assert _fit_block(48, 64) == 32       # halving fallback
