@@ -90,6 +90,17 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
 
 
+def apply_rope_bthd(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """apply_rope for the packed-heads layout: x [B, T, H, hd] (a free
+    reshape view of the projection output — no [B,H,T,hd] transpose)."""
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
+
+
 def sdpa(q: jax.Array, k: jax.Array, v: jax.Array, bias: Optional[jax.Array]) -> jax.Array:
     """Scaled dot-product attention, fp32 softmax.  [B, H, T, hd] layout."""
     scale = q.shape[-1] ** -0.5
@@ -359,6 +370,18 @@ def llama_forward(
                      and hd % 128 == 0 and cfg.sliding_window is None
                      and (env == "1" or (env != "0"
                                          and (T % 128 == 0 or T >= 384))))
+    # packed-heads prefill (OPT-IN, measured e2e LOSER): heads stay lane
+    # slices end-to-end (q/k/v projections → rope → flash → o-projection)
+    # so the four per-layer [B,T,H,hd]↔[B,H,T,hd] transposes around the
+    # attention custom call disappear — but the in-kernel 128-lane slices
+    # of the [T, G·d] blocks cost more than the transposes they remove:
+    # 15.00 vs 16.10 img/s (int8 7B batch 14, same-day A/B).  Kept as
+    # CULLAVO_FLASH_PACKED=1 for re-testing on other topologies; MHA only
+    # (GQA would need a lane-tiling repeat).
+    use_packed = (use_flash and cache is None and hd % 128 == 0
+                  and H == KV
+                  and __import__("os").environ.get(
+                      "CULLAVO_FLASH_PACKED", "0") == "1")
 
     cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)
 
@@ -481,11 +504,22 @@ def llama_forward(
                               (get_rng(0), get_rng(1), get_rng(2)),
                               {"q": (D, H * hd), "k": (D, KV * hd),
                                "v": (D, KV * hd)})
-        q = yq.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        k = yk.reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
-        v = yv.reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        if use_packed:
+            # packed-heads prefill: reshapes are free views, heads become
+            # lane slices inside the flash kernel — no layout transposes
+            q4 = apply_rope_bthd(yq.reshape(B, T, H, hd), cos, sin)
+            k4 = apply_rope_bthd(yk.reshape(B, T, KV, hd), cos, sin)
+            v4 = yv.reshape(B, T, KV, hd)
+            k_smajor = lambda: k4.transpose(1, 0, 2, 3)      # [T, B, KV, hd]
+            v_smajor = lambda: v4.transpose(1, 0, 2, 3)
+        else:
+            q = yq.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+            k = yk.reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
+            v = yv.reshape(B, T, KV, hd).transpose(0, 2, 1, 3)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            k_smajor = lambda: k.transpose(2, 0, 1, 3)       # [T, B, KV, hd]
+            v_smajor = lambda: v.transpose(2, 0, 1, 3)
 
         ys = None
         if cache is None:
@@ -494,8 +528,8 @@ def llama_forward(
                 # cache length (S-major slot order, see sdpa_smajor); the
                 # scan stacks them into the cache directly
                 if kv_q8:
-                    kq, ks = quantize_kv(k.transpose(2, 0, 1, 3))
-                    vq, vs = quantize_kv(v.transpose(2, 0, 1, 3))
+                    kq, ks = quantize_kv(k_smajor())
+                    vq, vs = quantize_kv(v_smajor())
                     zq = jnp.zeros((prefill_pad_len, B, KV, hd), jnp.int8)
                     zs = jnp.zeros((prefill_pad_len, B, KV), jnp.bfloat16)
                     ys = {"k_cache": jax.lax.dynamic_update_slice(zq, kq, (0,) * 4),
@@ -505,12 +539,20 @@ def llama_forward(
                 else:
                     zeros = jnp.zeros((prefill_pad_len, B, KV, hd), compute_dtype)
                     ys = {"k_cache": jax.lax.dynamic_update_slice(
-                              zeros, k.astype(compute_dtype).transpose(2, 0, 1, 3),
+                              zeros, k_smajor().astype(compute_dtype),
                               (0, 0, 0, 0)),
                           "v_cache": jax.lax.dynamic_update_slice(
-                              zeros, v.astype(compute_dtype).transpose(2, 0, 1, 3),
+                              zeros, v_smajor().astype(compute_dtype),
                               (0, 0, 0, 0))}
-            if use_flash:
+            if use_packed:
+                from cullavo_tpu.ops.flash_attention import flash_attention_packed
+
+                # same right-padded bias-free causal contract as the
+                # standard flash branch below
+                attn = flash_attention_packed(
+                    q4.reshape(B, T, H * hd), k4.reshape(B, T, KV * hd),
+                    v4.reshape(B, T, KV * hd), H)
+            elif use_flash:
                 from cullavo_tpu.ops.flash_attention import flash_attention
 
                 # q_positions=None → global iota, exact for right-padded
@@ -581,7 +623,8 @@ def llama_forward(
                                new_v.astype(compute_dtype), bias, n_rep)
             ys = {"k_cache": new_k, "v_cache": new_v}
 
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
+        if not use_packed:
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
         h = residual + mm(attn, w["o"], ad.get("o"), get_rng(3), (H * hd, D))
 
         residual = h

@@ -63,11 +63,14 @@ def flash_attention(q, k, v, q_positions=None, kv_valid=None, causal=True,
                  and selects the axon-safe iota kernel.
     kv_valid:    [B, S] 0/1 key validity.
 
-    T/S need not be tile-aligned: inputs are zero-padded to a multiple of 128
-    (padded keys masked via kv_valid, padded query rows discarded on return),
-    so odd prompt lengths like LLaVA's 641 can use the kernel.  128 rather
-    than 64 because the kv-bias lane slice at ``kb * block_k`` must be
-    statically 128-aligned for the axon Mosaic helper.
+    T/S need not be tile-aligned: inputs are zero-padded (padded keys masked
+    via kv_valid, padded query rows discarded on return), so odd prompt
+    lengths like LLaVA's 641 can use the kernel.  The bias-free fast path
+    (causal + iota positions + kv_valid=None) only needs SUBLANE (8)
+    alignment — k/v/q block slices are second-minor-dim offsets — so 641
+    pads to just 648; paths carrying the kv bias need 128 because the bias
+    lane slice at ``kb * block_k`` must be statically 128-aligned for the
+    axon Mosaic helper.
     """
     if block_q is None:
         block_q = int(os.environ.get("CULLAVO_FLASH_BQ", 384))
@@ -75,8 +78,9 @@ def flash_attention(q, k, v, q_positions=None, kv_valid=None, causal=True,
         block_k = int(os.environ.get("CULLAVO_FLASH_BK", 384))
     B, H, T, d = q.shape
     S = k.shape[2]
-    pad_t = (-T) % 128
-    pad_s = (-S) % 128
+    align = 8 if (causal and q_positions is None and kv_valid is None) else 128
+    pad_t = (-T) % align
+    pad_s = (-S) % align
     if pad_t or pad_s:
         if kv_valid is None and not (causal and q_positions is None):
             # kv_valid=None stays None on the causal iota path — padded
@@ -269,23 +273,24 @@ def _fwd_kernel_iota(*refs, block_q: int, block_k: int, causal: bool,
                     m_i + jnp.log(l_safe), (bq, 128))
 
 
-def _fit_block(pref: int, T: int) -> int:
-    """Largest 128-multiple ≤ ``pref`` dividing T (T is always padded to a
-    128-multiple by the wrapper).  Bigger blocks cut the online-softmax
-    bookkeeping passes (m/l updates, acc rescales): 384 measured 15.61 vs
-    128's 14.30 img/s on the 7B prefill (768-padded T, v5e).  The old
-    halve-until-divides loop degenerated for non-power-of-2 ratios
-    (e.g. pref 384 at T=1024 walked down to 1)."""
+def _fit_block(pref: int, T: int, step: int = 128) -> int:
+    """Largest ``step``-multiple ≤ ``pref`` dividing T (the wrapper pads T
+    to a step-multiple).  Bigger blocks cut the online-softmax bookkeeping
+    passes (m/l updates, acc rescales): 384 measured 15.61 vs 128's 14.30
+    img/s on the 7B prefill (768-padded T, v5e).  step=8 on the bias-free
+    path (block slices are sublane offsets — no 128-lane bias slice), so
+    T=648 runs unpadded with 216-blocks.  The old halve-until-divides loop
+    degenerated for non-power-of-2 ratios (e.g. pref 384 at T=1024 → 1)."""
     pref = min(pref, T)
     best = 0
-    b = 128
+    b = step
     while b <= pref:
         if T % b == 0:
             best = b
-        b += 128
+        b += step
     if best:
         return best
-    # sub-128 T (tests, tiny models): largest divisor of T within pref
+    # sub-step T (tests, tiny models): largest divisor of T within pref
     for b in range(pref, 0, -1):
         if T % b == 0:
             return b
@@ -321,8 +326,9 @@ def _flash_fwd_core(q, k, v, qp_rows, kv_rows, causal, block_q, block_k,
                     iota_positions=False, need_lse=True, no_bias=False):
     B, H, T, d = q.shape
     S = k.shape[2]
-    block_q = _fit_block(block_q, T)
-    block_k = _fit_block(block_k, S)
+    step = 8 if (iota_positions and no_bias) else 128
+    block_q = _fit_block(block_q, T, step)
+    block_k = _fit_block(block_k, S, step)
     sm_scale = d ** -0.5
 
     qf = q.reshape(B * H, T, d)
@@ -465,6 +471,167 @@ def _flash_bwd(causal, block_q, block_k, res, do):
 
 
 _flash_custom.defvjp(_flash_fwd_vjp, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# packed-heads forward: heads as lane slices, no layout transposes
+# ---------------------------------------------------------------------------
+
+def flash_attention_packed(q, k, v, num_heads, causal=True,
+                           block_q=None, block_k=None):
+    """Transpose-free attention on the packed-heads layout: q [B, T, H·d],
+    k/v [B, S, H·d], head h occupying the lane slice [h·d, (h+1)·d) — the
+    layout the q/k/v projections PRODUCE and the o-projection CONSUMES.
+    Mathematically equal to ``flash_attention`` on [B, H, T, d] under the
+    right-padded causal contract (global iota positions, no kv mask) — the
+    production prefill configuration; the 4 per-layer [B,T,H,d]↔[B,H,T,d]
+    transposes around the attention custom call (~24 ms/step at 7B prefill,
+    docs/PERFORMANCE.md) disappear because heads become static 128-aligned
+    lane offsets inside the kernel.
+
+    Requires d % 128 == 0 (head dim = lane multiple) and causal=True;
+    kv heads must already be repeated (pass MHA or pre-repeated GQA).
+    Differentiable: the VJP restages to the [B, H, T, d] layout and reuses
+    the standard flash backward (transposes in the backward only)."""
+    if block_q is None:
+        block_q = int(os.environ.get("CULLAVO_FLASH_BQ", 384))
+    if block_k is None:
+        block_k = int(os.environ.get("CULLAVO_FLASH_BK", 384))
+    B, T, Hd = q.shape
+    S = k.shape[1]
+    d = Hd // num_heads
+    if d % 128 or Hd % num_heads or not causal:
+        raise ValueError(
+            f"flash_attention_packed needs causal=True and head_dim a lane "
+            f"multiple (got H={num_heads}, H*d={Hd}, causal={causal})")
+    pad_t = (-T) % 8
+    pad_s = (-S) % 8
+    if pad_t or pad_s:
+        q = jnp.pad(q, ((0, 0), (0, pad_t), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad_s), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_s), (0, 0)))
+        return _packed_custom(q, k, v, num_heads, causal,
+                              block_q, block_k)[:, :T]
+    return _packed_custom(q, k, v, num_heads, causal, block_q, block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _packed_custom(q, k, v, num_heads, causal, block_q, block_k):
+    return _packed_fwd_core(q, k, v, num_heads, causal, block_q, block_k)
+
+
+def _packed_fwd_core(q, k, v, H, causal, block_q, block_k):
+    B, T, Hd = q.shape
+    S = k.shape[1]
+    d = Hd // H
+    block_q = _fit_block(block_q, T, 8)
+    block_k = _fit_block(block_k, S, 8)
+    # heads per program under the same VMEM budget rule as _flash_group
+    per = (2 * T + 2 * S) * d * 2                  # q,o + k,v bf16
+    G = 1
+    for g in (8, 4, 2):
+        if H % g == 0 and 4 * g * per <= 12 * 1024 * 1024:
+            G = g
+            break
+    kernel = functools.partial(
+        _fwd_kernel_iota_packed, block_q=block_q, block_k=block_k, d=d,
+        causal=causal, sm_scale=d ** -0.5, group=G)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // G),
+        in_specs=[pl.BlockSpec((1, T, G * d), lambda b, hg: (b, 0, hg)),
+                  pl.BlockSpec((1, S, G * d), lambda b, hg: (b, 0, hg)),
+                  pl.BlockSpec((1, S, G * d), lambda b, hg: (b, 0, hg))],
+        out_specs=pl.BlockSpec((1, T, G * d), lambda b, hg: (b, 0, hg)),
+        out_shape=jax.ShapeDtypeStruct((B, T, Hd), q.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(q, k, v)
+
+
+def _fwd_kernel_iota_packed(q_ref, k_ref, v_ref, o_ref, *, block_q: int,
+                            block_k: int, d: int, causal: bool,
+                            sm_scale: float, group: int):
+    """_fwd_kernel_iota with heads as static lane slices instead of a
+    leading axis: same online-softmax body, causal block-skip, and
+    input-dtype operands with f32 accumulation."""
+    T = q_ref.shape[1]
+    S = k_ref.shape[1]
+    bq = min(block_q, T)
+    for gi in range(group):
+        lo = gi * d
+        for qi in range(T // bq):
+            q = q_ref[0, pl.ds(qi * bq, bq), lo:lo + d]
+            num_kb = S // block_k
+            if causal:
+                num_kb = min(num_kb, (qi * bq + bq + block_k - 1) // block_k)
+
+            acc = jnp.zeros((bq, d), jnp.float32)
+            m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+            l_i = jnp.zeros((bq, 1), jnp.float32)
+            n_unmasked = (qi * bq) // block_k if causal else num_kb
+
+            def body(kb, carry, qi=qi, q=q, lo=lo, masked=True):
+                acc, m_i, l_i = carry
+                k_blk = k_ref[0, pl.ds(kb * block_k, block_k), lo:lo + d]
+                v_blk = v_ref[0, pl.ds(kb * block_k, block_k), lo:lo + d]
+                s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s * sm_scale
+                if causal and masked:
+                    qpos = qi * bq + jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, block_k), 0)
+                    kpos = kb * block_k + jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, block_k), 1)
+                    s = jnp.where(qpos >= kpos, s, NEG_INF)
+                m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_i - m_new)
+                l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
+                                            preferred_element_type=jnp.float32)
+                return acc, m_new, l_new
+
+            carry = (acc, m_i, l_i)
+            carry = jax.lax.fori_loop(
+                0, n_unmasked, functools.partial(body, masked=False), carry)
+            for kb in range(n_unmasked, num_kb):   # diagonal blocks, static
+                carry = body(kb, carry)
+            acc, m_i, l_i = carry
+            l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
+            o_ref[0, pl.ds(qi * bq, bq), lo:lo + d] = (
+                acc / l_safe).astype(o_ref.dtype)
+
+
+def _packed_vjp_fwd(q, k, v, num_heads, causal, block_q, block_k):
+    o = _packed_fwd_core(q, k, v, num_heads, causal, block_q, block_k)
+    return o, (q, k, v)
+
+
+def _packed_vjp_bwd(num_heads, causal, block_q, block_k, res, do):
+    """Backward restages to the standard [B, H, T, d] layout and
+    differentiates through the standard flash path (its VJP saves o/lse
+    from its own forward — one extra fused forward per backward, which
+    per-layer remat pays anyway on the training path)."""
+    q, k, v = res
+    B, T, Hd = q.shape
+    d = Hd // num_heads
+
+    def to_std(x):
+        return x.reshape(B, -1, num_heads, d).transpose(0, 2, 1, 3)
+
+    _, vjp = jax.vjp(
+        lambda a, b, c: _flash_custom(a, b, c, None, None, causal,
+                                      block_q, block_k),
+        to_std(q), to_std(k), to_std(v))
+    dq, dk, dv = vjp(to_std(do))
+
+    def to_packed(x):
+        return x.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, Hd)
+
+    return to_packed(dq), to_packed(dk), to_packed(dv)
+
+
+_packed_custom.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -1028,14 +1028,14 @@ def _int8_s8s8_raw(x: jax.Array, q: dict,
     static_out = "o_w" in q
 
     if not (max_outliers > 0 and not static_out and "sq_inv" not in q):
-        # hot path (smooth / static-outlier / plain): quantize in bf16 —
-        # the f32-cast chain was 31% of prefill device time (abs_reduce +
-        # round loop fusions, scripts/prefill_trace.py); round() outputs
-        # integers ≤ 127 which bf16 represents exactly, and bnb's own
-        # quantization is half-precision, so bf16 is in-spec.  Only the
-        # per-row SCALE stays f32 (it multiplies the int32 accumulator).
-        # The quant + dot + epilogue is the SAME numerics-critical chain as
-        # the grouped path — shared via _s8s8_prequant/_s8s8_apply.
+        # hot path (smooth / static-outlier / plain): the per-linear
+        # activation-quant chain was 31% of prefill device time as XLA
+        # abs_reduce + round kLoop fusions (scripts/prefill_trace.py);
+        # _s8s8_prequant replaces it with one fused Pallas VMEM pass at
+        # prefill shapes.  bnb's own quantization is half-precision, so the
+        # bf16 input domain is in-spec.  The quant + dot + epilogue is the
+        # SAME numerics-critical chain as the grouped path — shared via
+        # _s8s8_prequant/_s8s8_apply.
         xb = x.reshape(-1, K).astype(jnp.bfloat16)
         xi, sx = _s8s8_prequant(xb, q)
         y = _s8s8_apply(xi, sx, xb, q)
@@ -1114,27 +1114,123 @@ def _row_absmax(x_in: jax.Array) -> jax.Array:
     return jnp.max(jnp.abs(x_in), axis=-1, keepdims=True)
 
 
-def _s8s8_prequant(x2: jax.Array, q: dict):
-    """bf16 activation quantization for the s8s8 hot path — shared by the
-    single and grouped forms.  ``q`` supplies the calibration (sq_inv /
-    o_mask); returns (xi int8 [M, K], sx f32 [M, 1])."""
-    if "sq_inv" in q:
-        x_in = x2 * q["sq_inv"].astype(jnp.bfloat16)
-    elif "o_w" in q:
-        x_in = x2 * q["o_mask"].astype(jnp.bfloat16)
+def _quant_inv_scale(a: jax.Array) -> tuple:
+    """Canonical per-row activation-quant scale from an f32 row absmax
+    ``a``: returns (inv, sx) where codes = round(x_f32 · inv) and sx (f32)
+    is EXACTLY 1/inv — the dequant scale matches the multiplier the codes
+    were built with.
+
+    Two rules make the Pallas kernel and the XLA fallback bit-identical by
+    construction, neither of which holds for the obvious formulation:
+    (1) constant-NUMERATOR divisions only — XLA rewrites division by a
+    constant (``a/127``) into a reciprocal multiply in some fusion contexts
+    but not others (measured: 1-ULP sx shift, whole rows of codes ±1);
+    (2) the whole quant chain stays f32 with a single rounding point at the
+    final round() — intermediate bf16 rounding points are NOT stable across
+    compilation contexts (measured: XLA CPU runs fused bf16 elementwise
+    chains at f32 precision and only rounds at fusion boundaries, so the
+    same source computed different codes inside and outside the kernel)."""
+    inv = jnp.float32(127.0) / jnp.maximum(a, 1e-12)
+    sx = 1.0 / inv
+    return inv, sx
+
+
+def _quant_rows_kernel(*refs, has_mult: bool):
+    """Fused per-row activation quantization: (x · s) → row absmax → int8.
+
+    One VMEM pass replaces XLA's abs_reduce kLoop fusion (~0.6 ms per
+    [9072, 4096] pass, ~120 GB/s effective — its minor-dim reduce windows
+    tile as (1, 81, 11)) + the separate clamp_convert quant pass.  The
+    smooth/outlier multiplier ``s`` arrives as an f32 [8, K] block (bf16
+    [1, K] violates the sublane tile)."""
+    if has_mult:
+        x_ref, s_ref, xi_ref, sx_ref = refs
     else:
-        x_in = x2
+        (x_ref, xi_ref, sx_ref), s_ref = refs, None
+    x = x_ref[:].astype(jnp.float32)               # [bm, K]
+    if has_mult:
+        x = x * s_ref[0:1, :]
+    a = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    inv, sx = _quant_inv_scale(a)
+    xi_ref[:] = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+    sx_ref[:] = jnp.broadcast_to(sx, (x.shape[0], 128))
+
+
+def _quant_rows_block(M: int, K: int = 4096) -> int:
+    """Largest 8-multiple divisor of M whose VMEM footprint fits: per
+    program ≈ bm·K·(2 bf16 in + 1 int8 out + ~7 for the f32 upcast and
+    product temps) bytes + margin against the 16 MiB scoped limit
+    (measured: bm=160 at K=11008 reports 16.73 M scoped with the pure-f32
+    chain — ~9.5 B/elem).  → cap 256 at K=4096, 128 at K=11008."""
+    cap = max(8, int(12 * 1024 * 1024 / (9.5 * K)) // 8 * 8)
+    cap = min(cap, 256)
+    best = 0
+    b = 8
+    while b <= cap:
+        if M % b == 0:
+            best = b
+        b += 8
+    return best
+
+
+def quantize_rows_pallas(x2: jax.Array, mult) -> tuple:
+    """(xi int8 [M, K], sx f32 [M, 1]) = fused row quant of ``x2 * mult``.
+    ``mult`` is the [1, K]-broadcastable SmoothQuant sq_inv / LLM.int8
+    o_mask (or None)."""
+    M, K = x2.shape
+    bm = _quant_rows_block(M, K)
+    has_mult = mult is not None
+    s_in = []
+    in_specs = [pl.BlockSpec((bm, K), lambda i: (i, 0))]
+    if has_mult:
+        s8rows = jnp.broadcast_to(
+            jnp.asarray(mult, jnp.float32).reshape(1, K), (8, K))
+        s_in = [s8rows]
+        in_specs = in_specs + [pl.BlockSpec((8, K), lambda i: (0, 0))]
+    xi, sx = pl.pallas_call(
+        functools.partial(_quant_rows_kernel, has_mult=has_mult),
+        grid=(M // bm,),
+        in_specs=tuple(in_specs),
+        out_specs=(pl.BlockSpec((bm, K), lambda i: (i, 0)),
+                   pl.BlockSpec((bm, 128), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((M, K), jnp.int8),
+                   jax.ShapeDtypeStruct((M, 128), jnp.float32)),
+        interpret=jax.default_backend() == "cpu",
+    )(x2.astype(jnp.bfloat16), *s_in)
+    return xi, sx[:, :1]
+
+
+def _quant_pallas_enabled(M: int, K: int) -> bool:
+    mode = os.environ.get("CULLAVO_QUANT_PALLAS", "1")
+    return (mode != "0" and K % 128 == 0 and M % 8 == 0
+            and _quant_rows_block(M, K) >= 64)
+
+
+def _s8s8_prequant(x2: jax.Array, q: dict):
+    """Per-row activation quantization for the s8s8 hot path — shared by
+    the single and grouped forms.  Fused Pallas kernel at prefill shapes,
+    bit-identical pure-f32 XLA chain otherwise.  ``q`` supplies the
+    calibration (sq_inv / o_mask); returns (xi int8 [M, K], sx f32 [M, 1])."""
     if "sa" in q:
         # static W8A8 (see quantize_linear_int8 act_scale): calibrated
         # per-layer constant replaces the per-token absmax reduce — the
         # reduce is a VPU-bound kLoop fusion (~0.6 ms per pass at 7B
         # prefill), 4 passes/layer
+        x_in = x2 * q["sq_inv"].astype(jnp.bfloat16)
         sx = q["sa"].reshape(1, 1)
-    else:
-        sx = jnp.maximum(_row_absmax(x_in).astype(jnp.float32),
-                         1e-12) / 127.0
-    xi = jnp.clip(jnp.round(x_in * (1.0 / sx).astype(jnp.bfloat16)),
-                  -127, 127).astype(jnp.int8)
+        xi = jnp.clip(jnp.round(x_in * (1.0 / sx).astype(jnp.bfloat16)),
+                      -127, 127).astype(jnp.int8)
+        return xi, sx
+    mult = q.get("sq_inv") if "sq_inv" in q else q.get("o_mask")
+    if _quant_pallas_enabled(*x2.shape):
+        return quantize_rows_pallas(x2, mult)
+    # pure-f32 chain, same ops as the Pallas kernel (see _quant_inv_scale
+    # for why no intermediate bf16 rounding point is allowed)
+    xf = x2.astype(jnp.float32)
+    if mult is not None:
+        xf = xf * jnp.asarray(mult, jnp.float32).reshape(1, -1)
+    inv, sx = _quant_inv_scale(_row_absmax(xf))
+    xi = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
     return xi, sx
 
 

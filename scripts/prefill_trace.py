@@ -33,14 +33,18 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH[(quant, None)]))
     n_img = cfg.num_image_tokens
     T = 1 + n_img + PROMPT_TEXT_TOKENS
-    max_len = T + 16
+    # mirror bench.py's BENCH_PROMPT_PAD sublane alignment (default 8)
+    pad_mult = int(os.environ.get("BENCH_PROMPT_PAD", 8))
+    T_padded = -(-T // pad_mult) * pad_mult
+    max_len = T_padded + 16
     rng = np.random.default_rng(0)
-    ids = rng.integers(4, 32000, size=(B, T)).astype(np.int32)
+    ids = rng.integers(4, 32000, size=(B, T_padded)).astype(np.int32)
     ids[:, 1:1 + n_img] = cfg.image_token_id
     pix = rng.normal(size=(B, 3, 336, 336)).astype(np.float32)
     gen = GenerationConfig(max_new_tokens=16, do_sample=False, eos_token_id=-1)
     jids, jpix = jnp.asarray(ids), jnp.asarray(pix)
     jmask = jnp.ones_like(jids)
+    jmask = jmask.at[:, T:].set(0)
 
     def run():
         state = generate_prefill_chunked(params, cfg, jids, jpix, jmask,

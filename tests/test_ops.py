@@ -1017,3 +1017,114 @@ def test_flash_fit_block():
     assert _fit_block(256, 64) == 64      # sub-128 T: clamp to T
     assert _fit_block(96, 64) == 64       # pref > T after clamp divides T
     assert _fit_block(48, 64) == 32       # halving fallback
+
+
+def test_quantize_rows_pallas_matches_xla(monkeypatch):
+    """Fused Pallas row-quant (interpret mode on CPU) == the XLA prequant
+    chain: identical int8 codes AND scales — both paths share the
+    canonical `_quant_inv_scale` pure-f32 chain (constant-numerator
+    divisions + a single rounding point, see its docstring for the two
+    compiler rewrites that break the naive formulation)."""
+    from cullavo_tpu.ops.nf4 import _s8s8_prequant, quantize_rows_pallas
+
+    rng = np.random.default_rng(3)
+    M, K = 64, 256
+    x2 = jnp.asarray(rng.normal(size=(M, K)) * 3.0, jnp.bfloat16)
+    for mult in (None, jnp.asarray(
+            np.exp(rng.normal(0.0, 0.3, (1, K))), jnp.bfloat16)):
+        xi, sx = quantize_rows_pallas(x2, mult)
+        q = {"sq_inv": mult} if mult is not None else {}
+        monkeypatch.setenv("CULLAVO_QUANT_PALLAS", "0")
+        xi_ref, sx_ref = _s8s8_prequant(x2, q)
+        monkeypatch.delenv("CULLAVO_QUANT_PALLAS")
+        assert xi.dtype == jnp.int8 and sx.shape == (M, 1)
+        np.testing.assert_array_equal(np.asarray(xi), np.asarray(xi_ref))
+        # codes are bit-exact; the f32 epilogue scale (1.0/inv) may still
+        # compile to a different division form between contexts — 1 ULP
+        # (6e-8 rel) against a 1e-2-relative quantization is immaterial
+        np.testing.assert_allclose(np.asarray(sx), np.asarray(sx_ref),
+                                   rtol=2e-7)
+
+
+def test_flash_packed_matches_standard():
+    """Packed-heads layout (q/k/v [B, T, H*d]) == the standard [B, H, T, d]
+    flash path (same kernel math, heads as lane slices) and the naive
+    reference, for aligned and odd (sublane-padded) T."""
+    from cullavo_tpu.ops.flash_attention import flash_attention_packed
+
+    for T in (64, 43):
+        q, k, v = _qkv(B=2, H=2, T=T, d=128)
+        ref = mha_reference(q, k, v, causal=True)
+        B, H, _, d = q.shape
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, -1, H * d)
+        out = flash_attention_packed(pack(q), pack(k), pack(v), H,
+                                     block_q=16, block_k=16)
+        out = out.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_flash_packed_backward_matches_reference():
+    from cullavo_tpu.ops.flash_attention import flash_attention_packed
+
+    q, k, v = _qkv(B=1, H=2, T=32, d=128)
+    B, H, T, d = q.shape
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, -1, H * d)
+    qp, kp, vp = pack(q), pack(k), pack(v)
+
+    def f_packed(qp, kp, vp):
+        return jnp.sum(flash_attention_packed(qp, kp, vp, H, block_q=16,
+                                              block_k=16) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+    gp = jax.grad(f_packed, argnums=(0, 1, 2))(qp, kp, vp)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(pack(b)),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_flash_packed_rejects_bad_head_dim():
+    from cullavo_tpu.ops.flash_attention import flash_attention_packed
+
+    q, k, v = _qkv(B=1, H=2, T=16, d=64)
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(1, -1, 128)
+    import pytest
+    with pytest.raises(ValueError):
+        flash_attention_packed(pack(q), pack(k), pack(v), 2)
+
+
+def test_llama_packed_prefill_matches_standard():
+    """use_packed (heads-as-lane-slices prefill) == the standard transposed
+    flash path at a head_dim-128 config, including the cache-building
+    prefill's S-major k/v emission."""
+    from cullavo_tpu.models.llava.config import LlamaConfig
+    from cullavo_tpu.models.llava.llama import init_llama_params, llama_forward
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=256, intermediate_size=96,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      num_key_value_heads=2, max_position_embeddings=64)
+    assert cfg.head_dim == 128
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, T, P = 2, 12, 20
+    emb = jnp.asarray(rng.normal(size=(B, T, cfg.hidden_size)) * 0.02,
+                      jnp.float32)
+    mask = jnp.ones((B, T), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    import os
+    kw = dict(use_flash=True, prefill_pad_len=P)
+    os.environ["CULLAVO_FLASH_PACKED"] = "1"   # opt-in (e2e loser on chip)
+    try:
+        out_p, cache_p = llama_forward(params, cfg, emb, mask, pos, **kw)
+    finally:
+        del os.environ["CULLAVO_FLASH_PACKED"]
+    out_s, cache_s = llama_forward(params, cfg, emb, mask, pos, **kw)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
+                               atol=2e-5, rtol=2e-5)
+    for key in cache_p:
+        np.testing.assert_allclose(np.asarray(cache_p[key]),
+                                   np.asarray(cache_s[key]),
+                                   atol=2e-5, rtol=2e-5, err_msg=key)
