@@ -42,12 +42,15 @@ def _build_llava(cfg):
     from cullavo_tpu.models.llava.config import LlavaConfig, tiny_llava_config
     from cullavo_tpu.models.llava.modeling import init_llava_params
 
-    model_path = cfg.get("MODEL", {}).get("LLM", {}).get("LOAD_PATH") \
-        if "MODEL" in cfg else None
+    llm_cfg = (cfg.get("MODEL") or {}).get("LLM") or {}
+    model_path = llm_cfg.get("LOAD_PATH")
     if model_path:
         model_cfg = LlavaConfig()
+        # keep the imported weights on HOST: maybe_quantize_base below
+        # NF4/int8-encodes them there (C++ quantizer) so only the packed
+        # streams are uploaded — uploading f32 first would ship 8× the
+        # bytes and OOM a 16 GB chip before quantization could run
         params = load_llava_safetensors(model_path, model_cfg, np.float32)
-        params = jax.tree.map(jnp.asarray, params)
         tokenizer = HFTokenizer(model_path)
     else:
         print("[entry] no MODEL.LLM.LOAD_PATH — using tiny random model "
@@ -57,8 +60,7 @@ def _build_llava(cfg):
         from cullavo_tpu.data.tokenizer import ByteTokenizer
 
         tokenizer = ByteTokenizer()
-    bits = int((cfg.get("MODEL", {}).get("LLM", {}).get("BITS") or 0)
-               if "MODEL" in cfg else 0)
+    bits = int(llm_cfg.get("BITS") or 0)
     # the reference loads the LLM quantized (BITS: 4 → NF4 Q-LoRA base,
     # load_cullavo.py:65-83; the VL eval pipelines load 8-bit,
     # LLaVAVQAVALPipeline.py:94-102) — honor it on every CLI workload.
@@ -67,6 +69,7 @@ def _build_llava(cfg):
     from cullavo_tpu.models.llava.lora import maybe_quantize_base
 
     params = maybe_quantize_base(params, bits)
+    params = jax.tree.map(jnp.asarray, params)
     return model_cfg, params, tokenizer
 
 

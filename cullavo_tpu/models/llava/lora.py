@@ -249,13 +249,46 @@ def maybe_quantize_base(params: Any, bits: int) -> Any:
     """Config-driven base quantization (MODEL.LLM.BITS → 4 = NF4,
     8 = LLM.int8; reference load_cullavo.py:65-83).  No-op when bits is
     neither, or when the LLM linears are already quantized dicts (callers
-    may pre-quantize with calibration — don't double-quantize).  Runs under
-    jit so init never falls into eager per-op RPCs on remote backends."""
+    may pre-quantize with calibration — don't double-quantize).
+
+    Quantizes ONE target at a time so the full-precision and quantized
+    copies of the 7B base never coexist on a 16 GB chip: host (numpy)
+    weights — the checkpoint-import path — are NF4-encoded by the C++
+    quantizer before any upload (shipping the packed 4-bit stream instead
+    of f32, and avoiding the giant one-shot on-device encode program);
+    device weights are quantized per-target under jit with the input
+    DONATED, so each bf16 original is freed as its quantized form lands."""
     if bits not in (4, 8) or any(
             isinstance(w, dict)
             for w in params["language_model"]["layers"].values()):
         return params
-    return jax.jit(lambda p: quantize_llm_weights(p, bits=bits))(params)
+    import numpy as _np
+
+    from cullavo_tpu.ops.nf4 import (BLOCK, quantize_linear,
+                                     quantize_linear_int8,
+                                     quantize_linear_planar)
+
+    lm = dict(params["language_model"])
+    layers = dict(lm["layers"])
+    for t in LLM_TARGETS:
+        w = layers[t]
+        on_device = isinstance(w, jax.Array)
+        planar = w.shape[-2] % 8 == 0 and w.shape[-1] % BLOCK == 0
+        if bits == 4 and planar and not on_device:
+            from cullavo_tpu.native import nf4_quantize_planar_native
+
+            q = nf4_quantize_planar_native(_np.asarray(w, _np.float32))
+            layers[t] = jax.tree.map(jnp.asarray, q)
+        else:
+            if bits == 4:
+                fn = quantize_linear_planar if planar else quantize_linear
+            else:
+                fn = quantize_linear_int8
+            jfn = jax.jit(fn, donate_argnums=0) if on_device else jax.jit(fn)
+            layers[t] = jax.block_until_ready(jfn(w))
+        layers[t] = dict(layers[t])
+    lm["layers"] = layers
+    return {**params, "language_model": lm}
 
 
 def quantize_vision_weights(params: Any, smooth_scales: Any = None) -> Any:

@@ -43,15 +43,10 @@ def collect_llm_act_stats(params: Any, cfg, batches: Iterable[dict],
     {"attn_in"/"attn_out"/"mlp_in"/"mlp_down": np.ndarray [L, K]}."""
     from cullavo_tpu.models.llava.modeling import llava_forward
 
-    fns = {}
-
-    def fn_for(shapes):
-        if shapes not in fns:
-            fns[shapes] = jax.jit(
-                lambda p, ids, pix, mask: llava_forward(
-                    p, cfg, ids, pix, mask, act_stats=True,
-                    last_logit_only=True)[2])
-        return fns[shapes]
+    # jit's own trace cache keys on input shapes — new batch shapes retrace
+    # automatically
+    fn = jax.jit(lambda p, ids, pix, mask: llava_forward(
+        p, cfg, ids, pix, mask, act_stats=True, last_logit_only=True)[2])
 
     acc = None
     for batch in batches:
@@ -59,8 +54,7 @@ def collect_llm_act_stats(params: Any, cfg, batches: Iterable[dict],
         mask = jnp.asarray(batch["attention_mask"])
         pix = batch.get("pixel_values")
         pix = jnp.asarray(pix, compute_dtype) if pix is not None else None
-        key = (ids.shape, None if pix is None else pix.shape)
-        stats = fn_for(key)(params, ids, pix, mask)
+        stats = fn(params, ids, pix, mask)
         stats = {k: np.asarray(v, np.float32) for k, v in stats.items()}
         acc = stats if acc is None else {
             k: np.maximum(acc[k], stats[k]) for k in acc}

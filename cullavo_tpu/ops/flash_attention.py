@@ -78,14 +78,17 @@ def flash_attention(q, k, v, q_positions=None, kv_valid=None, causal=True,
         block_k = int(os.environ.get("CULLAVO_FLASH_BK", 384))
     B, H, T, d = q.shape
     S = k.shape[2]
-    align = 8 if (causal and q_positions is None and kv_valid is None) else 128
+    # bias-free fast path soundness needs S >= T: padded keys live at
+    # positions >= S, and with global iota positions the max valid query
+    # position is T-1 — only S >= T makes every padded key causally
+    # invisible to every valid query.  T > S (cross-attention-like shapes)
+    # must carry the kv-validity bias.
+    biasfree = causal and q_positions is None and kv_valid is None and S >= T
+    align = 8 if biasfree else 128
     pad_t = (-T) % align
     pad_s = (-S) % align
     if pad_t or pad_s:
-        if kv_valid is None and not (causal and q_positions is None):
-            # kv_valid=None stays None on the causal iota path — padded
-            # keys are causally invisible to valid queries, so the kernel
-            # can run bias-free (see _flash_fwd_expanded no_bias)
+        if kv_valid is None and not biasfree:
             kv_valid = jnp.ones((B, S), jnp.int32)
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
@@ -117,11 +120,13 @@ def _flash_fwd_expanded(q, k, v, q_positions, kv_valid, causal, block_q,
     Returns (o, lse-or-None, q_positions, kv_valid) materialized."""
     B, H, T, d = q.shape
     iota = q_positions is None
-    # causal + iota positions + no explicit key mask → every padded key
-    # (right padding) is already causally invisible to every valid query,
-    # so the kv bias is mathematically redundant: drop it from the kernel
-    # entirely (saves a [bq, bk] add + bias read per block)
-    no_bias = iota and causal and kv_valid is None
+    # causal + iota positions + no explicit key mask + S >= T → every
+    # padded key (right padding) is already causally invisible to every
+    # valid query, so the kv bias is mathematically redundant: drop it from
+    # the kernel entirely (saves a [bq, bk] add + bias read per block).
+    # S < T would let queries at positions >= S see zero-padded keys, so
+    # that case keeps the bias (flash_attention synthesizes kv_valid).
+    no_bias = iota and causal and kv_valid is None and k.shape[2] >= T
     if q_positions is None:
         q_positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     if kv_valid is None:
@@ -186,6 +191,71 @@ def _fwd_kernel_rows(qpos_ref, kvalid_ref, q_ref, k_ref, v_ref, o_ref,
         maybe_lse[0][0] = jnp.broadcast_to(m_i + jnp.log(l_safe), (bq, 128))
 
 
+def _causal_kb_bounds(qi: int, bq: int, S: int, block_k: int, causal: bool):
+    """Static key-block bounds for one query block: (n_unmasked, num_kb).
+    Blocks [0, n_unmasked) lie strictly below the causal diagonal (no mask
+    needed); [n_unmasked, num_kb) straddle it; [num_kb, S/block_k) are fully
+    masked and skipped.  Both are clamped to S//block_k so T > S shapes
+    never index key blocks past S (the unclamped form read k_ref/v_ref out
+    of bounds once qi*bq exceeded S)."""
+    total_kb = S // block_k
+    if not causal:
+        return total_kb, total_kb
+    num_kb = min(total_kb, (qi * bq + bq + block_k - 1) // block_k)
+    return min((qi * bq) // block_k, num_kb), num_kb
+
+
+def _online_softmax_qblock(q, read_kv, qi_base: int, n_unmasked: int,
+                           num_kb: int, block_k: int, causal: bool,
+                           sm_scale: float, bias_read=None):
+    """Online-softmax pass of ONE query block over its key blocks — the
+    numerics-critical flash body shared by the standard and packed-heads
+    kernels (one copy: a fix here reaches both).
+
+    ``read_kv(kb) -> (k_blk, v_blk)`` delivers the kb-th key/value block in
+    the INPUT dtype (MXU-native rate for bf16 models); scores accumulate in
+    f32 and probabilities round to the input dtype for the PV dot —
+    flash-attention-2's own numerics for half inputs, exact math for f32.
+    ``bias_read(kb) -> [1, block_k]`` optional additive f32 bias (key
+    validity).  Returns (acc, m_i, l_i)."""
+    bq, d = q.shape
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l_i = jnp.zeros((bq, 1), jnp.float32)
+
+    def body(kb, carry, masked=True):
+        acc, m_i, l_i = carry
+        k_blk, v_blk = read_kv(kb)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale
+        if bias_read is not None:
+            s = s + bias_read(kb)
+        if causal and masked:
+            qpos = qi_base + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 0)
+            kpos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            s = jnp.where(qpos >= kpos, s, NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
+                                    preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    carry = (acc, m_i, l_i)
+    # full blocks strictly below the causal diagonal need NO causal mask
+    # (every key in them precedes every query row of this block); only
+    # blocks overlapping the diagonal pay the iota/where
+    carry = jax.lax.fori_loop(0, n_unmasked,
+                              functools.partial(body, masked=False), carry)
+    for kb in range(n_unmasked, num_kb):   # diagonal blocks, static unroll
+        carry = body(kb, carry)
+    return carry
+
+
 def _fwd_kernel_iota(*refs, block_q: int, block_k: int, causal: bool,
                      sm_scale: float, has_bias: bool, group: int):
     """Fast path: query positions are the global query indices (standard
@@ -223,49 +293,20 @@ def _fwd_kernel_iota(*refs, block_q: int, block_k: int, causal: bool,
             # for the PV dot — flash-attention-2's own numerics for half
             # inputs, and exactly the old full-precision math for f32 inputs
             q = q_ref[gi, pl.ds(qi * bq, bq), :]
-            num_kb = S // block_k
-            if causal:
-                # every key block strictly beyond this query block's last
-                # row is fully masked — statically skip it (≈2× fewer score
-                # matmuls over the causal triangle)
-                num_kb = min(num_kb, (qi * bq + bq + block_k - 1) // block_k)
+            n_unmasked, num_kb = _causal_kb_bounds(qi, bq, S, block_k, causal)
 
-            acc = jnp.zeros((bq, d), jnp.float32)
-            m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-            l_i = jnp.zeros((bq, 1), jnp.float32)
+            def read_kv(kb, gi=gi):
+                return (k_ref[gi, pl.ds(kb * block_k, block_k), :],
+                        v_ref[gi, pl.ds(kb * block_k, block_k), :])
 
-            # full blocks strictly below the causal diagonal need NO causal
-            # mask (every key in them precedes every query row of this
-            # block); only blocks overlapping the diagonal pay iota/where
-            n_unmasked = (qi * bq) // block_k if causal else num_kb
+            bias_read = None
+            if has_bias:
+                def bias_read(kb, gi=gi):
+                    return kvbias_ref[gi, 0:1, pl.ds(kb * block_k, block_k)]
 
-            def body(kb, carry, qi=qi, q=q, gi=gi, masked=True):
-                acc, m_i, l_i = carry
-                k_blk = k_ref[gi, pl.ds(kb * block_k, block_k), :]
-                v_blk = v_ref[gi, pl.ds(kb * block_k, block_k), :]
-                s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                s = s * sm_scale
-                if has_bias:
-                    s = s + kvbias_ref[gi, 0:1, pl.ds(kb * block_k, block_k)]
-                if causal and masked:
-                    qpos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
-                    kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-                    s = jnp.where(qpos >= kpos, s, NEG_INF)
-                m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-                p = jnp.exp(s - m_new)
-                alpha = jnp.exp(m_i - m_new)
-                l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
-                                            preferred_element_type=jnp.float32)
-                return acc, m_new, l_new
-
-            carry = (acc, m_i, l_i)
-            carry = jax.lax.fori_loop(
-                0, n_unmasked, functools.partial(body, masked=False), carry)
-            for kb in range(n_unmasked, num_kb):   # diagonal blocks, static
-                carry = body(kb, carry)
-            acc, m_i, l_i = carry
+            acc, m_i, l_i = _online_softmax_qblock(
+                q, read_kv, qi * bq, n_unmasked, num_kb, block_k, causal,
+                sm_scale, bias_read=bias_read)
             l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
             o_ref[gi, pl.ds(qi * bq, bq), :] = (acc / l_safe).astype(o_ref.dtype)
             if maybe_lse:
@@ -419,12 +460,11 @@ def _flash_bwd(causal, block_q, block_k, res, do):
     S = k.shape[2]
     scale = d ** -0.5
 
-    # chunk size: T inside _flash_custom is already a 128-multiple
-    ch = T
-    for cand in (512, 256, 128):
-        if T % cand == 0 and T > cand:
-            ch = cand
-            break
+    # chunk size: largest divisor of T up to 512 (T here is only 8-aligned
+    # on the bias-free fast path — e.g. 648 or 2000 — so a 128-multiple
+    # picker would degenerate to one full-T chunk and materialize the
+    # O(T·S) score tensor this chunking exists to prevent)
+    ch = _fit_block(512, T, 8)
     nch = T // ch
 
     kf = k.astype(jnp.float32)
@@ -504,6 +544,11 @@ def flash_attention_packed(q, k, v, num_heads, causal=True,
         raise ValueError(
             f"flash_attention_packed needs causal=True and head_dim a lane "
             f"multiple (got H={num_heads}, H*d={Hd}, causal={causal})")
+    if S < T:
+        # the packed kernel has no kv-validity bias: zero-padded keys are
+        # only sound when causality hides them (S >= T, see flash_attention)
+        raise ValueError(f"flash_attention_packed needs S >= T (got T={T}, "
+                         f"S={S}); use flash_attention for T > S shapes")
     pad_t = (-T) % 8
     pad_s = (-S) % 8
     if pad_t or pad_s:
@@ -526,13 +571,8 @@ def _packed_fwd_core(q, k, v, H, causal, block_q, block_k):
     d = Hd // H
     block_q = _fit_block(block_q, T, 8)
     block_k = _fit_block(block_k, S, 8)
-    # heads per program under the same VMEM budget rule as _flash_group
-    per = (2 * T + 2 * S) * d * 2                  # q,o + k,v bf16
-    G = 1
-    for g in (8, 4, 2):
-        if H % g == 0 and 4 * g * per <= 12 * 1024 * 1024:
-            G = g
-            break
+    # heads per program under the shared VMEM budget rule
+    G = _flash_group(H, T, S, d, need_lse=False, has_bias=False)
     kernel = functools.partial(
         _fwd_kernel_iota_packed, block_q=block_q, block_k=block_k, d=d,
         causal=causal, sm_scale=d ** -0.5, group=G)
@@ -561,41 +601,15 @@ def _fwd_kernel_iota_packed(q_ref, k_ref, v_ref, o_ref, *, block_q: int,
         lo = gi * d
         for qi in range(T // bq):
             q = q_ref[0, pl.ds(qi * bq, bq), lo:lo + d]
-            num_kb = S // block_k
-            if causal:
-                num_kb = min(num_kb, (qi * bq + bq + block_k - 1) // block_k)
+            n_unmasked, num_kb = _causal_kb_bounds(qi, bq, S, block_k, causal)
 
-            acc = jnp.zeros((bq, d), jnp.float32)
-            m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-            l_i = jnp.zeros((bq, 1), jnp.float32)
-            n_unmasked = (qi * bq) // block_k if causal else num_kb
+            def read_kv(kb, lo=lo):
+                return (k_ref[0, pl.ds(kb * block_k, block_k), lo:lo + d],
+                        v_ref[0, pl.ds(kb * block_k, block_k), lo:lo + d])
 
-            def body(kb, carry, qi=qi, q=q, lo=lo, masked=True):
-                acc, m_i, l_i = carry
-                k_blk = k_ref[0, pl.ds(kb * block_k, block_k), lo:lo + d]
-                v_blk = v_ref[0, pl.ds(kb * block_k, block_k), lo:lo + d]
-                s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                s = s * sm_scale
-                if causal and masked:
-                    qpos = qi * bq + jax.lax.broadcasted_iota(
-                        jnp.int32, (bq, block_k), 0)
-                    kpos = kb * block_k + jax.lax.broadcasted_iota(
-                        jnp.int32, (bq, block_k), 1)
-                    s = jnp.where(qpos >= kpos, s, NEG_INF)
-                m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-                p = jnp.exp(s - m_new)
-                alpha = jnp.exp(m_i - m_new)
-                l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
-                                            preferred_element_type=jnp.float32)
-                return acc, m_new, l_new
-
-            carry = (acc, m_i, l_i)
-            carry = jax.lax.fori_loop(
-                0, n_unmasked, functools.partial(body, masked=False), carry)
-            for kb in range(n_unmasked, num_kb):   # diagonal blocks, static
-                carry = body(kb, carry)
+            carry = _online_softmax_qblock(
+                q, read_kv, qi * bq, n_unmasked, num_kb, block_k, causal,
+                sm_scale)
             acc, m_i, l_i = carry
             l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
             o_ref[0, pl.ds(qi * bq, bq), lo:lo + d] = (

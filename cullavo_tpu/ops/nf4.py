@@ -403,11 +403,12 @@ def quantize_linear_int8(w: jax.Array, layout: str = "kn",
         if act_scale is not None:
             # static W8A8: one f32 scale per (stacked) layer, shaped
             # lead + (1, 1) so the per-layer scan slice broadcasts over
-            # [M, 1] exactly like the dynamic per-token sx
-            sa = jnp.broadcast_to(
-                jnp.asarray(act_scale, jnp.float32).reshape(
-                    lead + (1, 1) if lead else (1, 1)),
-                lead + (1, 1))
+            # [M, 1] exactly like the dynamic per-token sx.  act_scale may
+            # be scalar OR [L]: append the (1, 1) axes to its own shape
+            # first, then broadcast (a scalar reshaped to (L, 1, 1) raises)
+            sa = jnp.asarray(act_scale, jnp.float32)
+            sa = jnp.broadcast_to(sa.reshape(sa.shape + (1, 1)),
+                                  lead + (1, 1))
             out["sa"] = sa
         return out
     return {"q8": q, "scale8": scale}

@@ -160,3 +160,35 @@ def test_maybe_quantize_base_guard():
     q2 = maybe_quantize_base(q1, 8)
     assert q2 is q1
     assert maybe_quantize_base(params, 0) is params
+
+
+def test_maybe_quantize_base_host_numpy_nf4():
+    """The checkpoint-import path hands maybe_quantize_base HOST (numpy)
+    weights: planar-eligible targets must be encoded by the native C++
+    quantizer (bit-identical to the numpy reference) without any device
+    round-trip of the f32 originals, and the result must dequantize like
+    quantize_linear_planar's."""
+    import numpy as np
+
+    from cullavo_tpu.models.llava.lora import LLM_TARGETS, maybe_quantize_base
+    from cullavo_tpu.ops.nf4 import quantize_linear_planar_numpy
+
+    rng = np.random.default_rng(0)
+    layers = {t: rng.normal(size=(2, 16, 64)).astype(np.float32)
+              for t in LLM_TARGETS}
+    params = {"language_model": {"layers": dict(layers),
+                                 "norm": np.ones((16,), np.float32)}}
+    out = maybe_quantize_base(params, 4)
+    for t in LLM_TARGETS:
+        q = out["language_model"]["layers"][t]
+        assert isinstance(q, dict), t
+        ref = quantize_linear_planar_numpy(layers[t])
+        for key in ref:
+            np.testing.assert_array_equal(np.asarray(q[key]),
+                                          np.asarray(ref[key]),
+                                          err_msg=f"{t}/{key}")
+    # untouched leaves pass through
+    np.testing.assert_array_equal(
+        np.asarray(out["language_model"]["norm"]), params["language_model"]["norm"])
+    # re-entry no-ops
+    assert maybe_quantize_base(out, 4) is out

@@ -1128,3 +1128,84 @@ def test_llama_packed_prefill_matches_standard():
         np.testing.assert_allclose(np.asarray(cache_p[key]),
                                    np.asarray(cache_s[key]),
                                    atol=2e-5, rtol=2e-5, err_msg=key)
+
+
+def test_flash_t_gt_s_matches_reference():
+    """T > S with kv_valid=None: the bias-free fast path is UNSOUND here
+    (queries at positions >= S would attend the internal zero-padded keys,
+    and the causal block-skip would read k/v blocks past S), so the wrapper
+    must fall back to the masked path — exact vs the reference."""
+    for T, S in ((16, 12), (40, 24), (129, 64)):
+        q, k, v = _qkv(B=1, H=2, T=T, S=S, seed=T)
+        out = flash_attention(q, k, v, causal=True, block_q=16, block_k=16)
+        ref = mha_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5, err_msg=f"T={T},S={S}")
+
+
+def test_flash_t_gt_s_noncausal_padded_keys():
+    """Non-causal T > S with an explicit key mask (cross-attention shape)."""
+    B, T, S = 2, 24, 16
+    q, k, v = _qkv(B=B, T=T, S=S, seed=7)
+    kv_valid = np.ones((B, S), np.int32)
+    kv_valid[0, 10:] = 0
+    out = flash_attention(q, k, v, kv_valid=jnp.asarray(kv_valid),
+                          causal=False, block_q=8, block_k=8)
+    ref = mha_reference(q, k, v, causal=False, kv_valid=jnp.asarray(kv_valid))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bwd_chunks_8aligned_t():
+    """The backward chunk picker must split 8-aligned (non-128) T: a
+    single full-T chunk materializes the O(T*S) score tensor the chunking
+    exists to prevent.  Checks the picker directly at the failure shapes,
+    then grad parity through a genuinely multi-chunk backward."""
+    from cullavo_tpu.ops.flash_attention import _fit_block
+    assert _fit_block(512, 2000, 8) == 400
+    assert _fit_block(512, 648, 8) == 216
+    assert 520 % _fit_block(512, 520, 8) == 0 and _fit_block(512, 520, 8) < 520
+
+    q, k, v = _qkv(B=1, H=1, T=520, d=8, seed=3)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, block_q=104,
+                                       block_k=104) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   rtol=5e-4, err_msg=name)
+
+
+def test_flash_packed_rejects_t_gt_s():
+    from cullavo_tpu.ops.flash_attention import flash_attention_packed
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(1, 16, 256)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 8, 256)), jnp.float32)
+    with pytest.raises(ValueError, match="S >= T"):
+        flash_attention_packed(q, k, k, num_heads=2, causal=True)
+
+
+def test_int8_static_act_scale_scalar_and_per_layer():
+    """quantize_linear_int8 accepts act_scale as a scalar OR [L] with
+    stacked weights (its documented contract) — the scalar form crashed on
+    a reshape to (L, 1, 1) before broadcasting."""
+    from cullavo_tpu.ops.nf4 import quantize_linear_int8
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(2, 16, 64)), jnp.bfloat16)
+    sm = np.exp(rng.normal(0, 0.2, 16)).astype(np.float32)
+    q_scalar = quantize_linear_int8(w, smooth_scale=sm, act_scale=0.05)
+    assert q_scalar["sa"].shape == (2, 1, 1)
+    np.testing.assert_allclose(np.asarray(q_scalar["sa"]), 0.05)
+    q_vec = quantize_linear_int8(w, smooth_scale=sm,
+                                 act_scale=np.asarray([0.05, 0.07], np.float32))
+    assert q_vec["sa"].shape == (2, 1, 1)
+    np.testing.assert_allclose(np.asarray(q_vec["sa"]).ravel(), [0.05, 0.07])
+    # 2-D (unstacked) weight + scalar
+    q2 = quantize_linear_int8(w[0], smooth_scale=sm, act_scale=0.05)
+    assert q2["sa"].shape == (1, 1)
