@@ -294,7 +294,8 @@ def llama_forward(
     attention_mask: jax.Array,           # [B, S] 1/0; S = T (no cache) or max_len
     position_ids: jax.Array,             # [B, T]
     cache: Optional[dict] = None,
-    cache_index: Optional[jax.Array] = None,  # scalar int32: write offset
+    cache_index: Optional[jax.Array] = None,  # int32 write offset: scalar, or
+                                              # [B] per-row (serving slot pools)
     key_position_ids: Optional[jax.Array] = None,  # [B, S] logical pos per cache slot
     lora: Optional[dict] = None,              # stacked {target: {a, b}} adapters
     lora_scaling: float = 0.0,
@@ -351,6 +352,15 @@ def llama_forward(
     compute_dtype = inputs_embeds.dtype
     if stale_cache:
         assert cache is not None and T == 1, "stale_cache is a 1-token decode path"
+    # per-row cache write positions (continuous-batching slot pools: each
+    # row is an independent request mid-decode) use a batched scatter in
+    # place of the contiguous-slab dynamic_update_slice; out-of-bounds rows
+    # (exhausted slots) are DROPPED by the scatter, never clamped into a
+    # live slot's cache
+    per_row_idx = (cache_index is not None
+                   and getattr(cache_index, "ndim", 0) == 1)
+    if per_row_idx:
+        assert stale_cache, "per-row cache_index requires the stale_cache path"
     # an existing quantized cache implies kv_quant (the dict carries scale
     # planes); a fresh prefill opts in via the kv_quant argument
     kv_q8 = kv_quant == "int8" or (cache is not None and "k_s" in cache)
@@ -581,10 +591,17 @@ def llama_forward(
                 repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep)
             kq, ks = quantize_kv(k.transpose(2, 0, 1, 3))   # [1, B, KV, hd]
             vq, vs = quantize_kv(v.transpose(2, 0, 1, 3))
-            kc = jax.lax.dynamic_update_slice(kc, kq[None], (li, cache_index, 0, 0, 0))
-            vc = jax.lax.dynamic_update_slice(vc, vq[None], (li, cache_index, 0, 0, 0))
-            ksc = jax.lax.dynamic_update_slice(ksc, ks[None], (li, cache_index, 0, 0))
-            vsc = jax.lax.dynamic_update_slice(vsc, vs[None], (li, cache_index, 0, 0))
+            if per_row_idx:
+                rows = jnp.arange(B)
+                kc = kc.at[li, cache_index, rows].set(kq[0], mode="drop")
+                vc = vc.at[li, cache_index, rows].set(vq[0], mode="drop")
+                ksc = ksc.at[li, cache_index, rows].set(ks[0], mode="drop")
+                vsc = vsc.at[li, cache_index, rows].set(vs[0], mode="drop")
+            else:
+                kc = jax.lax.dynamic_update_slice(kc, kq[None], (li, cache_index, 0, 0, 0))
+                vc = jax.lax.dynamic_update_slice(vc, vq[None], (li, cache_index, 0, 0, 0))
+                ksc = jax.lax.dynamic_update_slice(ksc, ks[None], (li, cache_index, 0, 0))
+                vsc = jax.lax.dynamic_update_slice(vsc, vs[None], (li, cache_index, 0, 0))
         elif stale_cache:
             li = scanned["li"]
             k_buf = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
@@ -592,13 +609,20 @@ def llama_forward(
             attn = sdpa_decode_stale_smajor(
                 q, k_buf.astype(compute_dtype), v_buf.astype(compute_dtype),
                 repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep)
-            # S-major write: one contiguous [1, 1, B, KV, hd] slab per layer
-            kc = jax.lax.dynamic_update_slice(
-                kc, k.astype(kc.dtype).transpose(2, 0, 1, 3)[None],
-                (li, cache_index, 0, 0, 0))
-            vc = jax.lax.dynamic_update_slice(
-                vc, v.astype(vc.dtype).transpose(2, 0, 1, 3)[None],
-                (li, cache_index, 0, 0, 0))
+            if per_row_idx:
+                rows = jnp.arange(B)
+                kc = kc.at[li, cache_index, rows].set(
+                    k.astype(kc.dtype).transpose(2, 0, 1, 3)[0], mode="drop")
+                vc = vc.at[li, cache_index, rows].set(
+                    v.astype(vc.dtype).transpose(2, 0, 1, 3)[0], mode="drop")
+            else:
+                # S-major write: one contiguous [1, 1, B, KV, hd] slab per layer
+                kc = jax.lax.dynamic_update_slice(
+                    kc, k.astype(kc.dtype).transpose(2, 0, 1, 3)[None],
+                    (li, cache_index, 0, 0, 0))
+                vc = jax.lax.dynamic_update_slice(
+                    vc, v.astype(vc.dtype).transpose(2, 0, 1, 3)[None],
+                    (li, cache_index, 0, 0, 0))
         elif kv_q8:
             idx = cache_index
             kq, ks = quantize_kv(k.transpose(2, 0, 1, 3))   # [T, B, KV, hd]

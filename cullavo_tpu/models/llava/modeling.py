@@ -463,6 +463,94 @@ def generate_prefill_chunked(params, cfg: LlavaConfig, input_ids, pixel_values,
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "num_steps",
+                                             "compute_dtype"),
+                   donate_argnums=(2,))
+def decode_quantum(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig,
+                   num_steps: int, rng=None, compute_dtype=jnp.bfloat16):
+    """Continuous-batching decode: run ``num_steps`` decode iterations over a
+    slot POOL whose rows are independent requests mid-generation — per-row
+    write positions (``state["write_idx"]``: [B]), per-row current tokens
+    (``state["cur_tok"]``: [B]) and done flags (``state["done"]``: [B]).
+
+    Unlike ``generate_decode`` this never samples from ``state["logits"]``
+    (the serving engine samples each row's first token at admission, see
+    serving/engine.py) and it RETURNS the updated pool state so the next
+    quantum continues where this one stopped.  The state is DONATED: the
+    multi-GB pool cache updates in place.  Rows whose write position runs
+    past the cache length stop writing (scatter drop semantics in
+    llama_forward's per-row path) — the engine retires slots before that.
+
+    Returns (tokens [B, num_steps], new_state)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    lm = _cast_params(params, compute_dtype, from_bf16=False)
+
+    def step(carry, _):
+        tok, cur_pos, write_idx, full_mask, key_pos, cache, rng, done = carry
+        logits, cache = llava_forward(lm, cfg, tok[:, None], None, None,
+                                      cur_pos[:, None], cache, write_idx,
+                                      full_mask, key_pos, stale_cache=True)
+        rows = jnp.arange(tok.shape[0])
+        full_mask = full_mask.at[rows, write_idx].set(1, mode="drop")
+        key_pos = key_pos.at[rows, write_idx].set(cur_pos, mode="drop")
+        rng, sub = jax.random.split(rng)
+        nxt = _sample_token(logits[:, 0], gen, sub)
+        nxt = jnp.where(done, gen.eos_token_id, nxt)
+        done = done | (nxt == gen.eos_token_id)
+        return (nxt, cur_pos + 1, write_idx + 1, full_mask, key_pos, cache,
+                rng, done), nxt
+
+    carry = (state["cur_tok"], state["cur_pos"], state["write_idx"],
+             state["full_mask"], state["key_pos"], state["cache"], rng,
+             state["done"])
+    carry, toks = jax.lax.scan(step, carry, None, length=num_steps)
+    new_state = {"logits": state["logits"], "cache": carry[5],
+                 "full_mask": carry[3], "key_pos": carry[4],
+                 "cur_pos": carry[1], "write_idx": carry[2],
+                 "cur_tok": carry[0], "done": carry[7]}
+    return toks.T, new_state
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def write_slot(pool: dict, chunk: dict, row, slot, first_tok, done0) -> dict:
+    """Admit one prefilled request into a slot of the donated decode pool.
+
+    ``chunk`` is a ``generate_prefill`` state (scalar ``write_idx``);
+    ``row`` selects the request's row in it, ``slot`` the pool row to
+    overwrite.  ``first_tok``/``done0`` come from sampling the chunk's
+    prefill logits at admission.  row/slot/first_tok are traced, so ONE
+    compiled program serves every (row, slot) combination of a given
+    chunk/pool shape."""
+    slot = jnp.asarray(slot, jnp.int32)
+    row = jnp.asarray(row, jnp.int32)
+
+    def row_of(a, axis):
+        return jax.lax.dynamic_index_in_dim(a, row, axis, keepdims=True)
+
+    cache = {
+        name: jax.lax.dynamic_update_slice(
+            pool["cache"][name], row_of(a, 2).astype(pool["cache"][name].dtype),
+            (0, 0, slot) + (0,) * (a.ndim - 3))
+        for name, a in chunk["cache"].items()
+    }
+    return {
+        "logits": pool["logits"],
+        "cache": cache,
+        "full_mask": jax.lax.dynamic_update_slice(
+            pool["full_mask"], row_of(chunk["full_mask"], 0), (slot, 0)),
+        "key_pos": jax.lax.dynamic_update_slice(
+            pool["key_pos"], row_of(chunk["key_pos"], 0), (slot, 0)),
+        "cur_pos": jax.lax.dynamic_update_slice(
+            pool["cur_pos"], row_of(chunk["cur_pos"], 0), (slot,)),
+        "write_idx": pool["write_idx"].at[slot].set(
+            jnp.asarray(chunk["write_idx"], jnp.int32)),
+        "cur_tok": pool["cur_tok"].at[slot].set(
+            jnp.asarray(first_tok, jnp.int32)),
+        "done": pool["done"].at[slot].set(jnp.asarray(done0, jnp.bool_)),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "gen", "compute_dtype",
                                              "return_state"),
                    donate_argnums=(2,))

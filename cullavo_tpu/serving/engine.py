@@ -1,0 +1,220 @@
+"""Continuous-batching serving engine for the LLaVA family.
+
+The reference repo has no serving layer (its eval pipelines run fixed
+batches, pipeline/LLaVAVQAVALPipeline.py:171-180 is batch-1 greedy); this
+module is a TPU-native EXTENSION for production serving on top of the
+existing generation machinery:
+
+  * requests arrive at any time (``submit``) with their own prompt length,
+    image, and token budget;
+  * prompts are padded to a small set of BUCKET lengths and prefilled in
+    fixed-size chunks (``generate_prefill`` — one compiled program per
+    bucket, the axon/XLA static-shape discipline);
+  * each prefilled request is written into a free row of a persistent
+    decode POOL (``write_slot`` — donated, in-place) whose rows advance
+    independently: per-row write positions / positions / done flags
+    (``decode_quantum`` + llama_forward's per-row scatter path);
+  * decode runs in fixed QUANTA of ``quantum`` tokens over the whole pool;
+    between quanta the host harvests finished rows (EOS or budget) and
+    admits queued requests into the freed slots.
+
+Iteration-level scheduling (Orca/vLLM-style continuous batching) is the
+throughput lever at 7B decode: the per-step weight stream is
+batch-independent, so keeping every pool row busy amortizes it — a static
+batch leaves slots idle for the duration of the longest request, this
+engine refills them after at most one quantum.
+
+Everything on-device is static-shaped: pool size, bucket set, quantum, and
+prefill chunk are fixed at engine construction, so steady-state serving
+compiles (num_buckets + 2) programs and never recompiles.
+"""
+from __future__ import annotations
+
+import collections
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.models.llava.config import LlavaConfig
+from cullavo_tpu.models.llava.modeling import (GenerationConfig,
+                                               _sample_token,
+                                               alloc_decode_state,
+                                               decode_quantum,
+                                               generate_prefill, write_slot)
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation request.  ``input_ids`` must already contain the
+    expanded image-token run when ``pixel_values`` is given (the pipeline's
+    prompt-builder contract, data/step1_synthesis.py::expand_image_token)."""
+    req_id: int
+    input_ids: np.ndarray                       # [T] int32
+    pixel_values: Optional[np.ndarray] = None   # [3, H, W] float32
+    max_new_tokens: int = 16
+
+
+class ServingEngine:
+    """Continuous-batching engine over a fixed slot pool.
+
+    Parameters
+    ----------
+    params, cfg : the LLaVA params/config (quantized bases welcome).
+    gen : sampling configuration (shared across requests; ``max_new_tokens``
+        is ignored — each request carries its own budget).
+    num_slots : decode pool rows (the decode batch).
+    max_len : pool cache length; every admitted request needs
+        ``bucket(T) + max_new_tokens <= max_len``.
+    prompt_buckets : ascending prompt pad lengths; each bucket is one
+        compiled prefill program.
+    prefill_chunk : rows per prefill call (fixed — short groups are padded
+        with inert rows so the program count stays static).
+    quantum : decode steps between scheduler interventions.  Smaller =
+        faster slot turnaround, more host round-trips.
+    """
+
+    def __init__(self, params, cfg: LlavaConfig, gen: GenerationConfig, *,
+                 num_slots: int = 8, max_len: int, prompt_buckets=(128, 256),
+                 prefill_chunk: int = 2, quantum: int = 8,
+                 kv_quant: Optional[str] = None,
+                 compute_dtype=jnp.bfloat16, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.gen = gen
+        self.num_slots = int(num_slots)
+        self.max_len = int(max_len)
+        self.buckets = tuple(sorted(int(b) for b in prompt_buckets))
+        self.prefill_chunk = int(prefill_chunk)
+        self.quantum = int(quantum)
+        self.kv_quant = kv_quant
+        self.compute_dtype = compute_dtype
+        self._rng = jax.random.PRNGKey(seed)
+
+        self.pool: Optional[dict] = None
+        self.free: list = list(range(self.num_slots))
+        self.pending: collections.deque = collections.deque()
+        # slot -> [request, emitted-token list]
+        self.active: dict = {}
+        self.results: dict = {}
+        # pixel shape for inert pad rows, learned from the first image
+        self._pix_shape = (3, cfg.vision.image_size, cfg.vision.image_size)
+
+    # -- submission ---------------------------------------------------------
+    def submit(self, req: Request) -> int:
+        T = int(len(req.input_ids))
+        b = self._bucket(T)
+        if b + req.max_new_tokens > self.max_len:
+            raise ValueError(
+                f"request {req.req_id}: bucket({T})={b} + "
+                f"max_new_tokens={req.max_new_tokens} exceeds max_len="
+                f"{self.max_len}")
+        self.pending.append(req)
+        return req.req_id
+
+    def _bucket(self, T: int) -> int:
+        for b in self.buckets:
+            if T <= b:
+                return b
+        raise ValueError(f"prompt length {T} exceeds the largest bucket "
+                         f"{self.buckets[-1]}")
+
+    # -- admission ----------------------------------------------------------
+    def _admit(self):
+        """Prefill queued requests (grouped by bucket, fixed chunk rows) and
+        write them into free slots."""
+        while self.pending and self.free:
+            # take up to prefill_chunk pending requests sharing the first
+            # pending request's bucket, bounded by the free slots
+            lead = self._bucket(len(self.pending[0].input_ids))
+            group, rest = [], collections.deque()
+            while self.pending and len(group) < min(self.prefill_chunk,
+                                                    len(self.free)):
+                r = self.pending.popleft()
+                if self._bucket(len(r.input_ids)) == lead:
+                    group.append(r)
+                else:
+                    rest.append(r)
+            # skipped (different-bucket) requests keep their arrival order
+            while rest:
+                self.pending.appendleft(rest.pop())
+
+            chunk_b = self.prefill_chunk
+            ids = np.zeros((chunk_b, lead), np.int32)
+            mask = np.zeros((chunk_b, lead), np.int32)
+            any_pix = any(r.pixel_values is not None for r in group)
+            pix = (np.zeros((chunk_b,) + self._pix_shape, np.float32)
+                   if any_pix else None)
+            for i, r in enumerate(group):
+                T = len(r.input_ids)
+                ids[i, :T] = np.asarray(r.input_ids, np.int32)
+                mask[i, :T] = 1
+                if r.pixel_values is not None:
+                    pix[i] = r.pixel_values
+            # inert pad rows (group < chunk): all-pad masks would make
+            # last_idx negative in generate_prefill; give them 1 valid token
+            for i in range(len(group), chunk_b):
+                mask[i, 0] = 1
+
+            chunk = generate_prefill(
+                self.params, self.cfg, jnp.asarray(ids),
+                None if pix is None else jnp.asarray(pix),
+                jnp.asarray(mask), self.max_len,
+                compute_dtype=self.compute_dtype, kv_quant=self.kv_quant)
+            self._rng, sub = jax.random.split(self._rng)
+            first = np.asarray(_sample_token(chunk["logits"], self.gen, sub))
+
+            if self.pool is None:
+                self.pool = alloc_decode_state(chunk, self.num_slots)
+                self.pool["write_idx"] = jnp.zeros((self.num_slots,),
+                                                   jnp.int32)
+                self.pool["cur_tok"] = jnp.zeros((self.num_slots,), jnp.int32)
+                # idle rows decode as done (emit eos, write nothing useful)
+                self.pool["done"] = jnp.ones((self.num_slots,), jnp.bool_)
+
+            for i, r in enumerate(group):
+                tok = int(first[i])
+                out = [tok]
+                if tok == self.gen.eos_token_id or r.max_new_tokens <= 1:
+                    # finished at admission — never occupies a slot
+                    self.results[r.req_id] = out
+                    continue
+                slot = self.free.pop()
+                self.pool = write_slot(self.pool, chunk, i, slot, tok,
+                                       tok == self.gen.eos_token_id)
+                self.active[slot] = [r, out]
+
+    # -- scheduling ---------------------------------------------------------
+    def step(self):
+        """One scheduler iteration: admit into free slots, then decode one
+        quantum over the pool and harvest finished rows."""
+        self._admit()
+        if not self.active:
+            return
+        self._rng, sub = jax.random.split(self._rng)
+        toks, self.pool = decode_quantum(
+            self.params, self.cfg, self.pool, self.gen, self.quantum,
+            rng=sub, compute_dtype=self.compute_dtype)
+        toks = np.asarray(toks)                     # [num_slots, quantum]
+        for slot in list(self.active):
+            req, out = self.active[slot]
+            for t in toks[slot]:
+                t = int(t)
+                out.append(t)
+                if t == self.gen.eos_token_id or len(out) >= req.max_new_tokens:
+                    break
+            if (out and out[-1] == self.gen.eos_token_id) \
+                    or len(out) >= req.max_new_tokens:
+                self.results[req.req_id] = out[:req.max_new_tokens]
+                del self.active[slot]
+                self.free.append(slot)
+
+    def run(self) -> dict:
+        """Drive until every submitted request has a result; returns
+        {req_id: [token, ...]}."""
+        while self.pending or self.active:
+            self.step()
+        return self.results

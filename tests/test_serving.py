@@ -1,0 +1,164 @@
+"""Continuous-batching serving engine tests.
+
+The engine must be a pure scheduling layer: every request's token stream
+equals the offline two-phase ``generate_prefill`` + ``generate_decode`` run
+of that request alone (same bucket padding, same pool cache length) —
+slot reuse, admission order, and quantum boundaries must not leak into the
+numerics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.models.llava.config import tiny_llava_config
+from cullavo_tpu.models.llava.modeling import (GenerationConfig,
+                                               generate_decode,
+                                               generate_prefill,
+                                               init_llava_params)
+from cullavo_tpu.serving import Request, ServingEngine
+
+VOCAB = 128
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_llava_config(VOCAB)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _request(cfg, rng, req_id, text_len, max_new):
+    n_img = cfg.num_image_tokens
+    ids = rng.integers(3, VOCAB - 2, size=(1 + n_img + text_len,)).astype(np.int32)
+    ids[1:1 + n_img] = cfg.image_token_id
+    pix = rng.normal(size=(3, cfg.vision.image_size,
+                           cfg.vision.image_size)).astype(np.float32)
+    return Request(req_id=req_id, input_ids=ids, pixel_values=pix,
+                   max_new_tokens=max_new)
+
+
+def _offline(cfg, params, req, bucket, max_len, gen):
+    """The reference stream: pad to the request's bucket, prefill alone,
+    decode alone at the engine's cache length."""
+    T = len(req.input_ids)
+    ids = np.zeros((1, bucket), np.int32)
+    mask = np.zeros((1, bucket), np.int32)
+    ids[0, :T] = req.input_ids
+    mask[0, :T] = 1
+    state = generate_prefill(params, cfg, jnp.asarray(ids),
+                             jnp.asarray(req.pixel_values[None]),
+                             jnp.asarray(mask), max_len,
+                             compute_dtype=jnp.float32)
+    out = np.asarray(generate_decode(
+        params, cfg, state,
+        GenerationConfig(max_new_tokens=req.max_new_tokens,
+                         do_sample=False, eos_token_id=gen.eos_token_id),
+        compute_dtype=jnp.float32))[0]
+    toks = []
+    for t in out:
+        toks.append(int(t))
+        if int(t) == gen.eos_token_id:
+            break
+    return toks[:req.max_new_tokens]
+
+
+def _buckets(cfg):
+    n_img = cfg.num_image_tokens
+    base = 1 + n_img
+    return (base + 8, base + 16)
+
+
+def test_serving_matches_offline(model):
+    """Mixed prompt lengths and budgets, fewer slots than requests, small
+    quantum: every emitted stream must equal the offline run token-for-token."""
+    cfg, params = model
+    rng = np.random.default_rng(0)
+    buckets = _buckets(cfg)
+    max_len = buckets[-1] + 12
+    gen = GenerationConfig(do_sample=False, eos_token_id=-1)
+    reqs = [
+        _request(cfg, rng, 0, 3, 6),
+        _request(cfg, rng, 1, 8, 10),
+        _request(cfg, rng, 2, 14, 4),
+        _request(cfg, rng, 3, 5, 12),
+        _request(cfg, rng, 4, 15, 7),
+        _request(cfg, rng, 5, 2, 1),    # finishes at admission
+    ]
+    eng = ServingEngine(params, cfg, gen, num_slots=3, max_len=max_len,
+                        prompt_buckets=buckets, prefill_chunk=2, quantum=3,
+                        compute_dtype=jnp.float32)
+    for r in reqs:
+        eng.submit(r)
+    results = eng.run()
+    assert set(results) == {r.req_id for r in reqs}
+    for r in reqs:
+        bucket = next(b for b in buckets if len(r.input_ids) <= b)
+        ref = _offline(cfg, params, r, bucket, max_len, gen)
+        assert results[r.req_id] == ref, (
+            f"req {r.req_id}: engine {results[r.req_id]} != offline {ref}")
+
+
+def test_serving_eos_retires_early(model):
+    """A request whose stream hits EOS mid-quantum is trimmed at EOS and its
+    slot is reused; the truncated stream equals the offline one."""
+    cfg, params = model
+    rng = np.random.default_rng(1)
+    buckets = _buckets(cfg)
+    max_len = buckets[-1] + 12
+    probe = _request(cfg, rng, 0, 4, 10)
+    # learn a token this request actually produces (greedy, deterministic),
+    # then declare it EOS so the engine must early-stop exactly there
+    free_run = _offline(cfg, params, probe, buckets[0], max_len,
+                        GenerationConfig(do_sample=False, eos_token_id=-1))
+    eos = free_run[2]
+    gen = GenerationConfig(do_sample=False, eos_token_id=eos)
+    reqs = [probe, _request(cfg, rng, 1, 9, 8)]
+    eng = ServingEngine(params, cfg, gen, num_slots=2, max_len=max_len,
+                        prompt_buckets=buckets, prefill_chunk=2, quantum=4,
+                        compute_dtype=jnp.float32)
+    for r in reqs:
+        eng.submit(r)
+    results = eng.run()
+    for r in reqs:
+        bucket = next(b for b in buckets if len(r.input_ids) <= b)
+        ref = _offline(cfg, params, r, bucket, max_len, gen)
+        assert results[r.req_id] == ref
+    assert results[0][-1] == eos and len(results[0]) <= 10
+
+
+def test_decode_quantum_uniform_matches_generate_decode(model):
+    """The per-row scatter write path (vector write_idx) must equal the
+    contiguous-slab path when all rows are uniform: decode_quantum on a
+    fresh prefill == generate_decode tokens 2..k+1."""
+    from cullavo_tpu.models.llava.modeling import decode_quantum
+
+    cfg, params = model
+    rng = np.random.default_rng(2)
+    n_img = cfg.num_image_tokens
+    T = 1 + n_img + 6
+    ids = rng.integers(3, VOCAB - 2, size=(2, T)).astype(np.int32)
+    ids[:, 1:1 + n_img] = cfg.image_token_id
+    pix = rng.normal(size=(2, 3, cfg.vision.image_size,
+                           cfg.vision.image_size)).astype(np.float32)
+    mask = np.ones((2, T), np.int32)
+    gen = GenerationConfig(max_new_tokens=9, do_sample=False, eos_token_id=-1)
+    max_len = T + 9
+
+    def fresh_state():
+        return generate_prefill(params, cfg, jnp.asarray(ids),
+                                jnp.asarray(pix), jnp.asarray(mask), max_len,
+                                compute_dtype=jnp.float32)
+
+    ref = np.asarray(generate_decode(params, cfg, fresh_state(), gen,
+                                     compute_dtype=jnp.float32))
+    state = fresh_state()
+    first = jnp.argmax(state["logits"], axis=-1).astype(jnp.int32)
+    first_np = np.asarray(first)        # before donation deletes it
+    state["write_idx"] = jnp.full((2,), T, jnp.int32)     # vector → scatter path
+    state["cur_tok"] = first
+    state["done"] = jnp.zeros((2,), jnp.bool_)
+    toks, _ = decode_quantum(params, cfg, state, gen, 8,
+                             compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(first_np, ref[:, 0])
+    np.testing.assert_array_equal(np.asarray(toks), ref[:, 1:9])
