@@ -286,6 +286,7 @@ def main():
         print(json.dumps(run_quant_mode(want)))
         return
     res = {}
+    serving = None
     # three measurements: the headline (int8 weights + SmoothQuant-calibrated
     # s8s8 prefill — the same W8A8 numerics class as the reference's
     # load_in_8bit / bitsandbytes Linear8bitLt eval mode; BENCH_INT8_CALIB=
@@ -303,6 +304,26 @@ def main():
             log(f"bench mode {name} FAILED: {type(e).__name__}: {e}")
     if not res:
         raise SystemExit("all bench modes failed")
+    # 4th measurement (secondary keys): continuous-batching serving
+    # throughput — int8 weights, variable decode budgets (the regime the
+    # engine exists for).  LAST so a failure never costs the quant numbers;
+    # BENCH_SERVE=0 skips it.
+    if os.environ.get("BENCH_SERVE", "1") == "1":
+        try:
+            from cullavo_tpu.models.llava.config import LlavaConfig
+            from cullavo_tpu.serving.benchmark import (measure_serving,
+                                                       synth_requests)
+
+            cfg = LlavaConfig()
+            params = build_llava7b_params("int8", cfg)
+            serving = measure_serving(
+                params, cfg,
+                synth_requests(cfg, int(os.environ.get("BENCH_SERVE_N", 36))),
+                slots=int(os.environ.get("BENCH_SERVE_SLOTS", 12)))
+            del params
+            log(f"serving: {serving}")
+        except Exception as e:  # noqa: BLE001
+            log(f"bench mode serving FAILED: {type(e).__name__}: {e}")
     line = res.get("int8") or res.get("kv_int8") or res["nf4"]
     for name in ("nf4", "kv_int8"):
         if name in res and line is not res[name]:
@@ -312,6 +333,10 @@ def main():
                 f"{name}_batch": res[name]["batch"],
                 f"{name}_p50_latency_s": res[name]["p50_latency_s"],
             })
+    if serving:
+        line.update({"serving_requests_per_s": serving["requests_per_s"],
+                     "serving_tokens_per_s": serving["useful_tokens_per_s"],
+                     "serving_slots": serving["slots"]})
     print(json.dumps(line))
 
 

@@ -180,7 +180,7 @@ def load_opt_command(argv: list[str] | None = None):
     reference's ``load_opt_command`` (utils/arguments.py:50-90).
     """
     parser = argparse.ArgumentParser("cullavo_tpu")
-    parser.add_argument("command", choices=["train", "eval"])
+    parser.add_argument("command", choices=["train", "eval", "serve"])
     parser.add_argument("--conf_files", nargs="+", required=True)
     parser.add_argument("--config_overrides", default=None,
                         help="JSON dict of dotted-key overrides")

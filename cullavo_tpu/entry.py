@@ -1,12 +1,14 @@
 """CLI entry point.
 
 Capability parity with entry.py / lbk_entry.py: ``python -m cullavo_tpu.entry
-{train,eval} --conf_files ... --overrides K V ...``; dispatch by config
+{train,eval,serve} --conf_files ... --overrides K V ...``; dispatch by config
 ``NAME`` (lbk_entry.py:6-22 semantics):
   * ``cullavo_step1`` / ``cullavo_step2``  → CuLLaVO Q-LoRA training
   * ``cullavo_step2_pre``                  → model-in-the-loop data generation
   * ``xdecoder_test``                      → segmentation / grounding eval
   * ``vl_test``                            → zero-shot VL benchmark eval
+  * ``serve`` (command)                    → continuous-batching serving over
+    a JSONL request stream (beyond the reference; configs/serve.yaml)
 
 (The reference's hardcoded wandb API key at entry.py:39 is deliberately NOT
 replicated; set WANDB_API_KEY in the environment.)
@@ -667,6 +669,114 @@ def evaluate(cfg):
     return results
 
 
+def serve(cfg):
+    """Serving workload (beyond the reference — its eval hot path is batch-1
+    greedy, LLaVAVQAVALPipeline.py:171-180): run the continuous-batching
+    engine over a JSONL request stream and write a JSONL result stream.
+
+    Request rows: ``{"id": int, "prompt": str | "input_ids": [int, ...],
+    "image": path(.npy [3,336,336] f32 | image file), "max_new_tokens": int}``.
+    With ``SERVE.REQUESTS`` unset, a few random smoke requests are
+    synthesized (mirrors the tiny-model train smoke mode)."""
+    import json
+    import time
+
+    import jax.numpy as jnp
+
+    from cullavo_tpu.models.llava.modeling import GenerationConfig
+    from cullavo_tpu.serving import Request, ServingEngine
+
+    model_cfg, params, tokenizer = _build_llava(cfg)
+    scfg = cfg.get("SERVE", {}) or {}
+    n_img = model_cfg.num_image_tokens
+
+    def load_pixels(path):
+        if path.endswith(".npy"):
+            return np.load(path).astype(np.float32)
+        from PIL import Image
+
+        from cullavo_tpu.data.image_processing import preprocess_numpy
+
+        im = np.asarray(Image.open(path).convert("RGB"))
+        return preprocess_numpy([im], size=model_cfg.vision.image_size)[0]
+
+    def to_request(row):
+        if "input_ids" in row:
+            ids = np.asarray(row["input_ids"], np.int32)
+        else:
+            ids = np.asarray(tokenizer.encode(row["prompt"]), np.int32)
+        pix = load_pixels(row["image"]) if row.get("image") else None
+        if pix is not None and np.sum(ids == model_cfg.image_token_id) == 1:
+            # expand the single <image> placeholder into the 576-token run
+            at = int(np.argmax(ids == model_cfg.image_token_id))
+            ids = np.concatenate([
+                ids[:at],
+                np.full((n_img,), model_cfg.image_token_id, np.int32),
+                ids[at + 1:]])
+        return Request(req_id=row["id"], input_ids=ids, pixel_values=pix,
+                       max_new_tokens=int(row.get("max_new_tokens", 32)))
+
+    req_path = scfg.get("REQUESTS")
+    if req_path:
+        with open(req_path) as f:
+            reqs = [to_request(json.loads(line))
+                    for line in f if line.strip()]
+    else:
+        print("[entry] no SERVE.REQUESTS — synthesizing 4 random smoke "
+              "requests", file=sys.stderr)
+        rng = np.random.default_rng(0)
+        reqs = []
+        for i in range(4):
+            ids = rng.integers(3, model_cfg.text.vocab_size - 2,
+                               size=(1 + n_img + 4 + i,)).astype(np.int32)
+            ids[1:1 + n_img] = model_cfg.image_token_id
+            pix = rng.normal(size=(3, model_cfg.vision.image_size,
+                                   model_cfg.vision.image_size)
+                             ).astype(np.float32)
+            reqs.append(Request(req_id=i, input_ids=ids, pixel_values=pix,
+                                max_new_tokens=4 + 2 * i))
+
+    # buckets: configured, or derived from the request lengths (64-multiples)
+    buckets = scfg.get("PROMPT_BUCKETS") or sorted(
+        {-(-len(r.input_ids) // 64) * 64 for r in reqs})
+    max_new_max = max(r.max_new_tokens for r in reqs)
+    max_len = int(scfg.get("MAX_LEN", max(buckets) + max_new_max))
+    gen = GenerationConfig(
+        do_sample=bool(scfg.get("DO_SAMPLE", False)),
+        temperature=float(scfg.get("TEMPERATURE", 0.9)),
+        eos_token_id=int(scfg.get("EOS_TOKEN_ID", 2)))
+    eng = ServingEngine(
+        params, model_cfg, gen,
+        num_slots=int(scfg.get("SLOTS", 8)), max_len=max_len,
+        prompt_buckets=buckets,
+        prefill_chunk=int(scfg.get("PREFILL_CHUNK", 2)),
+        quantum=int(scfg.get("QUANTUM", 8)),
+        kv_quant=scfg.get("KV_QUANT") or None,
+        compute_dtype=jnp.bfloat16 if str(
+            scfg.get("DTYPE", "bfloat16")) == "bfloat16" else jnp.float32)
+    for r in reqs:
+        eng.submit(r)
+    t0 = time.time()
+    results = eng.run()
+    dt = time.time() - t0
+
+    out_path = scfg.get("RESULTS", "serve_results.jsonl")
+    with open(out_path, "w") as f:
+        for r in reqs:
+            toks = results[r.req_id]
+            text = tokenizer.decode(
+                toks[:-1] if toks and toks[-1] == gen.eos_token_id else toks)
+            f.write(json.dumps({"id": r.req_id, "tokens": toks,
+                                "text": text}) + "\n")
+    summary = {"requests": len(reqs),
+               "tokens": sum(len(v) for v in results.values()),
+               "wall_s": round(dt, 3),
+               "requests_per_s": round(len(reqs) / max(dt, 1e-9), 3),
+               "results": out_path}
+    print(json.dumps(summary))
+    return summary
+
+
 def _maybe_init_distributed():
     import os
 
@@ -683,6 +793,8 @@ def main(argv=None):
     cfg, args = load_opt_command(argv)
     if args.command == "train":
         train(cfg)
+    elif args.command == "serve":
+        serve(cfg)
     else:
         evaluate(cfg)
 

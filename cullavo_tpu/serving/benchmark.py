@@ -1,0 +1,65 @@
+"""Shared serving-throughput measurement (scripts/serve_bench.py + bench.py).
+
+Synthesizes a VQA-shaped request stream with a long-tail of decode budgets
+(geometric, the regime where static batching idles slots) and times one
+engine pass end-to-end (prefill + scheduling + decode + harvest)."""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from cullavo_tpu.models.llava.modeling import GenerationConfig
+from cullavo_tpu.serving.engine import Request, ServingEngine
+
+
+def synth_requests(cfg, n_req: int, prompt_text_tokens: int = 64,
+                   budget_mean: int = 16, budget_max: int = 48, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    n_img = cfg.num_image_tokens
+    reqs = []
+    for i in range(n_req):
+        T = 1 + n_img + prompt_text_tokens
+        ids = rng.integers(4, 32000, size=(T,)).astype(np.int32)
+        ids[1:1 + n_img] = cfg.image_token_id
+        pix = rng.normal(size=(3, cfg.vision.image_size,
+                               cfg.vision.image_size)).astype(np.float32)
+        budget = int(np.clip(rng.geometric(1.0 / budget_mean), 4, budget_max))
+        reqs.append(Request(req_id=i, input_ids=ids, pixel_values=pix,
+                            max_new_tokens=budget))
+    return reqs
+
+
+def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
+                    prefill_chunk: Optional[int] = None,
+                    kv_quant: Optional[str] = None,
+                    compute_dtype=jnp.bfloat16) -> dict:
+    """Two engine passes (compile+warm, then timed); returns the timing dict."""
+    bucket = -(-max(len(r.input_ids) for r in reqs) // 8) * 8
+    max_len = bucket + max(r.max_new_tokens for r in reqs)
+    chunk = prefill_chunk or max(1, slots // 2)
+
+    def run():
+        eng = ServingEngine(params, cfg,
+                            GenerationConfig(do_sample=False, eos_token_id=-1),
+                            num_slots=slots, max_len=max_len,
+                            prompt_buckets=(bucket,), prefill_chunk=chunk,
+                            quantum=quantum, kv_quant=kv_quant,
+                            compute_dtype=compute_dtype)
+        for r in reqs:
+            eng.submit(r)
+        return eng.run()
+
+    run()                                   # compile + warm
+    t0 = time.time()
+    res = run()
+    dt = time.time() - t0
+    total = sum(len(v) for v in res.values())
+    return {"requests_per_s": round(len(reqs) / dt, 3),
+            "useful_tokens_per_s": round(total / dt, 1),
+            "wall_s": round(dt, 2), "n_requests": len(reqs),
+            "slots": slots, "quantum": quantum, "bucket": bucket,
+            "kv_quant": kv_quant or "bf16"}

@@ -382,3 +382,65 @@ DATASETS:
     assert len(steps) == 2, err
     assert all(np.isfinite(s["loss_total"]) for s in steps)
     assert save_dir.exists() and any(save_dir.iterdir())
+
+
+def test_serve_cli_smoke(tmp_path, capsys):
+    """``entry serve`` smoke: tiny random model + synthesized requests →
+    JSONL results with one row per request."""
+    results = tmp_path / "serve_results.jsonl"
+    conf = _write_yaml(tmp_path / "serve.yaml", f"""
+NAME: serve
+SERVE:
+  RESULTS: {results}
+  SLOTS: 2
+  QUANTUM: 3
+  PREFILL_CHUNK: 2
+  EOS_TOKEN_ID: -1
+  DTYPE: float32
+""")
+    entry.main(["serve", "--conf_files", conf])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["requests"] == 4
+    rows = [json.loads(l) for l in results.read_text().splitlines()]
+    assert {r["id"] for r in rows} == {0, 1, 2, 3}
+    for i, r in enumerate(sorted(rows, key=lambda r: r["id"])):
+        assert len(r["tokens"]) == 4 + 2 * i and isinstance(r["text"], str)
+
+
+def test_serve_cli_requests_file(tmp_path, capsys):
+    """JSONL request file with explicit input_ids and per-request budgets;
+    results must be deterministic greedy streams (two runs identical)."""
+    rng = np.random.default_rng(0)
+    req_path = tmp_path / "reqs.jsonl"
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+
+    n_img = tiny_llava_config(260).num_image_tokens
+    with open(req_path, "w") as f:
+        for i in range(3):
+            ids = rng.integers(3, 250, size=(1 + n_img + 5 + i,)).tolist()
+            ids[1:1 + n_img] = [tiny_llava_config(260).image_token_id] * n_img
+            f.write(json.dumps({"id": 10 + i, "input_ids": ids,
+                                "max_new_tokens": 5}) + "\n")
+
+    def run(out_name):
+        results = tmp_path / out_name
+        conf = _write_yaml(tmp_path / f"{out_name}.yaml", f"""
+NAME: serve
+SERVE:
+  REQUESTS: {req_path}
+  RESULTS: {results}
+  SLOTS: 2
+  QUANTUM: 2
+  PREFILL_CHUNK: 2
+  EOS_TOKEN_ID: -1
+  DTYPE: float32
+""")
+        entry.main(["serve", "--conf_files", conf])
+        capsys.readouterr()
+        return sorted((json.loads(l) for l in results.read_text().splitlines()),
+                      key=lambda r: r["id"])
+
+    a, b = run("a.jsonl"), run("b.jsonl")
+    assert a == b
+    assert [r["id"] for r in a] == [10, 11, 12]
+    assert all(len(r["tokens"]) == 5 for r in a)

@@ -162,3 +162,35 @@ def test_decode_quantum_uniform_matches_generate_decode(model):
                              compute_dtype=jnp.float32)
     np.testing.assert_array_equal(first_np, ref[:, 0])
     np.testing.assert_array_equal(np.asarray(toks), ref[:, 1:9])
+
+
+def test_serving_sharded_params_match_single_device(model):
+    """Production serving shards the model over a mesh (TP/FSDP); the engine
+    must produce identical streams with sharded params — sharding is a
+    layout, never a numerics change."""
+    from cullavo_tpu.parallel.mesh import MeshConfig, make_mesh, shard_params
+
+    cfg, params = model
+    rng = np.random.default_rng(3)
+    buckets = _buckets(cfg)
+    max_len = buckets[-1] + 10
+    gen = GenerationConfig(do_sample=False, eos_token_id=-1)
+    reqs = [_request(cfg, rng, i, tl, mn)
+            for i, (tl, mn) in enumerate([(3, 6), (12, 9), (6, 4)])]
+
+    def run(p, mesh=None):
+        eng = ServingEngine(p, cfg, gen, num_slots=2, max_len=max_len,
+                            prompt_buckets=buckets, prefill_chunk=2,
+                            quantum=3, compute_dtype=jnp.float32)
+        for r in reqs:
+            eng.submit(r)
+        if mesh is None:
+            return eng.run()
+        with mesh:
+            return eng.run()
+
+    ref = run(params)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    sharded = shard_params(params, mesh)
+    out = run(sharded, mesh)
+    assert out == ref
