@@ -701,18 +701,29 @@ def serve(cfg):
         return preprocess_numpy([im], size=model_cfg.vision.image_size)[0]
 
     def to_request(row):
+        from cullavo_tpu.models.llava.modeling import expand_image_token
+
         if "input_ids" in row:
             ids = np.asarray(row["input_ids"], np.int32)
         else:
             ids = np.asarray(tokenizer.encode(row["prompt"]), np.int32)
         pix = load_pixels(row["image"]) if row.get("image") else None
-        if pix is not None and np.sum(ids == model_cfg.image_token_id) == 1:
-            # expand the single <image> placeholder into the 576-token run
-            at = int(np.argmax(ids == model_cfg.image_token_id))
-            ids = np.concatenate([
-                ids[:at],
-                np.full((n_img,), model_cfg.image_token_id, np.int32),
-                ids[at + 1:]])
+        if pix is not None:
+            c = int(np.sum(ids == model_cfg.image_token_id))
+            if c == 1:
+                # expand the single <image> placeholder into the image run
+                ids, _, _ = expand_image_token(
+                    ids, np.ones_like(ids), np.zeros_like(ids),
+                    model_cfg.image_token_id, n_img)
+                ids = np.asarray(ids, np.int32)
+            elif c != n_img:
+                # silently decoding from unmerged text embeddings would
+                # return garbage with no signal — fail loudly instead
+                raise ValueError(
+                    f"request {row.get('id')}: image given but the prompt "
+                    f"holds {c} image tokens (expected 1 placeholder or "
+                    f"the expanded {n_img}-token run); check the tokenizer "
+                    "maps <image> to the image token id")
         return Request(req_id=row["id"], input_ids=ids, pixel_values=pix,
                        max_new_tokens=int(row.get("max_new_tokens", 32)))
 
@@ -741,10 +752,12 @@ def serve(cfg):
         {-(-len(r.input_ids) // 64) * 64 for r in reqs})
     max_new_max = max(r.max_new_tokens for r in reqs)
     max_len = int(scfg.get("MAX_LEN", max(buckets) + max_new_max))
+    default_eos = getattr(tokenizer, "eos_token_id", 2)
     gen = GenerationConfig(
         do_sample=bool(scfg.get("DO_SAMPLE", False)),
         temperature=float(scfg.get("TEMPERATURE", 0.9)),
-        eos_token_id=int(scfg.get("EOS_TOKEN_ID", 2)))
+        eos_token_id=int(scfg.get("EOS_TOKEN_ID",
+                                  2 if default_eos is None else default_eos)))
     eng = ServingEngine(
         params, model_cfg, gen,
         num_slots=int(scfg.get("SLOTS", 8)), max_len=max_len,

@@ -112,6 +112,13 @@ class ServingEngine:
                 f"request {req.req_id}: bucket({T})={b} + "
                 f"max_new_tokens={req.max_new_tokens} exceeds max_len="
                 f"{self.max_len}")
+        # results are keyed by req_id — a duplicate would silently
+        # overwrite another request's stream
+        if (req.req_id in self.results
+                or any(r.req_id == req.req_id for r in self.pending)
+                or any(st[0].req_id == req.req_id
+                       for st in self.active.values())):
+            raise ValueError(f"duplicate req_id {req.req_id}")
         self.pending.append(req)
         return req.req_id
 
@@ -183,8 +190,9 @@ class ServingEngine:
                     self.results[r.req_id] = out
                     continue
                 slot = self.free.pop()
-                self.pool = write_slot(self.pool, chunk, i, slot, tok,
-                                       tok == self.gen.eos_token_id)
+                # done0=False: eos-at-admission requests were routed to
+                # results above and never reach a slot
+                self.pool = write_slot(self.pool, chunk, i, slot, tok, False)
                 self.active[slot] = [r, out]
 
     # -- scheduling ---------------------------------------------------------

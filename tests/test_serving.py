@@ -194,3 +194,16 @@ def test_serving_sharded_params_match_single_device(model):
     sharded = shard_params(params, mesh)
     out = run(sharded, mesh)
     assert out == ref
+
+
+def test_serving_rejects_duplicate_req_id(model):
+    cfg, params = model
+    rng = np.random.default_rng(4)
+    buckets = _buckets(cfg)
+    eng = ServingEngine(params, cfg,
+                        GenerationConfig(do_sample=False, eos_token_id=-1),
+                        num_slots=2, max_len=buckets[-1] + 8,
+                        prompt_buckets=buckets, compute_dtype=jnp.float32)
+    eng.submit(_request(cfg, rng, 7, 3, 4))
+    with pytest.raises(ValueError, match="duplicate req_id 7"):
+        eng.submit(_request(cfg, rng, 7, 5, 4))
