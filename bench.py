@@ -316,10 +316,13 @@ def main():
 
             cfg = LlavaConfig()
             params = build_llava7b_params("int8", cfg)
+            # best measured serving point (STATUS): 16 slots + int8 KV cache
+            # (9.44 req/s = 1.17x static batching on the 48-request stream)
             serving = measure_serving(
                 params, cfg,
-                synth_requests(cfg, int(os.environ.get("BENCH_SERVE_N", 36))),
-                slots=int(os.environ.get("BENCH_SERVE_SLOTS", 12)))
+                synth_requests(cfg, int(os.environ.get("BENCH_SERVE_N", 48))),
+                slots=int(os.environ.get("BENCH_SERVE_SLOTS", 16)),
+                kv_quant=os.environ.get("BENCH_SERVE_KV", "int8") or None)
             del params
             log(f"serving: {serving}")
         except Exception as e:  # noqa: BLE001
@@ -336,7 +339,8 @@ def main():
     if serving:
         line.update({"serving_requests_per_s": serving["requests_per_s"],
                      "serving_tokens_per_s": serving["useful_tokens_per_s"],
-                     "serving_slots": serving["slots"]})
+                     "serving_slots": serving["slots"],
+                     "serving_kv": serving["kv_quant"]})
     print(json.dumps(line))
 
 

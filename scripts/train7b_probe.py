@@ -1,8 +1,14 @@
-"""Full-7B NF4 Q-LoRA training step on one real TPU chip.
+"""Full-7B quantized Q-LoRA training step on one real TPU chip.
 
 Run from anywhere: ``python scripts/train7b_probe.py`` — random weights at
 the exact LLaVA-1.5-7B architecture, NF4 base (C++ quantizer), LoRA r=64,
 reference trainable set, AdamW+cosine, remat backward.
+
+``PROBE_QUANT=int8``: the reference's other Q-LoRA base mode (BITS: 8 →
+bitsandbytes Linear8bitLt, load_cullavo.py:65-83).  With SmoothQuant
+calibration the training forward's base matmuls take the native s8s8 MXU
+path (2× MAC rate at prefill-sized M; x-grads exact via the custom VJP) —
+the backward's dy@W^T stays the bf16 convert-in-dot stream.
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -31,8 +37,19 @@ shapes = {"q": (L, D, H*hd), "k": (L, D, KV*hd), "v": (L, D, KV*hd),
           "o": (L, H*hd, D), "gate": (L, D, I), "up": (L, D, I), "down": (L, I, D)}
 t0 = time.time()
 layers = {}
+probe_quant = os.environ.get("PROBE_QUANT", "nf4")
 for i, (name, shape) in enumerate(shapes.items()):
-    if os.environ.get("PROBE_NF4_HOST_QUANT"):
+    if probe_quant == "int8":
+        from cullavo_tpu.ops.nf4 import quantize_linear_int8
+        # SmoothQuant-calibrated (synthetic scales — the COST is what the
+        # probe prices): enables the s8s8 MXU forward in training
+        sm = np.exp(np.random.default_rng(1234).normal(
+            0.0, 0.3, shape[-2])).astype(np.float32)
+        fn = jax.jit(lambda k, s=shape, sm=sm: quantize_linear_int8(
+            (jax.random.normal(k, s) * (s[-2] ** -0.5)).astype(jnp.bfloat16),
+            smooth_scale=sm))
+        layers[name] = fn(jax.random.PRNGKey(i))
+    elif os.environ.get("PROBE_NF4_HOST_QUANT"):
         # production import path: C++ host quantize + upload (slow over the
         # tunnel: ~minutes/weight; values don't affect a speed probe)
         host_rng = np.random.default_rng(i)
@@ -63,7 +80,7 @@ params = {"vision_tower": small["vision_tower"], "projector": small["projector"]
           "language_model": {"embed_tokens": small["embed_tokens"],
                              "lm_head": small["lm_head"], "norm": small["norm"],
                              "layers": layers}}
-log(f"7B NF4 base built in {time.time()-t0:.0f}s")
+log(f"7B {probe_quant} base built in {time.time()-t0:.0f}s")
 
 lora_cfg = LoraConfig()   # r=64, alpha=16, reference target set
 lora = jax.jit(lambda k: init_lora_params(params, cfg, lora_cfg, k))(jax.random.PRNGKey(1))
