@@ -22,7 +22,40 @@ import numpy as np
 
 from cullavo_tpu.models.llava.config import ClipVisionConfig, LlamaConfig, LlavaConfig
 
-__all__ = ["from_hf_state_dict", "load_llava_safetensors", "to_hf_state_dict"]
+__all__ = ["from_hf_state_dict", "llava_config_from_json",
+           "load_llava_safetensors", "to_hf_state_dict"]
+
+
+def llava_config_from_json(model_dir: str) -> LlavaConfig:
+    """Build a LlavaConfig from an HF snapshot's ``config.json`` — the
+    shape source HF ``from_pretrained`` uses (load_cullavo.py:63-90), so any
+    LLaVA-family size imports without hardcoding the 7B architecture.
+    Falls back to the LLaVA-1.5-7B defaults if the file is absent."""
+    import json
+
+    path = os.path.join(model_dir, "config.json")
+    if not os.path.exists(path):
+        return LlavaConfig()
+    with open(path) as f:
+        hf = json.load(f)
+    tc, vc = hf.get("text_config", {}), hf.get("vision_config", {})
+
+    def take(cls, src, **extra):
+        fields = {f.name for f in __import__("dataclasses").fields(cls)}
+        kw = {k: v for k, v in src.items() if k in fields}
+        kw.update(extra)
+        return cls(**kw)
+
+    text = take(LlamaConfig, tc)
+    vision = take(ClipVisionConfig, vc)
+    return LlavaConfig(
+        vision=vision, text=text,
+        projector_hidden_act=hf.get("projector_hidden_act", "gelu"),
+        vision_feature_layer=hf.get("vision_feature_layer", -2),
+        vision_feature_select_strategy=hf.get(
+            "vision_feature_select_strategy", "default"),
+        image_token_id=hf.get("image_token_index", 32000),
+        pad_token_id=hf.get("pad_token_id", 32001))
 
 
 def _normalize_key(key: str) -> str:

@@ -173,6 +173,26 @@ def export_hf(out_dir: str, params: Any, llava_cfg) -> None:
     # contiguized or the file silently holds the untransposed bytes
     state = {k: np.ascontiguousarray(v) for k, v in state.items()}
     save_file(state, os.path.join(out_dir, "model.safetensors"))
+    # HF-compatible config.json so the export round-trips through
+    # hf_import.llava_config_from_json (and transformers from_pretrained)
+    import dataclasses as _dc
+    import json as _json
+
+    conf = {
+        "model_type": "llava",
+        "image_token_index": llava_cfg.image_token_id,
+        "pad_token_id": llava_cfg.pad_token_id,
+        "projector_hidden_act": llava_cfg.projector_hidden_act,
+        "vision_feature_layer": llava_cfg.vision_feature_layer,
+        "vision_feature_select_strategy":
+            llava_cfg.vision_feature_select_strategy,
+        "text_config": {"model_type": "llama",
+                        **_dc.asdict(llava_cfg.text)},
+        "vision_config": {"model_type": "clip_vision_model",
+                          **_dc.asdict(llava_cfg.vision)},
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        _json.dump(conf, f, indent=1)
 
 
 # ---------------------------------------------------------------------------

@@ -47,13 +47,25 @@ def _build_llava(cfg):
     llm_cfg = (cfg.get("MODEL") or {}).get("LLM") or {}
     model_path = llm_cfg.get("LOAD_PATH")
     if model_path:
-        model_cfg = LlavaConfig()
+        from cullavo_tpu.checkpoint.hf_import import llava_config_from_json
+
+        # architecture from the snapshot's config.json (any LLaVA-family
+        # size), not a hardcoded 7B
+        model_cfg = llava_config_from_json(model_path)
         # keep the imported weights on HOST: maybe_quantize_base below
         # NF4/int8-encodes them there (C++ quantizer) so only the packed
         # streams are uploaded — uploading f32 first would ship 8× the
         # bytes and OOM a 16 GB chip before quantization could run
         params = load_llava_safetensors(model_path, model_cfg, np.float32)
-        tokenizer = HFTokenizer(model_path)
+        try:
+            tokenizer = HFTokenizer(model_path)
+        except Exception as e:  # noqa: BLE001 — weights-only snapshot
+            print(f"[entry] no tokenizer under {model_path} ({e}); "
+                  "falling back to ByteTokenizer (token-id workloads only)",
+                  file=sys.stderr)
+            from cullavo_tpu.data.tokenizer import ByteTokenizer
+
+            tokenizer = ByteTokenizer()
     else:
         print("[entry] no MODEL.LLM.LOAD_PATH — using tiny random model "
               "(smoke mode)", file=sys.stderr)

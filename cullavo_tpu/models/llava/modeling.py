@@ -551,6 +551,43 @@ def write_slot(pool: dict, chunk: dict, row, slot, first_tok, done0) -> dict:
     }
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def write_slots(pool: dict, chunk: dict, slots, first_toks, done0) -> dict:
+    """Admit a whole prefill chunk into the donated decode pool in ONE
+    dispatch: chunk row i goes to pool row ``slots[i]``; rows with
+    ``slots[i] < 0`` are NOT admitted (scatter-drop semantics) — the
+    engine marks prefill pad rows and finished-at-admission requests that
+    way.  Per-request ``write_slot`` remains for single admissions; on a
+    remote-tunnel backend one batched dispatch replaces chunk_b round
+    trips (~5-15 ms each)."""
+    slots = jnp.asarray(slots, jnp.int32)
+    # negative indices WRAP in JAX indexing (-1 = last row) — mode="drop"
+    # only drops out-of-bounds — so map the -1 sentinel to pool_rows (OOB)
+    pool_rows = pool["full_mask"].shape[0]
+    slots = jnp.where(slots < 0, pool_rows, slots)
+
+    def rows_to(pool_a, chunk_a, axis):
+        idx = (slice(None),) * axis + (slots,)
+        return pool_a.at[idx].set(chunk_a.astype(pool_a.dtype), mode="drop")
+
+    B = slots.shape[0]
+    return {
+        "logits": pool["logits"],
+        "cache": {name: rows_to(pool["cache"][name], a, 2)
+                  for name, a in chunk["cache"].items()},
+        "full_mask": rows_to(pool["full_mask"], chunk["full_mask"], 0),
+        "key_pos": rows_to(pool["key_pos"], chunk["key_pos"], 0),
+        "cur_pos": rows_to(pool["cur_pos"], chunk["cur_pos"], 0),
+        "write_idx": pool["write_idx"].at[slots].set(
+            jnp.broadcast_to(jnp.asarray(chunk["write_idx"], jnp.int32), (B,)),
+            mode="drop"),
+        "cur_tok": pool["cur_tok"].at[slots].set(
+            jnp.asarray(first_toks, jnp.int32), mode="drop"),
+        "done": pool["done"].at[slots].set(
+            jnp.asarray(done0, jnp.bool_), mode="drop"),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "gen", "compute_dtype",
                                              "return_state"),
                    donate_argnums=(2,))

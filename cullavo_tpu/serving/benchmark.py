@@ -51,15 +51,15 @@ def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
                             compute_dtype=compute_dtype)
         for r in reqs:
             eng.submit(r)
-        return eng.run()
+        return eng.run(), eng.latency()
 
     run()                                   # compile + warm
     t0 = time.time()
-    res = run()
+    res, lat = run()
     dt = time.time() - t0
     total = sum(len(v) for v in res.values())
     return {"requests_per_s": round(len(reqs) / dt, 3),
             "useful_tokens_per_s": round(total / dt, 1),
             "wall_s": round(dt, 2), "n_requests": len(reqs),
             "slots": slots, "quantum": quantum, "bucket": bucket,
-            "kv_quant": kv_quant or "bf16"}
+            "kv_quant": kv_quant or "bf16", "latency": lat}

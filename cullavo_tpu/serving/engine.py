@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import os
+import time
 from typing import Optional
 
 import numpy as np
@@ -44,7 +46,8 @@ from cullavo_tpu.models.llava.modeling import (GenerationConfig,
                                                _sample_token,
                                                alloc_decode_state,
                                                decode_quantum,
-                                               generate_prefill, write_slot)
+                                               generate_prefill, write_slot,
+                                               write_slots)
 
 
 @dataclasses.dataclass
@@ -93,6 +96,10 @@ class ServingEngine:
         self.kv_quant = kv_quant
         self.compute_dtype = compute_dtype
         self._rng = jax.random.PRNGKey(seed)
+        # one write_slots dispatch per admission group instead of per-slot
+        # write_slot calls — measured slower on a v5e (see _admit), opt-in
+        self._batched_admit = bool(int(
+            os.environ.get("CULLAVO_SERVE_BATCHED_ADMIT", "0")))
 
         self.pool: Optional[dict] = None
         self.free: list = list(range(self.num_slots))
@@ -100,6 +107,11 @@ class ServingEngine:
         # slot -> [request, emitted-token list]
         self.active: dict = {}
         self.results: dict = {}
+        # req_id -> {"submit"/"first_token"/"done": perf_counter seconds};
+        # exposed as latency() — TTFT is first_token-submit, E2E done-submit
+        # (done is observed at quantum harvest, so it quantizes to quantum
+        # boundaries, as in any iteration-scheduled engine)
+        self.times: dict = {}
         # pixel shape for inert pad rows, learned from the first image
         self._pix_shape = (3, cfg.vision.image_size, cfg.vision.image_size)
 
@@ -119,6 +131,7 @@ class ServingEngine:
                 or any(st[0].req_id == req.req_id
                        for st in self.active.values())):
             raise ValueError(f"duplicate req_id {req.req_id}")
+        self.times[req.req_id] = {"submit": time.perf_counter()}
         self.pending.append(req)
         return req.req_id
 
@@ -173,6 +186,7 @@ class ServingEngine:
                 compute_dtype=self.compute_dtype, kv_quant=self.kv_quant)
             self._rng, sub = jax.random.split(self._rng)
             first = np.asarray(_sample_token(chunk["logits"], self.gen, sub))
+            t_first = time.perf_counter()
 
             if self.pool is None:
                 self.pool = alloc_decode_state(chunk, self.num_slots)
@@ -182,18 +196,38 @@ class ServingEngine:
                 # idle rows decode as done (emit eos, write nothing useful)
                 self.pool["done"] = jnp.ones((self.num_slots,), jnp.bool_)
 
+            # slot -1 = not admitted (pad rows, finished-at-admission)
+            slots_vec = np.full((chunk_b,), -1, np.int32)
             for i, r in enumerate(group):
                 tok = int(first[i])
                 out = [tok]
+                self.times[r.req_id]["first_token"] = t_first
                 if tok == self.gen.eos_token_id or r.max_new_tokens <= 1:
                     # finished at admission — never occupies a slot
                     self.results[r.req_id] = out
+                    self.times[r.req_id]["done"] = t_first
                     continue
                 slot = self.free.pop()
-                # done0=False: eos-at-admission requests were routed to
-                # results above and never reach a slot
-                self.pool = write_slot(self.pool, chunk, i, slot, tok, False)
+                slots_vec[i] = slot
                 self.active[slot] = [r, out]
+            if not (slots_vec >= 0).any():
+                continue
+            if self._batched_admit:
+                # one donated dispatch for the whole group — measured
+                # SLOWER on a v5e (7B: 8.54→7.69 and 9.44→8.73 req/s):
+                # the advanced-index cache scatter loses to per-slot
+                # contiguous dynamic_update_slice slabs by more than the
+                # saved ~10 ms dispatches; kept opt-in for re-testing
+                # (CULLAVO_SERVE_BATCHED_ADMIT=1)
+                self.pool = write_slots(
+                    self.pool, chunk, slots_vec, first,
+                    np.zeros((chunk_b,), bool))
+            else:
+                for i in np.nonzero(slots_vec >= 0)[0]:
+                    # done0=False: eos-at-admission rows never reach a slot
+                    self.pool = write_slot(self.pool, chunk, int(i),
+                                           int(slots_vec[i]),
+                                           int(first[i]), False)
 
     # -- scheduling ---------------------------------------------------------
     def step(self):
@@ -217,6 +251,7 @@ class ServingEngine:
             if (out and out[-1] == self.gen.eos_token_id) \
                     or len(out) >= req.max_new_tokens:
                 self.results[req.req_id] = out[:req.max_new_tokens]
+                self.times[req.req_id]["done"] = time.perf_counter()
                 del self.active[slot]
                 self.free.append(slot)
 
@@ -226,3 +261,15 @@ class ServingEngine:
         while self.pending or self.active:
             self.step()
         return self.results
+
+    def latency(self) -> dict:
+        """Per-request latency stats over completed requests:
+        {"ttft": {"p50": ..., "p95": ...}, "e2e": {...}} in seconds."""
+        ttft = [t["first_token"] - t["submit"] for t in self.times.values()
+                if "first_token" in t]
+        e2e = [t["done"] - t["submit"] for t in self.times.values()
+               if "done" in t]
+        def pct(xs):
+            return {"p50": round(float(np.percentile(xs, 50)), 4),
+                    "p95": round(float(np.percentile(xs, 95)), 4)} if xs else {}
+        return {"ttft": pct(ttft), "e2e": pct(e2e)}

@@ -112,3 +112,48 @@ def test_orbax_roundtrip(tmp_path):
                                   np.arange(12.0).reshape(3, 4))
     assert int(loaded["step"]) == 5
     np.testing.assert_array_equal(np.asarray(loaded["nested"]["b"]), np.ones(7))
+
+
+def test_export_hf_roundtrip_through_entry_build(tmp_path):
+    """Production import path end-to-end from DISK: export_hf writes a
+    snapshot (safetensors + config.json), llava_config_from_json rebuilds
+    the exact architecture, and entry._build_llava loads + host-NF4-
+    quantizes it (BITS: 4) into a forward-runnable model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cullavo_tpu import entry
+    from cullavo_tpu.checkpoint.hf_import import llava_config_from_json
+    from cullavo_tpu.checkpoint.store import export_hf
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.modeling import (init_llava_params,
+                                                   llava_forward)
+
+    cfg = tiny_llava_config(128)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    snap = str(tmp_path / "snapshot")
+    export_hf(snap, params, cfg)
+
+    assert llava_config_from_json(snap) == cfg
+
+    loaded_cfg, loaded, _tok = entry._build_llava(
+        {"MODEL": {"LLM": {"LOAD_PATH": snap, "BITS": 4}}})
+    assert loaded_cfg == cfg
+    assert isinstance(loaded["language_model"]["layers"]["q"], dict)
+
+    rng = np.random.default_rng(0)
+    n_img = cfg.num_image_tokens
+    ids = rng.integers(3, 126, size=(1, 1 + n_img + 4)).astype(np.int32)
+    ids[:, 1:1 + n_img] = cfg.image_token_id
+    pix = rng.normal(size=(1, 3, cfg.vision.image_size,
+                           cfg.vision.image_size)).astype(np.float32)
+    mask = np.ones_like(ids)
+    ref, _ = llava_forward(params, cfg, jnp.asarray(ids), jnp.asarray(pix),
+                           jnp.asarray(mask))
+    got, _ = llava_forward(loaded, cfg, jnp.asarray(ids), jnp.asarray(pix),
+                           jnp.asarray(mask))
+    assert np.isfinite(np.asarray(got)).all()
+    # NF4 is lossy, but the quantized logits must track the originals
+    c = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert c > 0.95, f"quantized logits decorrelated: r={c}"

@@ -207,3 +207,30 @@ def test_serving_rejects_duplicate_req_id(model):
     eng.submit(_request(cfg, rng, 7, 3, 4))
     with pytest.raises(ValueError, match="duplicate req_id 7"):
         eng.submit(_request(cfg, rng, 7, 5, 4))
+
+
+def test_serving_batched_admission_and_latency(model):
+    """write_slots (one dispatch per admission group, slot -1 = dropped)
+    must admit identically to the per-request path, and the engine must
+    expose TTFT/E2E latency stats for every request."""
+    cfg, params = model
+    rng = np.random.default_rng(5)
+    buckets = _buckets(cfg)
+    max_len = buckets[-1] + 10
+    gen = GenerationConfig(do_sample=False, eos_token_id=-1)
+    reqs = [_request(cfg, rng, i, tl, mn)
+            for i, (tl, mn) in enumerate([(3, 6), (7, 1), (5, 8), (2, 5)])]
+    eng = ServingEngine(params, cfg, gen, num_slots=2, max_len=max_len,
+                        prompt_buckets=buckets, prefill_chunk=3, quantum=3,
+                        compute_dtype=jnp.float32)
+    eng._batched_admit = True  # force the write_slots path (opt-in by env)
+    for r in reqs:
+        eng.submit(r)
+    results = eng.run()
+    for r in reqs:
+        bucket = next(b for b in buckets if len(r.input_ids) <= b)
+        assert results[r.req_id] == _offline(cfg, params, r, bucket,
+                                             max_len, gen)
+    lat = eng.latency()
+    assert lat["ttft"]["p50"] > 0 and lat["e2e"]["p95"] >= lat["ttft"]["p50"]
+    assert all("done" in t for t in eng.times.values())
