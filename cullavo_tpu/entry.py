@@ -681,6 +681,62 @@ def evaluate(cfg):
     return results
 
 
+def _engine_from_cfg(scfg, model_cfg, params, tokenizer, buckets, max_len):
+    """SERVE.* config block → (GenerationConfig, ServingEngine)."""
+    import jax.numpy as jnp
+
+    from cullavo_tpu.models.llava.modeling import GenerationConfig
+    from cullavo_tpu.serving import ServingEngine
+
+    default_eos = getattr(tokenizer, "eos_token_id", 2)
+    gen = GenerationConfig(
+        do_sample=bool(scfg.get("DO_SAMPLE", False)),
+        temperature=float(scfg.get("TEMPERATURE", 0.9)),
+        eos_token_id=int(scfg.get("EOS_TOKEN_ID",
+                                  2 if default_eos is None else default_eos)))
+    eng = ServingEngine(
+        params, model_cfg, gen,
+        num_slots=int(scfg.get("SLOTS", 8)), max_len=max_len,
+        prompt_buckets=buckets,
+        prefill_chunk=int(scfg.get("PREFILL_CHUNK", 2)),
+        quantum=int(scfg.get("QUANTUM", 8)),
+        kv_quant=scfg.get("KV_QUANT") or None,
+        compute_dtype=jnp.bfloat16 if str(
+            scfg.get("DTYPE", "bfloat16")) == "bfloat16" else jnp.float32)
+    return gen, eng
+
+
+def _serve_http(scfg, model_cfg, params, tokenizer):
+    """SERVE.PORT set → run the HTTP endpoint (serving/server.py) until
+    interrupted.  Buckets must be static up front in network mode (each is
+    one compiled prefill program): SERVE.PROMPT_BUCKETS, defaulting to one
+    bucket sized for image + 72 text tokens."""
+    from cullavo_tpu.serving.server import make_server
+
+    n_img = model_cfg.num_image_tokens
+    buckets = scfg.get("PROMPT_BUCKETS") or \
+        [-(-(1 + n_img + 72) // 64) * 64]
+    max_new_max = int(scfg.get("MAX_NEW_TOKENS_MAX", 64))
+    max_len = int(scfg.get("MAX_LEN", max(buckets) + max_new_max))
+    _, eng = _engine_from_cfg(scfg, model_cfg, params, tokenizer,
+                              buckets, max_len)
+    server = make_server(eng, model_cfg, tokenizer,
+                         host=str(scfg.get("HOST", "127.0.0.1")),
+                         port=int(scfg.get("PORT", 0)),
+                         timeout_s=float(scfg.get("TIMEOUT_S", 300.0)))
+    host, port = server.server_address[:2]
+    print(f"[entry] serving on http://{host}:{port} "
+          f"(buckets={buckets}, max_len={max_len})", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.runner.stop()
+        server.server_close()
+    return server
+
+
 def serve(cfg):
     """Serving workload (beyond the reference — its eval hot path is batch-1
     greedy, LLaVAVQAVALPipeline.py:171-180): run the continuous-batching
@@ -693,51 +749,19 @@ def serve(cfg):
     import json
     import time
 
-    import jax.numpy as jnp
-
-    from cullavo_tpu.models.llava.modeling import GenerationConfig
-    from cullavo_tpu.serving import Request, ServingEngine
+    from cullavo_tpu.serving import Request
+    from cullavo_tpu.serving.io import request_from_row
 
     model_cfg, params, tokenizer = _build_llava(cfg)
     scfg = cfg.get("SERVE", {}) or {}
     n_img = model_cfg.num_image_tokens
 
-    def load_pixels(path):
-        if path.endswith(".npy"):
-            return np.load(path).astype(np.float32)
-        from PIL import Image
-
-        from cullavo_tpu.data.image_processing import preprocess_numpy
-
-        im = np.asarray(Image.open(path).convert("RGB"))
-        return preprocess_numpy([im], size=model_cfg.vision.image_size)[0]
-
     def to_request(row):
-        from cullavo_tpu.models.llava.modeling import expand_image_token
+        return request_from_row(row, model_cfg, tokenizer)
 
-        if "input_ids" in row:
-            ids = np.asarray(row["input_ids"], np.int32)
-        else:
-            ids = np.asarray(tokenizer.encode(row["prompt"]), np.int32)
-        pix = load_pixels(row["image"]) if row.get("image") else None
-        if pix is not None:
-            c = int(np.sum(ids == model_cfg.image_token_id))
-            if c == 1:
-                # expand the single <image> placeholder into the image run
-                ids, _, _ = expand_image_token(
-                    ids, np.ones_like(ids), np.zeros_like(ids),
-                    model_cfg.image_token_id, n_img)
-                ids = np.asarray(ids, np.int32)
-            elif c != n_img:
-                # silently decoding from unmerged text embeddings would
-                # return garbage with no signal — fail loudly instead
-                raise ValueError(
-                    f"request {row.get('id')}: image given but the prompt "
-                    f"holds {c} image tokens (expected 1 placeholder or "
-                    f"the expanded {n_img}-token run); check the tokenizer "
-                    "maps <image> to the image token id")
-        return Request(req_id=row["id"], input_ids=ids, pixel_values=pix,
-                       max_new_tokens=int(row.get("max_new_tokens", 32)))
+    if scfg.get("PORT") is not None:
+        # network mode: POST /generate endpoint over the same engine
+        return _serve_http(scfg, model_cfg, params, tokenizer)
 
     req_path = scfg.get("REQUESTS")
     if req_path:
@@ -764,21 +788,8 @@ def serve(cfg):
         {-(-len(r.input_ids) // 64) * 64 for r in reqs})
     max_new_max = max(r.max_new_tokens for r in reqs)
     max_len = int(scfg.get("MAX_LEN", max(buckets) + max_new_max))
-    default_eos = getattr(tokenizer, "eos_token_id", 2)
-    gen = GenerationConfig(
-        do_sample=bool(scfg.get("DO_SAMPLE", False)),
-        temperature=float(scfg.get("TEMPERATURE", 0.9)),
-        eos_token_id=int(scfg.get("EOS_TOKEN_ID",
-                                  2 if default_eos is None else default_eos)))
-    eng = ServingEngine(
-        params, model_cfg, gen,
-        num_slots=int(scfg.get("SLOTS", 8)), max_len=max_len,
-        prompt_buckets=buckets,
-        prefill_chunk=int(scfg.get("PREFILL_CHUNK", 2)),
-        quantum=int(scfg.get("QUANTUM", 8)),
-        kv_quant=scfg.get("KV_QUANT") or None,
-        compute_dtype=jnp.bfloat16 if str(
-            scfg.get("DTYPE", "bfloat16")) == "bfloat16" else jnp.float32)
+    gen, eng = _engine_from_cfg(scfg, model_cfg, params, tokenizer,
+                                buckets, max_len)
     for r in reqs:
         eng.submit(r)
     t0 = time.time()
