@@ -65,6 +65,8 @@ class EngineRunner:
         self._stop = False
         self._events: dict = {}          # req_id -> threading.Event
         self._done: dict = {}            # req_id -> [tokens]
+        self._streams: dict = {}         # req_id -> queue.Queue (streaming)
+        self._sent: dict = {}            # req_id -> tokens already streamed
         self._ttft = collections.deque(maxlen=window)
         self._e2e = collections.deque(maxlen=window)
         self._counters = {"submitted": 0, "completed": 0}
@@ -107,6 +109,20 @@ class EngineRunner:
         self.submit(req)
         return self.result(req.req_id, timeout)
 
+    def submit_stream(self, req: Request):
+        """Streaming submit: returns a Queue yielding tokens as quanta
+        complete, then ``None`` as the end-of-stream sentinel."""
+        import queue
+
+        with self._lock:
+            self.engine.submit(req)      # may raise; nothing registered yet
+            q = queue.Queue()
+            self._streams[req.req_id] = q
+            self._sent[req.req_id] = 0
+            self._counters["submitted"] += 1
+        self._wake.set()
+        return q
+
     def stats(self) -> dict:
         def pct(xs):
             xs = list(xs)
@@ -142,11 +158,25 @@ class EngineRunner:
                 busy = bool(self.engine.pending or self.engine.active)
                 if busy:
                     self.engine.step()
+                    self._push_partial_locked()
                     self._harvest_locked()
             if not busy:
                 # park until a submit wakes us (bounded, so stop() is prompt)
                 self._wake.wait(self._idle_poll_s)
                 self._wake.clear()
+
+    def _push_partial_locked(self):
+        """Feed streaming queues the tokens decoded so far (in-flight rows)."""
+        if not self._streams:
+            return
+        for req, out in self.engine.active.values():
+            q = self._streams.get(req.req_id)
+            if q is None:
+                continue
+            sent = self._sent[req.req_id]
+            for t in out[sent:]:
+                q.put(t)
+            self._sent[req.req_id] = len(out)
 
     def _harvest_locked(self):
         eng = self.engine
@@ -158,6 +188,12 @@ class EngineRunner:
             if "done" in t:
                 self._e2e.append(t["done"] - t["submit"])
             self._counters["completed"] += 1
+            q = self._streams.pop(rid, None)
+            if q is not None:
+                for tok in toks[self._sent.pop(rid, 0):]:
+                    q.put(tok)
+                q.put(None)              # end-of-stream sentinel
+                continue
             self._done[rid] = toks
             ev = self._events.get(rid)
             if ev is not None:
@@ -224,9 +260,14 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if "id" not in row:
             row = dict(row, id=self.server.assign_id())
+        stream = bool(row.pop("stream", False))
         try:
             req = request_from_row(row, self.server.model_cfg,
                                    self.server.tokenizer)
+            if stream:
+                q = self.server.runner.submit_stream(req)
+                self._stream_reply(row["id"], q)
+                return
             toks = self.server.runner.generate(req,
                                                timeout=self.server.timeout_s)
         except (ValueError, KeyError) as e:
@@ -235,12 +276,46 @@ class _Handler(BaseHTTPRequestHandler):
         except TimeoutError as e:
             self._reply(504, {"error": str(e)})
             return
+        self._reply(200, {"id": row["id"], "tokens": toks,
+                          "text": self._decode(toks)})
+
+    def _decode(self, toks):
+        if self.server.tokenizer is None:
+            return None
         eos = self.server.eos_token_id
-        text = None
-        if self.server.tokenizer is not None:
-            text = self.server.tokenizer.decode(
-                toks[:-1] if toks and toks[-1] == eos else toks)
-        self._reply(200, {"id": row["id"], "tokens": toks, "text": text})
+        return self.server.tokenizer.decode(
+            toks[:-1] if toks and toks[-1] == eos else toks)
+
+    def _stream_reply(self, req_id, q):
+        """Chunked JSONL: one {"token": t} line per decoded token as its
+        quantum completes, then a {"done": true, ...} summary line."""
+        self.send_response(200)
+        self.send_header("Content-Type", "application/jsonl")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def chunk(obj):
+            data = (json.dumps(obj) + "\n").encode()
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+            self.wfile.flush()
+
+        import queue
+
+        toks, deadline = [], time.time() + self.server.timeout_s
+        while True:
+            try:
+                t = q.get(timeout=max(0.0, deadline - time.time()))
+            except queue.Empty:
+                chunk({"error": f"timeout after {self.server.timeout_s}s",
+                       "id": req_id, "tokens": toks})
+                break
+            if t is None:
+                chunk({"done": True, "id": req_id, "tokens": toks,
+                       "text": self._decode(toks)})
+                break
+            toks.append(t)
+            chunk({"token": t})
+        self.wfile.write(b"0\r\n\r\n")
 
 
 def make_server(engine: ServingEngine, model_cfg, tokenizer, *,

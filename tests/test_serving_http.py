@@ -171,3 +171,26 @@ def test_http_healthz_auto_id_and_errors(served):
 
     status, body = _get(port, "/nope")
     assert status == 404
+
+
+def test_http_streaming_matches_blocking(served):
+    """stream=true returns chunked JSONL whose token sequence equals the
+    blocking response (and the offline reference)."""
+    cfg, params, server, buckets, max_len, gen = served
+    port = server.server_address[1]
+    rng = np.random.default_rng(3)
+    row = _row(cfg, rng, 7007, 6, 8)
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=180)
+    conn.request("POST", "/generate", json.dumps(dict(row, stream=True)),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 200
+    lines = [json.loads(line) for line in r.read().decode().splitlines()]
+    conn.close()
+
+    assert lines[-1].get("done") is True
+    streamed = [ln["token"] for ln in lines[:-1]]
+    assert streamed == lines[-1]["tokens"]
+    ref = _offline(cfg, params, row, buckets, max_len, gen)
+    assert streamed == ref
