@@ -5,13 +5,10 @@ TensorBoard in this environment).
 Env: TRACE_QUANT (int8|nf4, default int8), BENCH_* as in bench.py.
 Writes the trace under /tmp/jaxtrace and prints a JSON summary.
 """
-import glob
-import gzip
 import json
 import os
 import sys
 import time
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -61,48 +58,9 @@ def main():
     run()
     print(f"steady-state: {time.time()-t0:.3f}s", file=sys.stderr)
 
-    trace_dir = "/tmp/jaxtrace"
-    os.system(f"rm -rf {trace_dir}")
-    jax.profiler.start_trace(trace_dir)
-    run()
-    jax.profiler.stop_trace()
+    from _trace_util import trace_and_top_ops
 
-    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    if not files:
-        print(json.dumps({"error": "no trace produced", "dir": trace_dir}))
-        return
-    with gzip.open(files[0], "rt") as f:
-        trace = json.load(f)
-    # device-lane complete events: aggregate wall by op name prefix
-    by_name = defaultdict(float)
-    total = 0.0
-    # map pid → process name so only device (TPU) lanes are aggregated;
-    # host python / launch / runtime threads would double-count wall time
-    # against device op time otherwise
-    pid_names = {}
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pid_names[ev.get("pid")] = ev.get("args", {}).get("name", "")
-    device_pids = {pid for pid, n in pid_names.items()
-                   if "TPU" in n or "/device:" in n}
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
-            continue
-        name = ev.get("name", "")
-        if not name or name.startswith(("$", "process_")):
-            continue
-        # device lanes when identifiable; otherwise fall back to events
-        # carrying HLO metadata (XLA op events annotate long_name/hlo_op)
-        args = ev.get("args", {})
-        if (ev.get("pid") in device_pids if device_pids
-                else ("long_name" in args or "hlo_op" in args)):
-            key = name.split(".")[0][:48]
-            by_name[key] += ev["dur"]
-            total += ev["dur"]
-    top = sorted(by_name.items(), key=lambda kv: -kv[1])[:25]
-    print(json.dumps({"total_us_allevents": round(total, 1),
-                      "top": [{"op": k, "ms": round(v / 1e3, 2)}
-                              for k, v in top]}, indent=1))
+    print(json.dumps(trace_and_top_ops(run), indent=1))
 
 
 if __name__ == "__main__":

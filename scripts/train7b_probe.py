@@ -108,6 +108,26 @@ step = jax.jit(make_train_step(cfg, lora_cfg, tx, remat=True,
                donate_argnums=(0,))
 # donation: trainable+opt state update in place (fp32 embed/lm_head +
 # AdamW moments are ~8 GB at 7B; an undonated copy OOMs the 16 GB HBM)
+if os.environ.get("PROBE_HLO"):
+    # post-optimization HLO text (compile only, no execution) — with the
+    # persistent cache warm this is fast; used to map trace fusion ids back
+    # to source dots (PROBE_HLO=path writes there, =1 prints fusion lines)
+    lowered = jax.jit(make_train_step(cfg, lora_cfg, tx, remat=True,
+                                      compute_dtype=jnp.bfloat16,
+                                      loss_chunk=256),
+                      donate_argnums=(0,)).lower(
+        state, frozen, batch, jax.random.PRNGKey(2))
+    txt = lowered.compile().as_text()
+    dest = os.environ["PROBE_HLO"]
+    if dest != "1":
+        open(dest, "w").write(txt)
+        log(f"wrote {len(txt)/1e6:.1f} MB HLO to {dest}")
+    else:
+        for line in txt.splitlines():
+            if "fusion" in line and "= " in line:
+                print(line[:200])
+    sys.exit(0)
+
 log("compiling 7B Q-LoRA train step...")
 t0 = time.time()
 state, m = step(state, frozen, batch, jax.random.PRNGKey(2))
@@ -120,3 +140,15 @@ for i in range(4):
     times.append(time.time()-t0)
 print(f"7B Q-LoRA steps: losses={['%.4f'%l for l in losses]} "
       f"step_time p50={np.median(times):.2f}s grad_norm={float(m['grad_norm']):.3f}")
+
+if os.environ.get("PROBE_TRACE"):
+    import json as _json
+
+    from _trace_util import trace_and_top_ops
+
+    def one_step():
+        global state
+        state, mm = step(state, frozen, batch, jax.random.PRNGKey(42))
+        float(mm["loss_llm"])         # host sync = true barrier on axon
+
+    print(_json.dumps(trace_and_top_ops(one_step), indent=1))
