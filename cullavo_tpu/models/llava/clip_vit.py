@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from cullavo_tpu.models.llava.config import ClipVisionConfig
@@ -117,7 +118,12 @@ def clip_vision_forward(
             else:
                 y = x @ weight + bias
             if adapter is not None:
-                upd = ((x @ adapter["a"]) @ adapter["b"]) * adapter["mask"][0, 0]
+                # saved by the remat policy below — recomputing the [M, r]
+                # intermediate re-streams the full activation (llama.py
+                # _adapter rationale)
+                u = jax.ad_checkpoint.checkpoint_name(
+                    x @ adapter["a"], "lora_u")
+                upd = (u @ adapter["b"]) * adapter["mask"][0, 0]
                 y = y + lora_scaling * upd.astype(y.dtype)
             return y
 
@@ -146,7 +152,9 @@ def clip_vision_forward(
     # per-layer remat: without it the backward keeps every layer's 577x577
     # attention scores live ([23, B, 16, 577, 577] fp32+bf16 = 6.2 GB at
     # B=8 — the single largest allocation of the unremated train step)
-    layer_fn = (jax.checkpoint(layer, policy=jax.checkpoint_policies.nothing_saveable)
+    layer_fn = (jax.checkpoint(
+        layer,
+        policy=jax.checkpoint_policies.save_only_these_names("lora_u"))
                 if remat else layer)
     x, _ = jax.lax.scan(layer_fn, x, scanned)
     return x

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from cullavo_tpu.models.llava.config import LlamaConfig
@@ -478,7 +479,12 @@ def llama_forward(
         if dropout_rng is not None and lora_dropout > 0.0:
             keep = jax.random.bernoulli(rng, 1.0 - lora_dropout, x.shape)
             xa = jnp.where(keep, x / (1.0 - lora_dropout), jnp.zeros_like(x))
-        return y + lora_scaling * ((xa @ ad["a"]) @ ad["b"]).astype(y.dtype)
+        # name the low-rank intermediate so the remat policy can SAVE it:
+        # u is tiny ([M, r] bf16, ~176 MB across all targets x 32 layers at
+        # B=6 T=1024) but recomputing it re-streams the 50-135 MB activation
+        # per target per layer — measured 161 ms of remat time per 7B step
+        u = jax.ad_checkpoint.checkpoint_name(xa @ ad["a"], "lora_u")
+        return y + lora_scaling * (u @ ad["b"]).astype(y.dtype)
 
     def mm_group(x, w, ad, names, rngs, dims_of):
         """q/k/v (or gate/up) share one activation-quantization pass when
@@ -693,7 +699,12 @@ def llama_forward(
     # Checkpointing the WHOLE forward instead does nothing for peak memory —
     # the backward re-runs the full forward with every residual live (a 1.3B
     # Q-LoRA step compiled to a 70 GB HBM request that way).
-    layer_fn = (jax.checkpoint(layer, policy=jax.checkpoint_policies.nothing_saveable)
+    # save_only_these_names('lora_u'): everything rematerializes EXCEPT the
+    # tiny [M, r] LoRA intermediates — their recompute re-reads the full
+    # activation per adapter target (7 targets/layer) for ~0 saved memory
+    layer_fn = (jax.checkpoint(
+        layer,
+        policy=jax.checkpoint_policies.save_only_these_names("lora_u"))
                 if remat else layer)
     if stale_cache and kv_q8:
         init = (inputs_embeds, cache["k"], cache["v"], cache["k_s"], cache["v_s"])

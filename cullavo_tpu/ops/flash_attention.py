@@ -467,36 +467,43 @@ def _flash_bwd(causal, block_q, block_k, res, do):
     ch = _fit_block(512, T, 8)
     nch = T // ch
 
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    # Dot-operand dtype follows the INPUT dtype with f32 accumulation —
+    # flash-attention-2's backward numerics (probabilities/ds round to the
+    # input dtype before the MXU dots).  f32 callers keep fully exact math
+    # (op_dt == f32 makes every cast below a no-op); bf16 callers get
+    # bf16-operand dots, which run the v5e MXU at ~4x its f32-operand rate
+    # (measured: the all-f32 form was ~220 ms of the 2.44 s 7B Q-LoRA
+    # train step).
+    op_dt = q.dtype
+    kf = k.astype(op_dt)
+    vf = v.astype(op_dt)
     kpos = jnp.arange(S)[None, None, :]
     kv_ok = (kv_valid[:, None, :] != 0)                     # [B, 1, S]
 
     def one_chunk(carry, xs):
         dk_acc, dv_acc = carry
         qc, oc, doc, lsec, qposc = xs                       # chunk-sliced
-        scores = jnp.einsum("bhqd,bhkd->bhqk", qc, kf,
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qc.astype(op_dt), kf,
                             preferred_element_type=jnp.float32) * scale
         mask = kv_ok
         if causal:
             mask = mask & (qposc[:, :, None] >= kpos)       # [B, ch, S]
         p = jnp.exp(scores - lsec[..., None])
         p = jnp.where(mask[:, None], p, 0.0)
-        do_f = doc.astype(jnp.float32)
-        dv_c = jnp.einsum("bhqk,bhqd->bhkd", p, do_f,
+        do_f = doc.astype(op_dt)
+        dv_c = jnp.einsum("bhqk,bhqd->bhkd", p.astype(op_dt), do_f,
                           preferred_element_type=jnp.float32)
         dp = jnp.einsum("bhqd,bhkd->bhqk", do_f, vf,
                         preferred_element_type=jnp.float32)
-        delta = jnp.sum(do_f * oc.astype(jnp.float32), axis=-1, keepdims=True)
+        delta = jnp.sum(doc.astype(jnp.float32) * oc.astype(jnp.float32),
+                        axis=-1, keepdims=True)
         ds = p * (dp - delta) * scale
-        dq_c = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
+        ds_c = ds.astype(op_dt)
+        dq_c = jnp.einsum("bhqk,bhkd->bhqd", ds_c, kf,
                           preferred_element_type=jnp.float32)
-        dk_c = jnp.einsum("bhqk,bhqd->bhkd", ds, q_chunk_cast(qc),
+        dk_c = jnp.einsum("bhqk,bhqd->bhkd", ds_c, qc.astype(op_dt),
                           preferred_element_type=jnp.float32)
         return (dk_acc + dk_c, dv_acc + dv_c), dq_c
-
-    def q_chunk_cast(qc):
-        return qc.astype(jnp.float32)
 
     def chunked(x, axis):
         return jnp.moveaxis(x.reshape(x.shape[:axis] + (nch, ch)
