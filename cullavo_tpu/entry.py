@@ -681,6 +681,41 @@ def evaluate(cfg):
     return results
 
 
+def _load_serving_adapters(scfg, model_cfg, params):
+    """SERVE.ADAPTERS: [dir, ...] → (lora dict, scaling).
+
+    One dir = the reference's eval mode (unmerged adapters over the
+    quantized base); several dirs = per-request multi-adapter serving
+    (each Request/HTTP row picks one via ``adapter_id``, index = position
+    in this list).  Vision-tower adapters ride along only in single-set
+    mode (the multi path is LLM-only, lora.stack_adapter_sets)."""
+    paths = scfg.get("ADAPTERS") or []
+    if not paths:
+        return None, 0.0
+    from cullavo_tpu.checkpoint.store import load_adapters
+    from cullavo_tpu.models.llava.lora import stack_adapter_sets
+
+    sets, vision, scale = [], None, None
+    for p in paths:
+        tree, acfg = load_adapters(p)
+        sets.append(tree["language_model"])
+        if vision is None and tree.get("vision_tower"):
+            vision = tree["vision_tower"]
+        scale = acfg.get("scaling") or (
+            float(acfg.get("alpha", 16.0)) / float(acfg.get("r", 64)))
+    scale = float(scfg.get("LORA_SCALING", scale))
+    if len(sets) == 1:
+        lora = {"language_model": sets[0]}
+        if vision:
+            lora["vision_tower"] = vision
+    else:
+        lora = {"language_model": stack_adapter_sets(sets)}
+        if vision:
+            print("[entry] multi-adapter serving is LLM-only — ignoring "
+                  "vision-tower adapters", file=sys.stderr)
+    return lora, scale
+
+
 def _engine_from_cfg(scfg, model_cfg, params, tokenizer, buckets, max_len):
     """SERVE.* config block → (GenerationConfig, ServingEngine)."""
     import jax.numpy as jnp
@@ -688,6 +723,7 @@ def _engine_from_cfg(scfg, model_cfg, params, tokenizer, buckets, max_len):
     from cullavo_tpu.models.llava.modeling import GenerationConfig
     from cullavo_tpu.serving import ServingEngine
 
+    lora, lora_scaling = _load_serving_adapters(scfg, model_cfg, params)
     default_eos = getattr(tokenizer, "eos_token_id", 2)
     gen = GenerationConfig(
         do_sample=bool(scfg.get("DO_SAMPLE", False)),
@@ -702,7 +738,8 @@ def _engine_from_cfg(scfg, model_cfg, params, tokenizer, buckets, max_len):
         quantum=int(scfg.get("QUANTUM", 8)),
         kv_quant=scfg.get("KV_QUANT") or None,
         compute_dtype=jnp.bfloat16 if str(
-            scfg.get("DTYPE", "bfloat16")) == "bfloat16" else jnp.float32)
+            scfg.get("DTYPE", "bfloat16")) == "bfloat16" else jnp.float32,
+        lora=lora, lora_scaling=lora_scaling)
     return gen, eng
 
 

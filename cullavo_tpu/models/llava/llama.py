@@ -301,6 +301,10 @@ def llama_forward(
     lora: Optional[dict] = None,              # stacked {target: {a, b}} adapters
     lora_scaling: float = 0.0,
     lora_dropout: float = 0.0,
+    adapter_ids: Optional[jax.Array] = None,  # [B] int32: per-row adapter pick
+                                              # when lora is MULTI-stacked
+                                              # ({a: [L, K, D, r]}, see
+                                              # lora.stack_adapter_sets)
     dropout_rng: Optional[jax.Array] = None,
     use_flash: Optional[bool] = None,         # None = auto (TPU only)
     stale_cache: bool = False,
@@ -415,6 +419,20 @@ def llama_forward(
                    > position_ids[:, :, None] - cfg.sliding_window)
     bias = jnp.where(ok[:, None, :, :], 0.0, NEG_INF).astype(jnp.float32)
 
+    # multi-stacked adapters: one [B, K] selection matrix shared by every
+    # layer (adapter stacks are [L, K, ...] — the scan slices off L)
+    adapter_onehot = None
+    if lora:
+        K_multi = next((t["a"].shape[1] for t in lora.values()
+                        if isinstance(t, dict) and t.get("a") is not None
+                        and t["a"].ndim == 4), None)
+        if K_multi is not None:
+            if adapter_ids is None:
+                raise ValueError("multi-stacked lora adapters need "
+                                 "adapter_ids ([B] int32 per-row picks)")
+            adapter_onehot = jax.nn.one_hot(adapter_ids, K_multi,
+                                            dtype=jnp.float32)
+
     def mm(x, w, ad, rng, dims=None):
         """x @ w with optional LoRA update (adapter ``ad`` may be None).
         ``w`` may be an NF4-quantized dict (cullavo_tpu.ops.nf4.quantize_linear)
@@ -479,12 +497,31 @@ def llama_forward(
         if dropout_rng is not None and lora_dropout > 0.0:
             keep = jax.random.bernoulli(rng, 1.0 - lora_dropout, x.shape)
             xa = jnp.where(keep, x / (1.0 - lora_dropout), jnp.zeros_like(x))
+        a, b = ad["a"], ad["b"]
+        if a.ndim == 3:
+            # MULTI-stacked adapters ([K, D, r] per layer): each batch row
+            # applies its own adapter via one-hot weight selection — the
+            # selected [B, D, r]/[B, r, N] operands stream K x the (tiny)
+            # adapter bytes, never K x the update compute (S-LoRA-style
+            # serving, per-request adapter_ids)
+            if "mask" in ad:
+                raise NotImplementedError(
+                    "multi-stacked adapters with per-layer masks (vision "
+                    "tower style) are not supported — serve vision adapters "
+                    "as a shared single stack")
+            oh = adapter_onehot
+            a_sel = jnp.einsum("bk,kdr->bdr", oh.astype(a.dtype), a)
+            b_sel = jnp.einsum("bk,krn->brn", oh.astype(b.dtype), b)
+            u = jax.ad_checkpoint.checkpoint_name(
+                jnp.einsum("btd,bdr->btr", xa, a_sel), "lora_u")
+            update = jnp.einsum("btr,brn->btn", u, b_sel)
+            return y + lora_scaling * update.astype(y.dtype)
         # name the low-rank intermediate so the remat policy can SAVE it:
         # u is tiny ([M, r] bf16, ~176 MB across all targets x 32 layers at
         # B=6 T=1024) but recomputing it re-streams the 50-135 MB activation
         # per target per layer — measured 161 ms of remat time per 7B step
-        u = jax.ad_checkpoint.checkpoint_name(xa @ ad["a"], "lora_u")
-        return y + lora_scaling * (u @ ad["b"]).astype(y.dtype)
+        u = jax.ad_checkpoint.checkpoint_name(xa @ a, "lora_u")
+        return y + lora_scaling * (u @ b).astype(y.dtype)
 
     def mm_group(x, w, ad, names, rngs, dims_of):
         """q/k/v (or gate/up) share one activation-quantization pass when

@@ -333,3 +333,35 @@ def add_step2_adapters(params: Any, step1_lora: dict, cfg: LlavaConfig,
     if merge_step1 and step1_lora:
         base = merge_lora(params, step1_lora, lora)
     return base, init_lora_params(base, cfg, lora, key, dtype)
+
+
+def stack_adapter_sets(sets: list) -> dict:
+    """Stack K structurally-identical LLM adapter dicts for per-request
+    multi-adapter serving (S-LoRA-style): each ``{target: {a: [L, D, r],
+    b: [L, r, N]}}`` becomes ``{target: {a: [L, K, D, r], b: [L, K, r, N]}}``
+    — layer axis leading so ``lax.scan`` slices layers, adapter axis second
+    so ``llama_forward(adapter_ids=...)`` selects per batch row.
+
+    Pass the LANGUAGE-MODEL adapter subtree only (``lora["language_model"]``
+    from ``init_lora_params``): vision-tower adapters carry per-layer masks,
+    which the multi path rejects — serve vision adapters as one shared
+    single stack.  The reference's analogue is its two PEFT adapter sets
+    (step1 + 'step2', load_cullavo.py:23-59) of which only one can be active
+    per forward; here each request picks its own.
+    """
+    if not sets:
+        raise ValueError("stack_adapter_sets: need at least one adapter set")
+    import jax
+
+    structs = [jax.tree.structure(s) for s in sets]
+    if any(st != structs[0] for st in structs[1:]):
+        raise ValueError("adapter sets differ in structure: "
+                         f"{[str(s) for s in structs]}")
+
+    def stack(*leaves):
+        shapes = {l.shape for l in leaves}
+        if len(shapes) != 1:
+            raise ValueError(f"adapter leaf shapes differ: {shapes}")
+        return jnp.stack(leaves, axis=1)
+
+    return jax.tree.map(stack, *sets)

@@ -136,6 +136,8 @@ def llava_forward(
     lora: Optional[dict] = None,
     lora_scaling: float = 0.0,
     lora_dropout: float = 0.0,
+    adapter_ids: Optional[jax.Array] = None,  # [B]: per-row pick for
+                                              # multi-stacked LLM adapters
     dropout_rng: Optional[jax.Array] = None,
     last_logit_only: bool = False,
     stale_cache: bool = False,
@@ -148,6 +150,8 @@ def llava_forward(
     embed = params["language_model"]["embed_tokens"]
     inputs_embeds = jnp.take(embed, jnp.clip(input_ids, 0, embed.shape[0] - 1), axis=0)
     if pixel_values is not None:
+        # vision adapters are a SHARED single stack in multi-adapter serving
+        # (llama._adapter multi path is LLM-only); checked there if violated
         feats = image_features(params, cfg, pixel_values, lora, lora_scaling,
                                remat=remat)
         inputs_embeds = merge_image_features(cfg, input_ids, inputs_embeds, feats)
@@ -162,6 +166,7 @@ def llava_forward(
                         lora=(lora or {}).get("language_model"),
                         lora_scaling=lora_scaling,
                         lora_dropout=lora_dropout,
+                        adapter_ids=adapter_ids,
                         dropout_rng=dropout_rng,
                         stale_cache=stale_cache,
                         prefill_pad_len=prefill_pad_len,
@@ -276,6 +281,9 @@ def generate(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     kv_quant: Optional[str] = None,
+    lora: Optional[dict] = None,
+    lora_scaling: float = 0.0,
+    adapter_ids: Optional[jax.Array] = None,
 ):
     """Prefill + decode loop entirely under jit.  Returns [B, max_new_tokens]
     generated ids (right-padded with eos after stop)."""
@@ -284,6 +292,7 @@ def generate(
         rng = jax.random.PRNGKey(0)
 
     lm = _cast_params(params, compute_dtype)
+    lora = _cast_params(lora, compute_dtype) if lora else None
 
     full_mask = jnp.zeros((B, max_len), jnp.int32)
     full_mask = jax.lax.dynamic_update_slice(full_mask, attention_mask.astype(jnp.int32), (0, 0))
@@ -298,7 +307,9 @@ def generate(
     # llama_forward's prefill_pad_len doc; this was the batch-8 prefill OOM)
     logits, cache = llava_forward(lm, cfg, input_ids, pixel_values, attention_mask,
                                   position_ids, last_logit_only=True,
-                                  prefill_pad_len=max_len, kv_quant=kv_quant)
+                                  prefill_pad_len=max_len, kv_quant=kv_quant,
+                                  lora=lora, lora_scaling=lora_scaling,
+                                  adapter_ids=adapter_ids)
     last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
     next_logits = logits[:, 0]
 
@@ -324,7 +335,9 @@ def generate(
         pos = cur_pos[:, None]
         logits, cache = llava_forward(lm, cfg, tok[:, None], None,
                                       None, pos, cache, write_idx, full_mask,
-                                      key_pos, stale_cache=True)
+                                      key_pos, stale_cache=True,
+                                      lora=lora, lora_scaling=lora_scaling,
+                                      adapter_ids=adapter_ids)
         full_mask = full_mask.at[:, write_idx].set(1)
         key_pos = key_pos.at[:, write_idx].set(cur_pos)
         rng, sub = jax.random.split(rng)
@@ -349,13 +362,22 @@ def generate(
                                              "kv_quant"))
 def generate_prefill(params, cfg: LlavaConfig, input_ids, pixel_values,
                      attention_mask, max_len: int, compute_dtype=jnp.bfloat16,
-                     kv_quant: Optional[str] = None):
+                     kv_quant: Optional[str] = None, lora: Optional[dict] = None,
+                     lora_scaling: float = 0.0,
+                     adapter_ids: Optional[jax.Array] = None):
     """Prefill phase: build the cache, return the sampling state.
 
     Split from the decode loop so each program compiles independently — the
     fused prefill+decode program for a 7B model can exceed the AOT compiler's
     capacity, and the split also halves recompile cost when either phase's
     shapes change.
+
+    ``lora``: unmerged runtime adapters over a (possibly quantized) base —
+    the reference's own eval mode (NF4 base + PEFT adapters attached,
+    load_cullavo.py:63-138).  A MULTI-stacked LLM adapter dict
+    (lora.stack_adapter_sets) applies per-row adapters selected by
+    ``adapter_ids`` [B]; the ids travel in the state so decode keeps
+    applying each row's adapter.
     """
     B, T = input_ids.shape
     lm = _cast_params(params, compute_dtype, from_bf16=False)
@@ -365,14 +387,20 @@ def generate_prefill(params, cfg: LlavaConfig, input_ids, pixel_values,
     position_ids = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
     key_pos = jnp.zeros((B, max_len), jnp.int32)
     key_pos = jax.lax.dynamic_update_slice(key_pos, position_ids.astype(jnp.int32), (0, 0))
+    if adapter_ids is None:
+        adapter_ids = jnp.zeros((B,), jnp.int32)
     # cache-building prefill (one cache-sized buffer; see llama_forward doc)
+    lora_c = _cast_params(lora, compute_dtype, from_bf16=False) if lora else None
     logits, cache = llava_forward(lm, cfg, input_ids, pixel_values, attention_mask,
                                   position_ids, last_logit_only=True,
-                                  prefill_pad_len=max_len, kv_quant=kv_quant)
+                                  prefill_pad_len=max_len, kv_quant=kv_quant,
+                                  lora=lora_c, lora_scaling=lora_scaling,
+                                  adapter_ids=adapter_ids)
     last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
     return {"logits": logits[:, 0], "cache": cache, "full_mask": full_mask,
             "key_pos": key_pos, "cur_pos": last_idx + 1,
-            "write_idx": jnp.int32(T)}
+            "write_idx": jnp.int32(T),
+            "adapter_ids": jnp.asarray(adapter_ids, jnp.int32)}
 
 
 @functools.partial(jax.jit, static_argnames=("total_batch",))
@@ -389,7 +417,7 @@ def alloc_decode_state(chunk_state: dict, total_batch: int) -> dict:
         shape = list(a.shape)
         shape[axis] = total_batch
         return jnp.zeros(shape, a.dtype)
-    return {
+    out = {
         "logits": z(chunk_state["logits"], 0),
         # cache leaves are S-major [L, S, B, ...] (llama.sdpa_smajor): batch
         # axis 2 for values AND the int8-mode k_s/v_s scale planes
@@ -399,6 +427,9 @@ def alloc_decode_state(chunk_state: dict, total_batch: int) -> dict:
         "cur_pos": z(chunk_state["cur_pos"], 0),
         "write_idx": chunk_state["write_idx"],
     }
+    if "adapter_ids" in chunk_state:
+        out["adapter_ids"] = z(chunk_state["adapter_ids"], 0)
+    return out
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -412,7 +443,7 @@ def merge_decode_state(big: dict, chunk: dict, batch_offset) -> dict:
     which tipped batch 20 over a 16 GB chip.  All chunks must share the same
     prompt length T (``write_idx`` equal)."""
     off = jnp.asarray(batch_offset, jnp.int32)
-    return {
+    out = {
         "logits": jax.lax.dynamic_update_slice(
             big["logits"], chunk["logits"].astype(big["logits"].dtype), (off, 0)),
         "cache": {
@@ -429,12 +460,19 @@ def merge_decode_state(big: dict, chunk: dict, batch_offset) -> dict:
             big["cur_pos"], chunk["cur_pos"], (off,)),
         "write_idx": chunk["write_idx"],
     }
+    if "adapter_ids" in chunk:
+        out["adapter_ids"] = jax.lax.dynamic_update_slice(
+            big["adapter_ids"], chunk["adapter_ids"], (off,))
+    return out
 
 
 def generate_prefill_chunked(params, cfg: LlavaConfig, input_ids, pixel_values,
                              attention_mask, max_len: int, chunk: int,
                              compute_dtype=jnp.bfloat16,
-                             kv_quant: Optional[str] = None):
+                             kv_quant: Optional[str] = None,
+                             lora: Optional[dict] = None,
+                             lora_scaling: float = 0.0,
+                             adapter_ids=None):
     """Prefill ``input_ids`` in batch chunks of ``chunk`` rows, merging each
     into one full-batch decode state (see ``alloc_decode_state``).  Returns a
     state interchangeable with ``generate_prefill``'s.  A non-divisible batch
@@ -443,14 +481,19 @@ def generate_prefill_chunked(params, cfg: LlavaConfig, input_ids, pixel_values,
     if chunk >= B:
         return generate_prefill(params, cfg, input_ids, pixel_values,
                                 attention_mask, max_len,
-                                compute_dtype=compute_dtype, kv_quant=kv_quant)
+                                compute_dtype=compute_dtype, kv_quant=kv_quant,
+                                lora=lora, lora_scaling=lora_scaling,
+                                adapter_ids=adapter_ids)
     state = None
     for off in range(0, B, chunk):
         cs = generate_prefill(params, cfg, input_ids[off:off + chunk],
                               None if pixel_values is None
                               else pixel_values[off:off + chunk],
                               attention_mask[off:off + chunk], max_len,
-                              compute_dtype=compute_dtype, kv_quant=kv_quant)
+                              compute_dtype=compute_dtype, kv_quant=kv_quant,
+                              lora=lora, lora_scaling=lora_scaling,
+                              adapter_ids=None if adapter_ids is None
+                              else adapter_ids[off:off + chunk])
         if state is None:
             state = alloc_decode_state(cs, B)
         state = merge_decode_state(state, cs, off)
@@ -467,7 +510,8 @@ def generate_prefill_chunked(params, cfg: LlavaConfig, input_ids, pixel_values,
                                              "compute_dtype"),
                    donate_argnums=(2,))
 def decode_quantum(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig,
-                   num_steps: int, rng=None, compute_dtype=jnp.bfloat16):
+                   num_steps: int, rng=None, compute_dtype=jnp.bfloat16,
+                   lora: Optional[dict] = None, lora_scaling: float = 0.0):
     """Continuous-batching decode: run ``num_steps`` decode iterations over a
     slot POOL whose rows are independent requests mid-generation — per-row
     write positions (``state["write_idx"]``: [B]), per-row current tokens
@@ -485,12 +529,16 @@ def decode_quantum(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     lm = _cast_params(params, compute_dtype, from_bf16=False)
+    lora_c = _cast_params(lora, compute_dtype, from_bf16=False) if lora else None
+    adapter_ids = state.get("adapter_ids")
 
     def step(carry, _):
         tok, cur_pos, write_idx, full_mask, key_pos, cache, rng, done = carry
         logits, cache = llava_forward(lm, cfg, tok[:, None], None, None,
                                       cur_pos[:, None], cache, write_idx,
-                                      full_mask, key_pos, stale_cache=True)
+                                      full_mask, key_pos, stale_cache=True,
+                                      lora=lora_c, lora_scaling=lora_scaling,
+                                      adapter_ids=adapter_ids)
         rows = jnp.arange(tok.shape[0])
         full_mask = full_mask.at[rows, write_idx].set(1, mode="drop")
         key_pos = key_pos.at[rows, write_idx].set(cur_pos, mode="drop")
@@ -509,6 +557,8 @@ def decode_quantum(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig,
                  "full_mask": carry[3], "key_pos": carry[4],
                  "cur_pos": carry[1], "write_idx": carry[2],
                  "cur_tok": carry[0], "done": carry[7]}
+    if adapter_ids is not None:
+        new_state["adapter_ids"] = adapter_ids
     return toks.T, new_state
 
 
@@ -534,7 +584,7 @@ def write_slot(pool: dict, chunk: dict, row, slot, first_tok, done0) -> dict:
             (0, 0, slot) + (0,) * (a.ndim - 3))
         for name, a in chunk["cache"].items()
     }
-    return {
+    out = {
         "logits": pool["logits"],
         "cache": cache,
         "full_mask": jax.lax.dynamic_update_slice(
@@ -549,6 +599,10 @@ def write_slot(pool: dict, chunk: dict, row, slot, first_tok, done0) -> dict:
             jnp.asarray(first_tok, jnp.int32)),
         "done": pool["done"].at[slot].set(jnp.asarray(done0, jnp.bool_)),
     }
+    if "adapter_ids" in pool:
+        out["adapter_ids"] = jax.lax.dynamic_update_slice(
+            pool["adapter_ids"], row_of(chunk["adapter_ids"], 0), (slot,))
+    return out
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -571,7 +625,7 @@ def write_slots(pool: dict, chunk: dict, slots, first_toks, done0) -> dict:
         return pool_a.at[idx].set(chunk_a.astype(pool_a.dtype), mode="drop")
 
     B = slots.shape[0]
-    return {
+    out = {
         "logits": pool["logits"],
         "cache": {name: rows_to(pool["cache"][name], a, 2)
                   for name, a in chunk["cache"].items()},
@@ -586,13 +640,18 @@ def write_slots(pool: dict, chunk: dict, slots, first_toks, done0) -> dict:
         "done": pool["done"].at[slots].set(
             jnp.asarray(done0, jnp.bool_), mode="drop"),
     }
+    if "adapter_ids" in pool:
+        out["adapter_ids"] = rows_to(pool["adapter_ids"],
+                                     chunk["adapter_ids"], 0)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "gen", "compute_dtype",
                                              "return_state"),
                    donate_argnums=(2,))
 def generate_decode(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig,
-                    rng=None, compute_dtype=jnp.bfloat16, return_state=False):
+                    rng=None, compute_dtype=jnp.bfloat16, return_state=False,
+                    lora: Optional[dict] = None, lora_scaling: float = 0.0):
     """Decode phase: fixed-length ``lax.scan`` over max_new_tokens (all rows
     run to the end; finished rows emit eos).
 
@@ -613,13 +672,18 @@ def generate_decode(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig
     first = _sample_token(state["logits"], gen, first_key)
     done0 = first == gen.eos_token_id
 
+    lora_c = _cast_params(lora, compute_dtype, from_bf16=False) if lora else None
+    adapter_ids = state.get("adapter_ids")
+
     def step(carry, _):
         tok, cur_pos, write_idx, full_mask, key_pos, cache, rng, done = carry
         # stale-cache decode (see generate.body): stale-read attention +
         # per-layer in-place scatter inside the layer scan
         logits, cache = llava_forward(lm, cfg, tok[:, None], None, None,
                                       cur_pos[:, None], cache, write_idx,
-                                      full_mask, key_pos, stale_cache=True)
+                                      full_mask, key_pos, stale_cache=True,
+                                      lora=lora_c, lora_scaling=lora_scaling,
+                                      adapter_ids=adapter_ids)
         full_mask = full_mask.at[:, write_idx].set(1)
         key_pos = key_pos.at[:, write_idx].set(cur_pos)
         rng, sub = jax.random.split(rng)
@@ -637,5 +701,7 @@ def generate_decode(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig
         final_state = {"logits": state["logits"], "cache": carry[5],
                        "full_mask": carry[3], "key_pos": carry[4],
                        "cur_pos": carry[1], "write_idx": carry[2]}
+        if adapter_ids is not None:
+            final_state["adapter_ids"] = adapter_ids
         return tokens, final_state
     return tokens

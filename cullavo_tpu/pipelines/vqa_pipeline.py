@@ -45,11 +45,17 @@ class VQAPipeline:
                  topic_fn: Optional[Callable[[str], str]] = None,
                  batch_size: int = 8, max_new_tokens: int = 16,
                  prefill_chunk: Optional[int] = None,
-                 kv_quant: Optional[str] = None):
+                 kv_quant: Optional[str] = None,
+                 lora: Optional[dict] = None, lora_scaling: float = 0.0):
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.tokenizer = tokenizer
         self.params = params
+        # unmerged runtime adapters over the (quantized) base — the
+        # reference's eval configuration (NF4 base + attached PEFT adapters,
+        # load_cullavo.py:63-138 with RESUME_FROM)
+        self.lora = lora
+        self.lora_scaling = float(lora_scaling)
         self.topic_fn = topic_fn
         self.batch_size = batch_size
         self.max_new_tokens = max_new_tokens
@@ -92,14 +98,18 @@ class VQAPipeline:
                 self.params, self.model_cfg, jnp.asarray(ids),
                 jnp.asarray(pixel_values), jnp.asarray(mask),
                 L + self.max_new_tokens, self.prefill_chunk,
-                compute_dtype=jnp.bfloat16, kv_quant=self.kv_quant)
+                compute_dtype=jnp.bfloat16, kv_quant=self.kv_quant,
+                lora=self.lora, lora_scaling=self.lora_scaling)
             out = generate_decode(self.params, self.model_cfg, state, gen,
-                                  compute_dtype=jnp.bfloat16)
+                                  compute_dtype=jnp.bfloat16,
+                                  lora=self.lora,
+                                  lora_scaling=self.lora_scaling)
         else:
             out = generate(self.params, self.model_cfg, jnp.asarray(ids),
                            jnp.asarray(pixel_values), jnp.asarray(mask), gen,
                            max_len=L + self.max_new_tokens,
-                           compute_dtype=jnp.bfloat16, kv_quant=self.kv_quant)
+                           compute_dtype=jnp.bfloat16, kv_quant=self.kv_quant,
+                           lora=self.lora, lora_scaling=self.lora_scaling)
         answers = []
         for b in range(B):
             toks = np.asarray(out[b]).tolist()

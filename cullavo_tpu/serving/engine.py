@@ -59,6 +59,8 @@ class Request:
     input_ids: np.ndarray                       # [T] int32
     pixel_values: Optional[np.ndarray] = None   # [3, H, W] float32
     max_new_tokens: int = 16
+    adapter_id: int = 0                         # row of the engine's stacked
+                                                # adapters (0 when none)
 
 
 class ServingEngine:
@@ -84,10 +86,23 @@ class ServingEngine:
                  num_slots: int = 8, max_len: int, prompt_buckets=(128, 256),
                  prefill_chunk: int = 2, quantum: int = 8,
                  kv_quant: Optional[str] = None,
-                 compute_dtype=jnp.bfloat16, seed: int = 0):
+                 compute_dtype=jnp.bfloat16, seed: int = 0,
+                 lora: Optional[dict] = None, lora_scaling: float = 0.0):
         self.params = params
         self.cfg = cfg
         self.gen = gen
+        # unmerged runtime adapters (quantized bases can't fold them in).
+        # A MULTI-stacked LLM adapter dict (lora.stack_adapter_sets) serves
+        # per-request adapters: each Request.adapter_id picks its row.
+        self.lora = lora
+        self.lora_scaling = float(lora_scaling)
+        self._num_adapters = 1
+        if lora:
+            leaves = [a for t in (lora.get("language_model") or {}).values()
+                      if isinstance(t, dict)
+                      for a in [t.get("a")] if a is not None]
+            if leaves and leaves[0].ndim == 4:
+                self._num_adapters = int(leaves[0].shape[1])
         self.num_slots = int(num_slots)
         self.max_len = int(max_len)
         self.buckets = tuple(sorted(int(b) for b in prompt_buckets))
@@ -124,6 +139,10 @@ class ServingEngine:
                 f"request {req.req_id}: bucket({T})={b} + "
                 f"max_new_tokens={req.max_new_tokens} exceeds max_len="
                 f"{self.max_len}")
+        if not (0 <= req.adapter_id < self._num_adapters):
+            raise ValueError(
+                f"request {req.req_id}: adapter_id {req.adapter_id} out of "
+                f"range (engine serves {self._num_adapters} adapter(s))")
         # results are keyed by req_id — a duplicate would silently
         # overwrite another request's stream
         if (req.req_id in self.results
@@ -179,11 +198,16 @@ class ServingEngine:
             for i in range(len(group), chunk_b):
                 mask[i, 0] = 1
 
+            aids = np.zeros((chunk_b,), np.int32)
+            for i, r in enumerate(group):
+                aids[i] = r.adapter_id
             chunk = generate_prefill(
                 self.params, self.cfg, jnp.asarray(ids),
                 None if pix is None else jnp.asarray(pix),
                 jnp.asarray(mask), self.max_len,
-                compute_dtype=self.compute_dtype, kv_quant=self.kv_quant)
+                compute_dtype=self.compute_dtype, kv_quant=self.kv_quant,
+                lora=self.lora, lora_scaling=self.lora_scaling,
+                adapter_ids=jnp.asarray(aids))
             self._rng, sub = jax.random.split(self._rng)
             first = np.asarray(_sample_token(chunk["logits"], self.gen, sub))
             t_first = time.perf_counter()
@@ -239,7 +263,8 @@ class ServingEngine:
         self._rng, sub = jax.random.split(self._rng)
         toks, self.pool = decode_quantum(
             self.params, self.cfg, self.pool, self.gen, self.quantum,
-            rng=sub, compute_dtype=self.compute_dtype)
+            rng=sub, compute_dtype=self.compute_dtype,
+            lora=self.lora, lora_scaling=self.lora_scaling)
         toks = np.asarray(toks)                     # [num_slots, quantum]
         for slot in list(self.active):
             req, out = self.active[slot]

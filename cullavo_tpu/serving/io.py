@@ -82,4 +82,5 @@ def request_from_row(row: dict, model_cfg, tokenizer) -> Request:
                 f"expanded {n_img}-token run); check the tokenizer maps "
                 "<image> to the image token id")
     return Request(req_id=row["id"], input_ids=ids, pixel_values=pix,
-                   max_new_tokens=int(row.get("max_new_tokens", 32)))
+                   max_new_tokens=int(row.get("max_new_tokens", 32)),
+                   adapter_id=int(row.get("adapter_id", 0)))
