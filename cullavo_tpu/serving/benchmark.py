@@ -17,7 +17,8 @@ from cullavo_tpu.serving.engine import Request, ServingEngine
 
 
 def synth_requests(cfg, n_req: int, prompt_text_tokens: int = 64,
-                   budget_mean: int = 16, budget_max: int = 48, seed: int = 0):
+                   budget_mean: int = 16, budget_max: int = 48, seed: int = 0,
+                   n_adapters: int = 1):
     rng = np.random.default_rng(seed)
     n_img = cfg.num_image_tokens
     reqs = []
@@ -29,14 +30,17 @@ def synth_requests(cfg, n_req: int, prompt_text_tokens: int = 64,
                                cfg.vision.image_size)).astype(np.float32)
         budget = int(np.clip(rng.geometric(1.0 / budget_mean), 4, budget_max))
         reqs.append(Request(req_id=i, input_ids=ids, pixel_values=pix,
-                            max_new_tokens=budget))
+                            max_new_tokens=budget,
+                            adapter_id=i % n_adapters))
     return reqs
 
 
 def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
                     prefill_chunk: Optional[int] = None,
                     kv_quant: Optional[str] = None,
-                    compute_dtype=jnp.bfloat16) -> dict:
+                    compute_dtype=jnp.bfloat16,
+                    lora: Optional[dict] = None,
+                    lora_scaling: float = 0.0) -> dict:
     """Two engine passes (compile+warm, then timed); returns the timing dict."""
     bucket = -(-max(len(r.input_ids) for r in reqs) // 8) * 8
     max_len = bucket + max(r.max_new_tokens for r in reqs)
@@ -48,7 +52,8 @@ def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
                             num_slots=slots, max_len=max_len,
                             prompt_buckets=(bucket,), prefill_chunk=chunk,
                             quantum=quantum, kv_quant=kv_quant,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype,
+                            lora=lora, lora_scaling=lora_scaling)
         for r in reqs:
             eng.submit(r)
         return eng.run(), eng.latency()

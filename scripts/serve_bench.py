@@ -68,8 +68,30 @@ def main():
 
     from cullavo_tpu.serving.benchmark import measure_serving, synth_requests
 
+    # SERVE_ADAPTERS=K: per-request multi-adapter serving (round-robin ids
+    # over K random r=64 LoRA sets) — prices the S-LoRA-style selection path
+    n_adapters = int(os.environ.get("SERVE_ADAPTERS", 0))
+    lora, lora_scaling = None, 0.0
+    if n_adapters and mode == "engine":
+        from cullavo_tpu.models.llava.lora import (LoraConfig,
+                                                   init_lora_params,
+                                                   stack_adapter_sets)
+
+        lcfg = LoraConfig()
+        sets = []
+        for k in range(n_adapters):
+            full = jax.jit(lambda key: init_lora_params(
+                params, cfg, lcfg, key, dtype=jnp.bfloat16))(
+                jax.random.PRNGKey(100 + k))
+            sets.append(jax.block_until_ready(full)["language_model"])
+        lora = {"language_model":
+                (stack_adapter_sets(sets) if n_adapters > 1 else sets[0])}
+        lora_scaling = lcfg.scaling
+        log(f"{n_adapters} adapter set(s) attached (r={lcfg.r})")
+
     reqs = synth_requests(cfg, n_req, prompt_text_tokens=64,
-                          budget_mean=16, budget_max=max_new_max, seed=0)
+                          budget_mean=16, budget_max=max_new_max, seed=0,
+                          n_adapters=max(1, n_adapters))
     total_budget = sum(r.max_new_tokens for r in reqs)
     log(f"{n_req} requests, budgets 4..{max_new_max}, "
         f"total {total_budget} tokens")
@@ -114,7 +136,8 @@ def main():
         log("compile+warm engine...")
         print(json.dumps(measure_serving(
             params, cfg, reqs, slots=slots, quantum=quantum,
-            prefill_chunk=chunk, kv_quant=kv_quant)))
+            prefill_chunk=chunk, kv_quant=kv_quant,
+            lora=lora, lora_scaling=lora_scaling)))
         return
     if mode == "static":
         log("compile+warm static...")
