@@ -1,4 +1,4 @@
-"""Secondary benchmark: X-Decoder (FocalNet-T, COCO panoptic config) eval
+"""Secondary benchmark: X-Decoder (FocalNet-L, COCO panoptic config) eval
 throughput on one TPU chip — the reference's seg-eval timing instrumentation
 (pipeline/XDecoderPipeline.py:126-176) as a standalone number.
 

@@ -1,6 +1,6 @@
 """X-Decoder segmentation training-step throughput on one TPU chip.
 
-Full xdecoder_test.yaml architecture (focal-T backbone, FPN, 201-query
+Full xdecoder_test.yaml architecture (focal-L backbone, FPN, 201-query
 decoder) training at 512×512 with Hungarian-matched set criterion — the
 reference's cullavo-adjacent seg training workload (XDecoder_Trainer +
 SetCriterion).  Random images/targets; per-group AdamW; optional per-block
@@ -97,7 +97,7 @@ def main():
         "unit": "images/s",
         "step_s": round(dt, 4),
         "batch": B, "image_size": [H, W], "max_instances": MAX_INST,
-        "remat": remat, "backbone": "focal-t",
+        "remat": remat, "backbone": "focal-l",
     }))
 
 
