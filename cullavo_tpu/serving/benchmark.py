@@ -40,20 +40,24 @@ def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
                     kv_quant: Optional[str] = None,
                     compute_dtype=jnp.bfloat16,
                     lora: Optional[dict] = None,
-                    lora_scaling: float = 0.0) -> dict:
+                    lora_scaling: float = 0.0,
+                    arrival_rate: Optional[float] = None) -> dict:
     """Two engine passes (compile+warm, then timed); returns the timing dict."""
     bucket = -(-max(len(r.input_ids) for r in reqs) // 8) * 8
     max_len = bucket + max(r.max_new_tokens for r in reqs)
     chunk = prefill_chunk or max(1, slots // 2)
 
+    def make_engine():
+        return ServingEngine(params, cfg,
+                             GenerationConfig(do_sample=False, eos_token_id=-1),
+                             num_slots=slots, max_len=max_len,
+                             prompt_buckets=(bucket,), prefill_chunk=chunk,
+                             quantum=quantum, kv_quant=kv_quant,
+                             compute_dtype=compute_dtype,
+                             lora=lora, lora_scaling=lora_scaling)
+
     def run():
-        eng = ServingEngine(params, cfg,
-                            GenerationConfig(do_sample=False, eos_token_id=-1),
-                            num_slots=slots, max_len=max_len,
-                            prompt_buckets=(bucket,), prefill_chunk=chunk,
-                            quantum=quantum, kv_quant=kv_quant,
-                            compute_dtype=compute_dtype,
-                            lora=lora, lora_scaling=lora_scaling)
+        eng = make_engine()
         for r in reqs:
             eng.submit(r)
         return eng.run(), eng.latency()
@@ -63,8 +67,40 @@ def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
     res, lat = run()
     dt = time.time() - t0
     total = sum(len(v) for v in res.values())
-    return {"requests_per_s": round(len(reqs) / dt, 3),
-            "useful_tokens_per_s": round(total / dt, 1),
-            "wall_s": round(dt, 2), "n_requests": len(reqs),
-            "slots": slots, "quantum": quantum, "bucket": bucket,
-            "kv_quant": kv_quant or "bf16", "latency": lat}
+    out = {"requests_per_s": round(len(reqs) / dt, 3),
+           "useful_tokens_per_s": round(total / dt, 1),
+           "wall_s": round(dt, 2), "n_requests": len(reqs),
+           "slots": slots, "quantum": quantum, "bucket": bucket,
+           "kv_quant": kv_quant or "bf16", "latency": lat}
+    if arrival_rate:
+        out["open_loop"] = measure_open_loop(make_engine, reqs, arrival_rate)
+    return out
+
+
+def measure_open_loop(make_engine, reqs, rate_req_s: float,
+                      seed: int = 0) -> dict:
+    """Open-loop pass: requests ARRIVE at Poisson times (exponential gaps at
+    ``rate_req_s``) instead of all-at-once — the latency-under-load regime a
+    closed-loop throughput number hides (TTFT includes queueing delay when
+    arrivals outpace slot turnover).  Reuses the (already compiled) engine
+    programs; returns achieved throughput + TTFT/E2E percentiles."""
+    rng = np.random.default_rng(seed)
+    gaps = rng.exponential(1.0 / rate_req_s, size=len(reqs))
+    arrivals = np.cumsum(gaps)
+    eng = make_engine()
+    t0 = time.perf_counter()
+    i = 0
+    while i < len(reqs) or eng.pending or eng.active:
+        now = time.perf_counter() - t0
+        while i < len(reqs) and arrivals[i] <= now:
+            eng.submit(reqs[i])
+            i += 1
+        if eng.pending or eng.active:
+            eng.step()
+        elif i < len(reqs):
+            time.sleep(min(0.005, max(0.0, arrivals[i] - now)))
+    dt = time.perf_counter() - t0
+    return {"offered_req_s": round(rate_req_s, 3),
+            "achieved_req_s": round(len(reqs) / dt, 3),
+            "wall_s": round(dt, 2),
+            "latency": eng.latency()}

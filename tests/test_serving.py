@@ -234,3 +234,35 @@ def test_serving_batched_admission_and_latency(model):
     lat = eng.latency()
     assert lat["ttft"]["p50"] > 0 and lat["e2e"]["p95"] >= lat["ttft"]["p50"]
     assert all("done" in t for t in eng.times.values())
+
+
+def test_open_loop_poisson_arrivals(model):
+    """measure_open_loop: Poisson-timed submissions still produce the exact
+    offline streams, and the latency stats cover every request."""
+    cfg, params = model
+    from cullavo_tpu.serving.benchmark import measure_open_loop
+
+    rng = np.random.default_rng(6)
+    buckets = _buckets(cfg)
+    max_len = buckets[-1] + 10
+    gen = GenerationConfig(do_sample=False, eos_token_id=-1)
+    reqs = [_request(cfg, rng, i, tl, mn)
+            for i, (tl, mn) in enumerate([(3, 6), (7, 4), (5, 8), (2, 5)])]
+
+    engines = []
+
+    def make_engine():
+        eng = ServingEngine(params, cfg, gen, num_slots=2, max_len=max_len,
+                            prompt_buckets=buckets, prefill_chunk=2,
+                            quantum=3, compute_dtype=jnp.float32)
+        engines.append(eng)
+        return eng
+
+    out = measure_open_loop(make_engine, reqs, rate_req_s=50.0)
+    assert out["achieved_req_s"] > 0 and out["latency"]["e2e"]["p50"] > 0
+    eng = engines[-1]
+    assert set(eng.results) == {r.req_id for r in reqs}
+    for r in reqs:
+        bucket = next(b for b in buckets if len(r.input_ids) <= b)
+        assert eng.results[r.req_id] == _offline(cfg, params, r, bucket,
+                                                 max_len, gen)
