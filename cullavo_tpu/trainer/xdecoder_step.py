@@ -18,14 +18,31 @@ from cullavo_tpu.parallel.mesh import batch_sharding, param_sharding, replicated
 from cullavo_tpu.trainer.step import TrainState
 
 
+def _cast_compute(tree, compute_dtype):
+    """f32 → compute-dtype cast for the forward (mixed precision: the
+    optimizer keeps f32 master params; the cast is differentiable, so grads
+    flow back in f32).  int/bool leaves pass through."""
+    import jax.numpy as jnp
+
+    def cast(a):
+        return a.astype(compute_dtype) if a.dtype == jnp.float32 else a
+    return jax.tree.map(cast, tree)
+
+
 def make_xdecoder_train_step(cfg: XDecoderModelConfig,
                              tx: optax.GradientTransformation,
-                             remat: bool = False):
+                             remat: bool = False,
+                             compute_dtype=None):
     """Returns ``step_fn(state, batch, text_embeds, rng) -> (state, metrics)``.
 
     ``batch``: {"image" [B, H, W, 3] normalized, targets...,
     optional "grounding_tokens"}.  The whole model trains (state.trainable is
     the full param tree — the reference trains X-Decoder end-to-end).
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16 with
+    f32 master params in the optimizer — the reference's configuration
+    (Accelerate mixed_precision: bf16, configs/accel/ddp_accel.yaml); the
+    criterion's softmax/log statistics stay f32 internally.
     """
     import functools
 
@@ -40,8 +57,16 @@ def make_xdecoder_train_step(cfg: XDecoderModelConfig,
         for k in ("grounding_masks", "grounding_valid"):
             if k in batch:
                 targets[k] = batch[k]
-        losses = fwd(params, cfg, batch["image"], targets, text_embeds, rng,
-                     grounding_tokens=batch.get("grounding_tokens"))
+        image = batch["image"]
+        gtok = batch.get("grounding_tokens")
+        if compute_dtype is not None:
+            params = _cast_compute(params, compute_dtype)
+            image = image.astype(compute_dtype)
+            text_embeds = text_embeds.astype(compute_dtype)
+            if gtok is not None:
+                gtok = gtok.astype(compute_dtype)
+        losses = fwd(params, cfg, image, targets, text_embeds, rng,
+                     grounding_tokens=gtok)
         total = sum(losses.values())
         return total, losses
 

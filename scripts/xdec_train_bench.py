@@ -44,7 +44,8 @@ def main():
     from cullavo_tpu.trainer.step import TrainState
     from cullavo_tpu.trainer.xdecoder_step import make_xdecoder_train_step
 
-    opt = load_config(["configs/xdecoder_test.yaml"])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    opt = load_config([os.path.join(repo, "configs/xdecoder_test.yaml")])
     cfg = xdecoder_model_config_from(opt)
     np_override = int(os.environ.get("XDEC_TRAIN_POINTS", 0))
     if np_override:
@@ -78,9 +79,14 @@ def main():
                                     (cfg.num_classes + 1, cfg.decoder.dim_proj))
 
     remat = os.environ.get("XDEC_TRAIN_REMAT", "1") == "1"
-    step = jax.jit(make_xdecoder_train_step(cfg, tx, remat=remat),
+    # bf16 = the reference's mixed-precision training config (Accelerate
+    # bf16); f32 master params stay in the optimizer
+    dtype_name = os.environ.get("XDEC_TRAIN_DTYPE", "bf16")
+    compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else None
+    step = jax.jit(make_xdecoder_train_step(cfg, tx, remat=remat,
+                                            compute_dtype=compute_dtype),
                    donate_argnums=(0,))
-    log(f"compiling train step (remat={remat})...")
+    log(f"compiling train step (remat={remat}, dtype={dtype_name})...")
     t0 = time.time()
     state, m = step(state, batch, text_embeds, jax.random.PRNGKey(1))
     loss0 = float(np.asarray(m["loss_total"]))
@@ -91,13 +97,23 @@ def main():
         state, m = step(state, batch, text_embeds, jax.random.PRNGKey(s + 2))
     float(np.asarray(m["loss_total"]))       # host transfer barrier
     dt = (time.time() - t0) / STEPS
+
+    if os.environ.get("XDEC_TRAIN_TRACE"):
+        from _trace_util import trace_and_top_ops
+
+        def one_step():
+            nonlocal state
+            state, mm = step(state, batch, text_embeds, jax.random.PRNGKey(99))
+            float(np.asarray(mm["loss_total"]))
+
+        log(json.dumps(trace_and_top_ops(one_step), indent=1))
     print(json.dumps({
         "metric": "xdecoder_seg_train_images_per_sec_per_chip",
         "value": round(B / dt, 3),
         "unit": "images/s",
         "step_s": round(dt, 4),
         "batch": B, "image_size": [H, W], "max_instances": MAX_INST,
-        "remat": remat, "backbone": "focal-l",
+        "remat": remat, "backbone": "focal-l", "dtype": dtype_name,
     }))
 
 

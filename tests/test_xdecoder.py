@@ -305,6 +305,22 @@ def test_xdecoder_train_step_decreases_loss():
     assert losses[-1] < losses[0], losses
     assert int(s.step) == 6
 
+    # mixed precision (the reference's Accelerate-bf16 configuration):
+    # bf16 compute over f32 master params must also train — finite losses
+    # that track the f32 trajectory, params stay f32
+    step16 = jax.jit(make_xdecoder_train_step(cfg, tx,
+                                              compute_dtype=jnp.bfloat16))
+    s16 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    losses16 = []
+    for i in range(6):
+        s16, m = step16(s16, batch, text_embeds, jax.random.PRNGKey(0))
+        losses16.append(float(m["loss_total"]))
+    assert all(np.isfinite(l) for l in losses16), losses16
+    assert losses16[-1] < losses16[0], losses16
+    assert abs(losses16[0] - losses[0]) / losses[0] < 0.05
+    leaf = jax.tree.leaves(s16.trainable)[0]
+    assert leaf.dtype == jnp.float32
+
 
 def test_forward_captioning_greedy():
     """Autoregressive captioning decode produces valid token ids and is
