@@ -112,8 +112,11 @@ def train_xdecoder(cfg):
         total_steps=int(sol.get("MAX_ITER", 1000)),
         grad_clip=float(sol.get("CLIP_VALUE", 0.01)))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    # bf16 mixed precision by default — the reference's Accelerate config
+    # (mixed_precision: bf16); FP32_TRAIN: true reverts to full f32
     step_fn = make_xdecoder_joint_train_step(
-        model_cfg, tx, remat=bool(cfg.get("REMAT", True)))
+        model_cfg, tx, remat=bool(cfg.get("REMAT", True)),
+        compute_dtype=None if cfg.get("FP32_TRAIN") else jnp.bfloat16)
     # build a mesh whenever ANY mesh axis is configured (MESH_FSDP/TENSOR
     # without MESH_DATA must not silently fall back to single-device jit)
     mesh = (_build_mesh(cfg)

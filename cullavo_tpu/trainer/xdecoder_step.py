@@ -84,7 +84,8 @@ def make_xdecoder_train_step(cfg: XDecoderModelConfig,
 
 def make_xdecoder_joint_train_step(cfg: XDecoderModelConfig,
                                    tx: optax.GradientTransformation,
-                                   remat: bool = False):
+                                   remat: bool = False,
+                                   compute_dtype=None):
     """Joint multi-task step: mask + bbox + caption + captioning + retrieval
     + grounding in ONE compiled program (the reference's headline objective,
     xdecoder_model.py:137-149).  ``batch`` comes from
@@ -92,6 +93,9 @@ def make_xdecoder_joint_train_step(cfg: XDecoderModelConfig,
 
     Returns ``step_fn(state, batch, rng) -> (state, metrics)``; metrics carry
     every loss key from the reference's weight table.
+    ``compute_dtype=jnp.bfloat16``: mixed precision as in
+    ``make_xdecoder_train_step`` (params + image cast; integer token ids and
+    f32 targets untouched).
     """
     import functools
 
@@ -100,6 +104,10 @@ def make_xdecoder_joint_train_step(cfg: XDecoderModelConfig,
     fwd = functools.partial(forward_joint_train, remat=remat)
 
     def loss_fn(params, batch, rng):
+        if compute_dtype is not None:
+            params = _cast_compute(params, compute_dtype)
+            batch = dict(batch,
+                         image=batch["image"].astype(compute_dtype))
         losses = fwd(params, cfg, batch, rng)
         total = sum(losses.values())
         return total, losses
