@@ -585,6 +585,10 @@ def _eval_vl(cfg) -> dict:
         # half the decode-step cache read (llama.init_kv_cache).  Passed
         # only when set: zoo pipelines don't take the kwarg.
         extra["kv_quant"] = cfg.get("KV_QUANT")
+    if cfg.get("SPEC_K"):
+        # speculative decode window (prompt-lookup drafting, greedy-only,
+        # token-exact — modeling.generate_decode_spec)
+        extra["spec_k"] = int(cfg.get("SPEC_K"))
     pipe = build_pipeline(cfg.get("PIPELINE", "LLaVAVQAVALPipeline"), cfg,
                           model_cfg=model_cfg, tokenizer=tokenizer,
                           params=params,

@@ -173,25 +173,45 @@ def sdpa_smajor(q, k_cache, v_cache, bias, n_rep, scale=None):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _window_scores(q, k_cur, scale):
+    """Scores of the fresh decode window against itself: [B, H, W, W] with
+    the intra-window causal mask (query i sees fresh keys j <= i).  For the
+    classic one-token decode (W=1) this reduces to the q·k_cur dot with no
+    mask — the speculative-verification window (W=spec_k) is the general
+    case: the W fresh tokens are cur_tok + drafts, mutually causal."""
+    W = q.shape[2]
+    if W == 1:
+        return jnp.sum(q.astype(jnp.float32) * k_cur.astype(jnp.float32),
+                       axis=-1, keepdims=True) * scale        # [B, H, 1, 1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cur,
+                   preferred_element_type=jnp.float32) * scale
+    i = jnp.arange(W)
+    return jnp.where((i[:, None] >= i[None, :])[None, None], s, NEG_INF)
+
+
 def sdpa_decode_stale_smajor(q, k_cache, v_cache, k_cur, v_cur, bias,
                              n_rep=1, scale=None):
     """``sdpa_decode_stale`` for the S-major ``[S, B, KV, hd]`` cache slice
     (see ``sdpa_smajor`` for why the LLaMA cache is stored slot-major).
-    q, k_cur, v_cur: [B, H, 1, hd]; bias: [B|1, 1|H, 1, S]."""
+    q, k_cur, v_cur: [B, H, W, hd] (W=1 classic decode; W>1 speculative
+    verification window, intra-window causal); bias: [B|1, 1|H, W, S]."""
     scale = q.shape[-1] ** -0.5 if scale is None else scale
     k = k_cache if n_rep == 1 else jnp.repeat(k_cache, n_rep, axis=2)
     v = v_cache if n_rep == 1 else jnp.repeat(v_cache, n_rep, axis=2)
     s_cache = jnp.einsum("bhqd,sbhd->bhqs", q, k,
                          preferred_element_type=jnp.float32) * scale + bias
-    s_self = jnp.sum(q.astype(jnp.float32) * k_cur.astype(jnp.float32),
-                     axis=-1, keepdims=True) * scale          # [B, H, 1, 1]
-    m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True), s_self)
+    s_self = _window_scores(q, k_cur, scale)                  # [B, H, W, W]
+    m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True),
+                    jnp.max(s_self, axis=-1, keepdims=True))
     e_c = jnp.exp(s_cache - m)
     e_s = jnp.exp(s_self - m)
-    denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
+    denom = (jnp.sum(e_c, axis=-1, keepdims=True)
+             + jnp.sum(e_s, axis=-1, keepdims=True))
     out = jnp.einsum("bhqs,sbhd->bhqd", (e_c / denom).astype(q.dtype), v,
                      preferred_element_type=jnp.float32)
-    out = out + (e_s / denom) * v_cur.astype(jnp.float32)
+    out = out + jnp.einsum("bhqk,bhkd->bhqd", e_s / denom,
+                           v_cur.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 
@@ -238,9 +258,10 @@ def sdpa_smajor_q8(q, k_q, k_s, v_q, v_s, bias, n_rep, scale=None):
 def sdpa_decode_stale_smajor_q8(q, k_q, k_s, v_q, v_s, k_cur, v_cur, bias,
                                 n_rep=1, scale=None):
     """``sdpa_decode_stale_smajor`` over an int8-quantized cache slice (see
-    ``sdpa_smajor_q8`` for the scale-folding contract).  The current token's
+    ``sdpa_smajor_q8`` for the scale-folding contract).  The fresh window's
     k/v stay full-precision, arrive ALREADY repeated to H heads (same
-    contract as the bf16 variant), and join the softmax out-of-band."""
+    contract as the bf16 variant), and join the softmax out-of-band
+    (W=1 classic decode; W>1 speculative verification window)."""
     scale = q.shape[-1] ** -0.5 if scale is None else scale
     if n_rep != 1:
         k_q, v_q = jnp.repeat(k_q, n_rep, 2), jnp.repeat(v_q, n_rep, 2)
@@ -248,16 +269,19 @@ def sdpa_decode_stale_smajor_q8(q, k_q, k_s, v_q, v_s, k_cur, v_cur, bias,
     s_cache = jnp.einsum("bhqd,sbhd->bhqs", q, k_q.astype(q.dtype),
                          preferred_element_type=jnp.float32)
     s_cache = s_cache * (_fold_scale(k_s) * scale) + bias
-    s_self = jnp.sum(q.astype(jnp.float32) * k_cur.astype(jnp.float32),
-                     axis=-1, keepdims=True) * scale          # [B, H, 1, 1]
-    m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True), s_self)
+    s_self = _window_scores(q, k_cur, scale)                  # [B, H, W, W]
+    m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True),
+                    jnp.max(s_self, axis=-1, keepdims=True))
     e_c = jnp.exp(s_cache - m)
     e_s = jnp.exp(s_self - m)
-    denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
+    denom = (jnp.sum(e_c, axis=-1, keepdims=True)
+             + jnp.sum(e_s, axis=-1, keepdims=True))
     p = (e_c / denom) * _fold_scale(v_s)
     out = jnp.einsum("bhqs,sbhd->bhqd", p.astype(q.dtype), v_q.astype(q.dtype),
                      preferred_element_type=jnp.float32)
-    out = out + (e_s / denom) * v_cur.astype(jnp.float32)
+    out = out + jnp.einsum("bhqk,bhkd->bhqd", e_s / denom,
+                           v_cur.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 
@@ -356,7 +380,11 @@ def llama_forward(
     n_rep = H // KV
     compute_dtype = inputs_embeds.dtype
     if stale_cache:
-        assert cache is not None and T == 1, "stale_cache is a 1-token decode path"
+        # T == 1 is the classic decode step; T > 1 is a speculative
+        # verification window (cur_tok + T-1 draft tokens, intra-window
+        # causal — see generate_decode_spec): same stale-read contract,
+        # W fresh k/v folded out-of-band and written as one W-slot slab
+        assert cache is not None, "stale_cache needs a cache"
     # per-row cache write positions (continuous-batching slot pools: each
     # row is an independent request mid-decode) use a batched scatter in
     # place of the contiguous-slab dynamic_update_slice; out-of-bounds rows
@@ -632,14 +660,17 @@ def llama_forward(
             attn = sdpa_decode_stale_smajor_q8(
                 q, k_buf, ks_buf, v_buf, vs_buf,
                 repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep)
-            kq, ks = quantize_kv(k.transpose(2, 0, 1, 3))   # [1, B, KV, hd]
+            kq, ks = quantize_kv(k.transpose(2, 0, 1, 3))   # [T, B, KV, hd]
             vq, vs = quantize_kv(v.transpose(2, 0, 1, 3))
             if per_row_idx:
-                rows = jnp.arange(B)
-                kc = kc.at[li, cache_index, rows].set(kq[0], mode="drop")
-                vc = vc.at[li, cache_index, rows].set(vq[0], mode="drop")
-                ksc = ksc.at[li, cache_index, rows].set(ks[0], mode="drop")
-                vsc = vsc.at[li, cache_index, rows].set(vs[0], mode="drop")
+                # per-row W-slot scatter: row b writes its window at slots
+                # cache_index[b]..cache_index[b]+T-1 (OOB rows dropped)
+                rows = jnp.arange(B)[:, None]
+                pos = cache_index[:, None] + jnp.arange(T)[None, :]  # [B, T]
+                kc = kc.at[li, pos, rows].set(kq.transpose(1, 0, 2, 3), mode="drop")
+                vc = vc.at[li, pos, rows].set(vq.transpose(1, 0, 2, 3), mode="drop")
+                ksc = ksc.at[li, pos, rows].set(ks.transpose(1, 0, 2), mode="drop")
+                vsc = vsc.at[li, pos, rows].set(vs.transpose(1, 0, 2), mode="drop")
             else:
                 kc = jax.lax.dynamic_update_slice(kc, kq[None], (li, cache_index, 0, 0, 0))
                 vc = jax.lax.dynamic_update_slice(vc, vq[None], (li, cache_index, 0, 0, 0))
@@ -653,11 +684,12 @@ def llama_forward(
                 q, k_buf.astype(compute_dtype), v_buf.astype(compute_dtype),
                 repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep)
             if per_row_idx:
-                rows = jnp.arange(B)
-                kc = kc.at[li, cache_index, rows].set(
-                    k.astype(kc.dtype).transpose(2, 0, 1, 3)[0], mode="drop")
-                vc = vc.at[li, cache_index, rows].set(
-                    v.astype(vc.dtype).transpose(2, 0, 1, 3)[0], mode="drop")
+                rows = jnp.arange(B)[:, None]
+                pos = cache_index[:, None] + jnp.arange(T)[None, :]  # [B, T]
+                kc = kc.at[li, pos, rows].set(
+                    k.astype(kc.dtype).transpose(0, 2, 1, 3), mode="drop")
+                vc = vc.at[li, pos, rows].set(
+                    v.astype(vc.dtype).transpose(0, 2, 1, 3), mode="drop")
             else:
                 # S-major write: one contiguous [1, 1, B, KV, hd] slab per layer
                 kc = jax.lax.dynamic_update_slice(

@@ -705,3 +705,176 @@ def generate_decode(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig
             final_state["adapter_ids"] = adapter_ids
         return tokens, final_state
     return tokens
+
+
+# ---------------------------------------------------------------------------
+# speculative decode (prompt-lookup drafting)
+# ---------------------------------------------------------------------------
+
+def _ngram_draft(hist, hist_len, cur_tok, k):
+    """Device-side prompt-lookup drafting: propose the ``k-1`` tokens that
+    followed the most recent previous occurrence of the current context in
+    the token history (the classic prompt-lookup / n-gram speculation draft
+    — no draft model).  Bigram context (prev_tok, cur_tok) preferred, unigram
+    fallback, else repeat ``cur_tok`` (a harmless always-available draft).
+
+    hist: [B, S] int32 history (prompt + emitted tokens, cur_tok LAST);
+    hist_len: [B] valid lengths; returns [B, k-1] int32.  Pure jnp — the
+    whole lookup runs inside the decode jit (axon PJRT has no host
+    callbacks, and a per-step host round trip costs 5-15 ms on the tunnel).
+    """
+    B, S = hist.shape
+    idx = jnp.arange(S)[None]
+    # exclude the current occurrence itself (hist_len-1 holds cur_tok)
+    limit = (hist_len - 1)[:, None]
+    uni = (hist == cur_tok[:, None]) & (idx < limit)
+    prev = jnp.take_along_axis(hist, jnp.maximum(hist_len - 2, 0)[:, None], 1)
+    prev_hist = jnp.concatenate(
+        [jnp.full((B, 1), -1, hist.dtype), hist[:, :-1]], axis=1)
+    bi = uni & (prev_hist == prev) & (hist_len[:, None] >= 2)
+    j_bi = jnp.max(jnp.where(bi, idx, -1), axis=1)
+    j_uni = jnp.max(jnp.where(uni, idx, -1), axis=1)
+    j = jnp.where(j_bi >= 0, j_bi, j_uni)                     # [B], -1 = none
+    pos = j[:, None] + 1 + jnp.arange(k - 1)[None]
+    valid = (j >= 0)[:, None] & (pos < hist_len[:, None])
+    draft = jnp.take_along_axis(hist, jnp.clip(pos, 0, S - 1), axis=1)
+    return jnp.where(valid, draft, cur_tok[:, None]).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "spec_k",
+                                             "compute_dtype", "return_state"),
+                   donate_argnums=(2,))
+def generate_decode_spec(params, cfg: LlavaConfig, state: dict,
+                         gen: GenerationConfig, spec_k: int,
+                         prompt_ids, prompt_len,
+                         compute_dtype=jnp.bfloat16,
+                         lora: Optional[dict] = None, lora_scaling: float = 0.0,
+                         extra_hist=None, return_state: bool = False):
+    """Greedy speculative decode with prompt-lookup drafting.
+
+    Each iteration runs ONE forward over a ``spec_k``-token window
+    (cur_tok + spec_k-1 drafted tokens, intra-window causal — see
+    llama.sdpa_decode_stale_smajor) and emits the verified prefix:
+    1..spec_k tokens per forward.  Token-exact vs ``generate_decode``
+    greedy by construction — a draft token is only kept when it EQUALS the
+    argmax the model would have produced, so the emitted stream is the
+    greedy stream regardless of draft quality; drafting only changes how
+    many forwards it takes.  Decode at 7B is weight-stream-bound (~6.6 GB
+    per forward at int8 vs ~45 MB of window activations), so a window
+    forward costs nearly the same HBM traffic as a 1-token step: acceptance
+    converts directly into throughput (ceiling spec_k×), while 0%%
+    acceptance still emits 1 token per forward (the adversarial floor is
+    near parity, not a regression).
+
+    The reference has no speculation (HF greedy ``generate``,
+    pipeline/LLaVAVQAVALPipeline.py:171-180) — this is a TPU-native serving
+    extension: static shapes throughout (one compiled window program), the
+    n-gram lookup runs on device inside the loop (no host sync), and the
+    cache writes speculative k/v eagerly — rejected slots simply never get
+    their ``full_mask`` bit and are overwritten by later windows.
+
+    prompt_ids/prompt_len: the right-padded prompt and its per-row valid
+    lengths — the lookup corpus.  ``extra_hist`` [B, E] optionally prepends
+    extra lookup text (e.g. retrieved documents / a previous turn) without
+    it being part of the prompt.  Returns (tokens [B, max_new_tokens],
+    stats {"windows": scalar, "emitted": scalar}) — acceptance rate =
+    (emitted - windows) / (windows * (spec_k - 1)).
+    """
+    if gen.do_sample:
+        raise ValueError("speculative decode is greedy-only (exactness "
+                         "contract); use generate_decode for sampling")
+    assert spec_k >= 2, "spec_k < 2 is plain greedy decode — use generate_decode"
+    lm = _cast_params(params, compute_dtype, from_bf16=False)
+    lora_c = _cast_params(lora, compute_dtype, from_bf16=False) if lora else None
+    adapter_ids = state.get("adapter_ids")
+
+    B = prompt_ids.shape[0]
+    W = spec_k
+    max_new = gen.max_new_tokens
+    eos = gen.eos_token_id
+
+    parts = ([jnp.asarray(extra_hist, jnp.int32)] if extra_hist is not None
+             else [])
+    parts += [jnp.asarray(prompt_ids, jnp.int32),
+              jnp.zeros((B, max_new + W), jnp.int32)]
+    hist = jnp.concatenate(parts, axis=1)
+    hist_len = jnp.asarray(prompt_len, jnp.int32)
+    if extra_hist is not None:
+        # extra corpus sits at the FRONT so per-row prompt offsets stay
+        # simple; rows must fill extra_hist fully (pad with a token id the
+        # model never emits, e.g. the image token)
+        hist_len = hist_len + extra_hist.shape[1]
+
+    first = jnp.argmax(state["logits"], axis=-1).astype(jnp.int32)
+    out = jnp.full((B, max_new + W), eos, jnp.int32).at[:, 0].set(first)
+    rows1 = jnp.arange(B)
+    hist = hist.at[rows1, hist_len].set(first)
+    hist_len = hist_len + 1
+    n_emit = jnp.ones((B,), jnp.int32)
+    done = first == eos
+    write_idx = jnp.broadcast_to(
+        jnp.asarray(state["write_idx"], jnp.int32).reshape(-1), (B,))
+
+    def cond(c):
+        done, n_emit = c[10], c[7]
+        return jnp.any(~done & (n_emit < max_new))
+
+    def body(c):
+        (cur_tok, cur_pos, write_idx, full_mask, key_pos, cache, out, n_emit,
+         hist, hist_len, done, n_windows) = c
+        draft = _ngram_draft(hist, hist_len, cur_tok, W)       # [B, W-1]
+        tokens_in = jnp.concatenate([cur_tok[:, None], draft], axis=1)
+        pos = cur_pos[:, None] + jnp.arange(W)[None]
+        logits, cache = llava_forward(lm, cfg, tokens_in, None, None, pos,
+                                      cache, write_idx, full_mask, key_pos,
+                                      stale_cache=True, lora=lora_c,
+                                      lora_scaling=lora_scaling,
+                                      adapter_ids=adapter_ids)
+        t = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [B, W]
+        match = draft == t[:, :-1]                             # [B, W-1]
+        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        j = jnp.arange(W)[None]
+        within = (t == eos) & (j <= a[:, None])
+        has_eos = jnp.any(within, axis=1)
+        e = jnp.where(has_eos, jnp.argmax(within, axis=1) + 1, a + 1)
+        e = jnp.where(done, 0, e)                              # [B] emitted
+        rows = jnp.arange(B)[:, None]
+        keep = j < e[:, None]
+        # OOB index = drop: rows/positions beyond the verified prefix
+        out = out.at[rows, jnp.where(keep, n_emit[:, None] + j,
+                                     out.shape[1])].set(t, mode="drop")
+        hist = hist.at[rows, jnp.where(keep, hist_len[:, None] + j,
+                                       hist.shape[1])].set(t, mode="drop")
+        # kv slot j holds tokens_in[j]; valid exactly when j < e (the
+        # rejected slots keep full_mask 0 and get overwritten later)
+        mpos = jnp.where(keep, write_idx[:, None] + j, full_mask.shape[1])
+        full_mask = full_mask.at[rows, mpos].set(1, mode="drop")
+        key_pos = key_pos.at[rows, mpos].set(cur_pos[:, None] + j, mode="drop")
+        last = jnp.take_along_axis(t, jnp.maximum(e - 1, 0)[:, None], 1)[:, 0]
+        cur_tok = jnp.where(e > 0, last, cur_tok)
+        done = done | has_eos
+        return (cur_tok, cur_pos + e, write_idx + e, full_mask, key_pos,
+                cache, out, n_emit + e, hist, hist_len + e, done,
+                n_windows + 1)
+
+    carry = (first, state["cur_pos"], write_idx, state["full_mask"],
+             state["key_pos"], state["cache"], out, n_emit, hist, hist_len,
+             done, jnp.int32(0))
+    carry = jax.lax.while_loop(cond, body, carry)
+    out, n_emit, n_windows = carry[6], carry[7], carry[11]
+    tokens = out[:, :max_new]
+    stats = {"windows": n_windows,
+             "emitted": jnp.sum(jnp.minimum(n_emit, max_new))}
+    if return_state:
+        # returning the final state makes the input-state donation usable:
+        # XLA aliases the multi-GB cache input to the output and updates it
+        # in place (without a matching output the spec program holds TWO
+        # cache-sized buffers — the same aliasing contract generate_decode
+        # documents)
+        final_state = {"logits": state["logits"], "cache": carry[5],
+                       "full_mask": carry[3], "key_pos": carry[4],
+                       "cur_pos": carry[1], "write_idx": carry[2]}
+        if adapter_ids is not None:
+            final_state["adapter_ids"] = adapter_ids
+        return tokens, stats, final_state
+    return tokens, stats

@@ -46,7 +46,8 @@ class VQAPipeline:
                  batch_size: int = 8, max_new_tokens: int = 16,
                  prefill_chunk: Optional[int] = None,
                  kv_quant: Optional[str] = None,
-                 lora: Optional[dict] = None, lora_scaling: float = 0.0):
+                 lora: Optional[dict] = None, lora_scaling: float = 0.0,
+                 spec_k: Optional[int] = None):
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.tokenizer = tokenizer
@@ -66,6 +67,10 @@ class VQAPipeline:
         # "int8": quantized KV cache — halves decode's dominant HBM stream
         # and the cache footprint (llama.init_kv_cache); None = bf16 cache
         self.kv_quant = kv_quant
+        # speculative decode window (prompt-lookup drafting, greedy-only,
+        # token-exact vs plain greedy — modeling.generate_decode_spec);
+        # None/0 = plain decode
+        self.spec_k = spec_k
         self.evaluator = VQAEvaluator()
         self.per_topic: dict[str, VQAEvaluator] = {}
 
@@ -90,20 +95,28 @@ class VQAPipeline:
             mask[i, :len(row)] = 1
         gen = GenerationConfig(max_new_tokens=self.max_new_tokens, do_sample=False,
                                eos_token_id=self.tokenizer.eos_token_id)
-        if self.prefill_chunk and self.prefill_chunk < B:
+        if self.spec_k or (self.prefill_chunk and self.prefill_chunk < B):
             from cullavo_tpu.models.llava.modeling import (
-                generate_decode, generate_prefill_chunked)
+                generate_decode, generate_decode_spec,
+                generate_prefill_chunked)
 
             state = generate_prefill_chunked(
                 self.params, self.model_cfg, jnp.asarray(ids),
                 jnp.asarray(pixel_values), jnp.asarray(mask),
-                L + self.max_new_tokens, self.prefill_chunk,
+                L + self.max_new_tokens, self.prefill_chunk or B,
                 compute_dtype=jnp.bfloat16, kv_quant=self.kv_quant,
                 lora=self.lora, lora_scaling=self.lora_scaling)
-            out = generate_decode(self.params, self.model_cfg, state, gen,
-                                  compute_dtype=jnp.bfloat16,
-                                  lora=self.lora,
-                                  lora_scaling=self.lora_scaling)
+            if self.spec_k:
+                out, _, _ = generate_decode_spec(
+                    self.params, self.model_cfg, state, gen, self.spec_k,
+                    jnp.asarray(ids), jnp.sum(jnp.asarray(mask), axis=1),
+                    compute_dtype=jnp.bfloat16, lora=self.lora,
+                    lora_scaling=self.lora_scaling, return_state=True)
+            else:
+                out = generate_decode(self.params, self.model_cfg, state, gen,
+                                      compute_dtype=jnp.bfloat16,
+                                      lora=self.lora,
+                                      lora_scaling=self.lora_scaling)
         else:
             out = generate(self.params, self.model_cfg, jnp.asarray(ids),
                            jnp.asarray(pixel_values), jnp.asarray(mask), gen,

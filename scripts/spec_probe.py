@@ -1,0 +1,132 @@
+"""Chip probe: prompt-lookup speculative decoding at 7B (decode phase only).
+
+Speculation converts draft acceptance into decode throughput: a spec_k-token
+verification window streams the same ~7 GB of quantized weights as a 1-token
+step (decode is weight-stream-bound), so the per-window cost is nearly flat
+in spec_k while the emitted tokens scale with acceptance.  Random bench
+weights produce arbitrary greedy streams, so real-prompt acceptance cannot be
+synthesized honestly — instead this probe brackets the mechanism:
+
+  floor   — random prompts (acceptance ~0): every window emits 1 token.
+            This prices the overhead of verifying spec_k tokens vs a plain
+            1-token step.
+  ceiling — extra_hist oracle (the pre-recorded greedy stream seeds the
+            lookup corpus => acceptance ~1): every window emits spec_k
+            tokens.  This is the perfectly-repetitive-context limit
+            (extractive VQA answers, copy-heavy continuations).
+
+Usage:  SPEC_K=4 SPEC_B=8 SPEC_NEW=64 SPEC_QUANT=int8 python scripts/spec_probe.py
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import build_llava7b_params, log  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cullavo_tpu.models.llava.config import LlavaConfig
+    from cullavo_tpu.models.llava.modeling import (GenerationConfig,
+                                                   generate_decode,
+                                                   generate_decode_spec,
+                                                   generate_prefill)
+
+    K = int(os.environ.get("SPEC_K", 4))
+    B = int(os.environ.get("SPEC_B", 8))
+    N = int(os.environ.get("SPEC_NEW", 64))
+    quant = os.environ.get("SPEC_QUANT", "int8")
+    kv_quant = os.environ.get("SPEC_KV") or None
+    reps = int(os.environ.get("SPEC_REPS", 5))
+
+    cfg = LlavaConfig()
+    params = build_llava7b_params(quant, cfg)
+    n_img = cfg.num_image_tokens
+    T = 648  # sublane-aligned 641-token VQA prompt (bench.py contract)
+    max_len = T + N + K
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 32000, size=(B, T)).astype(np.int32)
+    ids[:, 1:1 + n_img] = cfg.image_token_id
+    mask = np.ones_like(ids)
+    mask[:, 641:] = 0
+    pix = rng.normal(size=(B, 3, 336, 336)).astype(np.float32)
+    jids, jpix, jmask = jnp.asarray(ids), jnp.asarray(pix), jnp.asarray(mask)
+    plen = jnp.sum(jmask, axis=1)
+    gen = GenerationConfig(max_new_tokens=N, do_sample=False, eos_token_id=-1)
+
+    def prefill():
+        return generate_prefill(params, cfg, jids, jpix, jmask, max_len,
+                                compute_dtype=jnp.bfloat16, kv_quant=kv_quant)
+
+    def timed(fn, label):
+        out = fn()                      # compile + first run
+        log(label, "first run done")
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            ts.append(time.time() - t0)
+        p50 = float(np.percentile(ts, 50))
+        return out, p50
+
+    # baseline: plain greedy decode (prefill re-run each rep; we report the
+    # decode-phase delta between configs, prefill is common to all three)
+    def base():
+        st = prefill()
+        toks, _ = generate_decode(params, cfg, st, gen,
+                                  compute_dtype=jnp.bfloat16,
+                                  return_state=True)
+        return np.asarray(toks)
+
+    ref, t_base = timed(base, "baseline")
+
+    # floor: speculative decode on random prompts (acceptance ~0)
+    def spec(extra=None):
+        def run():
+            st = prefill()
+            toks, stats, _ = generate_decode_spec(
+                params, cfg, st, gen, K, jids, plen,
+                compute_dtype=jnp.bfloat16, extra_hist=extra,
+                return_state=True)
+            return np.asarray(toks), jax.device_get(stats)
+        return run
+
+    (floor_toks, floor_stats), t_floor = timed(spec(), "floor")
+    assert (floor_toks == ref).all(), "spec floor diverged from greedy"
+
+    # ceiling: oracle corpus = [last prompt token, greedy stream] per row
+    last = ids[np.arange(B), 640][:, None]
+    extra = jnp.asarray(np.concatenate([last, ref], axis=1).astype(np.int32))
+    (ceil_toks, ceil_stats), t_ceil = timed(spec(extra), "ceiling")
+    assert (ceil_toks == ref).all(), "spec ceiling diverged from greedy"
+
+    def rate(stats):
+        w = int(stats["windows"])
+        return {"windows": w, "emitted": int(stats["emitted"]),
+                "tokens_per_window": round(int(stats["emitted"]) / max(w, 1), 3)}
+
+    result = {
+        "metric": "spec_decode_7b",
+        "quant": quant, "kv_quant": kv_quant or "bf16",
+        "batch": B, "new_tokens": N, "spec_k": K,
+        "p50_s": {"baseline": round(t_base, 3), "spec_floor": round(t_floor, 3),
+                  "spec_ceiling": round(t_ceil, 3)},
+        "tok_per_s": {k: round(B * N / v, 1) for k, v in
+                      (("baseline", t_base), ("spec_floor", t_floor),
+                       ("spec_ceiling", t_ceil))},
+        "floor": rate(floor_stats), "ceiling": rate(ceil_stats),
+        "speedup_ceiling": round(t_base / t_ceil, 3),
+        "overhead_floor": round(t_floor / t_base, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

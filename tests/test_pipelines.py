@@ -85,6 +85,28 @@ def test_vqa_pipeline_chunked_prefill_matches_fused():
     assert fused.answer_batch(qs, pix) == chunked.answer_batch(qs, pix)
 
 
+def test_vqa_pipeline_spec_decode_matches_plain():
+    """spec_k (prompt-lookup speculative decode) is a pure throughput lever:
+    the answers must equal the plain greedy path's."""
+    from cullavo_tpu.data.tokenizer import ByteTokenizer
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+    from cullavo_tpu.pipelines.vqa_pipeline import VQAPipeline
+
+    cfg = tiny_llava_config(260)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+    rng = np.random.default_rng(1)
+    S = cfg.vision.image_size
+    qs = [f"what is {i}?" for i in range(3)]
+    pix = rng.normal(size=(3, 3, S, S)).astype(np.float32)
+    plain = VQAPipeline(Config({}), cfg, tk, params, batch_size=3,
+                        max_new_tokens=6, prefill_chunk=3)
+    spec = VQAPipeline(Config({}), cfg, tk, params, batch_size=3,
+                       max_new_tokens=6, spec_k=3)
+    assert plain.answer_batch(qs, pix) == spec.answer_batch(qs, pix)
+
+
 def test_vl_zoo_pipeline_with_injected_answerer():
     from cullavo_tpu.pipelines.vl_zoo_pipeline import VLZooVQAPipeline
 

@@ -1,0 +1,159 @@
+"""Speculative decode (prompt-lookup drafting) tests.
+
+The exactness contract: ``generate_decode_spec`` must emit the SAME token
+stream as plain greedy ``generate_decode`` for every prompt — drafting only
+changes how many forwards it takes (a draft token is kept only when it
+equals the argmax the model would have produced).  The reference has no
+speculation (HF batch-1 greedy, pipeline/LLaVAVQAVALPipeline.py:171-180);
+this is a TPU-native serving extension.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cullavo_tpu.models.llava.config import tiny_llava_config
+from cullavo_tpu.models.llava.modeling import (GenerationConfig,
+                                               generate_decode,
+                                               generate_decode_spec,
+                                               generate_prefill,
+                                               init_llava_params)
+
+VOCAB = 128
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_llava_config(VOCAB)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _batch(cfg, rng, text_lens, bucket):
+    """Right-padded multimodal prompt batch with per-row valid lengths."""
+    n_img = cfg.num_image_tokens
+    B = len(text_lens)
+    ids = np.zeros((B, bucket), np.int32)
+    mask = np.zeros((B, bucket), np.int32)
+    for b, tl in enumerate(text_lens):
+        T = 1 + n_img + tl
+        row = rng.integers(3, VOCAB - 2, size=(T,)).astype(np.int32)
+        row[1:1 + n_img] = cfg.image_token_id
+        ids[b, :T] = row
+        mask[b, :T] = 1
+    pix = rng.normal(size=(B, 3, cfg.vision.image_size,
+                           cfg.vision.image_size)).astype(np.float32)
+    return jnp.asarray(ids), jnp.asarray(pix), jnp.asarray(mask)
+
+
+def _greedy(cfg, params, ids, pix, mask, gen, max_len, kv_quant=None):
+    state = generate_prefill(params, cfg, ids, pix, mask, max_len,
+                             compute_dtype=jnp.float32, kv_quant=kv_quant)
+    return np.asarray(generate_decode(params, cfg, state, gen,
+                                      compute_dtype=jnp.float32))
+
+
+def _spec(cfg, params, ids, pix, mask, gen, max_len, spec_k,
+          kv_quant=None, extra_hist=None):
+    state = generate_prefill(params, cfg, ids, pix, mask, max_len,
+                             compute_dtype=jnp.float32, kv_quant=kv_quant)
+    toks, stats = generate_decode_spec(
+        params, cfg, state, gen, spec_k, ids, jnp.sum(mask, axis=1),
+        compute_dtype=jnp.float32, extra_hist=extra_hist)
+    return np.asarray(toks), jax.device_get(stats)
+
+
+@pytest.mark.parametrize("spec_k", [2, 4])
+def test_spec_equals_greedy(model, spec_k):
+    """Random prompts (arbitrary acceptance), right-padded batch: the spec
+    stream must equal plain greedy token-for-token, eos fill included."""
+    cfg, params = model
+    rng = np.random.default_rng(0)
+    ids, pix, mask = _batch(cfg, rng, [4, 9, 1], bucket=1 + cfg.num_image_tokens + 10)
+    max_len = ids.shape[1] + 16
+    gen = GenerationConfig(max_new_tokens=11, do_sample=False, eos_token_id=-1)
+    ref = _greedy(cfg, params, ids, pix, mask, gen, max_len)
+    out, stats = _spec(cfg, params, ids, pix, mask, gen, max_len, spec_k)
+    np.testing.assert_array_equal(out, ref)
+    assert int(stats["windows"]) >= 1
+    # every window emits at least one token per live row
+    assert int(stats["emitted"]) >= int(stats["windows"])
+    # return_state variant (the donation-aliasing form) emits the same stream
+    state = generate_prefill(params, cfg, ids, pix, mask, max_len,
+                             compute_dtype=jnp.float32)
+    out2, _, fin = generate_decode_spec(
+        params, cfg, state, gen, spec_k, ids, jnp.sum(mask, axis=1),
+        compute_dtype=jnp.float32, return_state=True)
+    np.testing.assert_array_equal(np.asarray(out2), ref)
+    assert fin["cache"]["k"].shape == fin["cache"]["v"].shape
+
+
+def test_spec_eos_early_stop(model):
+    """A token the greedy stream actually produces is declared EOS: the spec
+    stream must stop exactly there and pad with EOS, like generate_decode."""
+    cfg, params = model
+    rng = np.random.default_rng(1)
+    ids, pix, mask = _batch(cfg, rng, [5, 7], bucket=1 + cfg.num_image_tokens + 8)
+    max_len = ids.shape[1] + 12
+    free = _greedy(cfg, params, ids, pix, mask,
+                   GenerationConfig(max_new_tokens=8, do_sample=False,
+                                    eos_token_id=-1), max_len)
+    eos = int(free[0, 3])   # forces a mid-stream stop on row 0
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False, eos_token_id=eos)
+    ref = _greedy(cfg, params, ids, pix, mask, gen, max_len)
+    out, _ = _spec(cfg, params, ids, pix, mask, gen, max_len, spec_k=3)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_spec_int8_kv(model):
+    """The quantized-cache decode path takes the same speculative window
+    (spec and non-spec write identical per-vector-quantized k/v)."""
+    cfg, params = model
+    rng = np.random.default_rng(2)
+    ids, pix, mask = _batch(cfg, rng, [6, 3], bucket=1 + cfg.num_image_tokens + 8)
+    max_len = ids.shape[1] + 10
+    gen = GenerationConfig(max_new_tokens=7, do_sample=False, eos_token_id=-1)
+    ref = _greedy(cfg, params, ids, pix, mask, gen, max_len, kv_quant="int8")
+    out, _ = _spec(cfg, params, ids, pix, mask, gen, max_len, spec_k=3,
+                   kv_quant="int8")
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_spec_oracle_acceptance(model):
+    """``extra_hist`` seeded with the true continuation (the prompt-lookup
+    ceiling: a perfectly repetitive context): near-every draft is accepted,
+    so max_new tokens take ~max_new/spec_k windows — and the stream is still
+    exactly the greedy one."""
+    cfg, params = model
+    rng = np.random.default_rng(3)
+    bucket = 1 + cfg.num_image_tokens + 6
+    ids, pix, mask = _batch(cfg, rng, [6], bucket=bucket)
+    max_new, spec_k = 12, 4
+    max_len = bucket + max_new + spec_k
+    gen = GenerationConfig(max_new_tokens=max_new, do_sample=False,
+                           eos_token_id=-1)
+    ref = _greedy(cfg, params, ids, pix, mask, gen, max_len)
+    # oracle corpus: [last prompt token, true continuation] — the bigram
+    # lookup then always finds the next tokens
+    last_prompt = np.asarray(ids)[0, int(np.sum(np.asarray(mask)[0])) - 1]
+    extra = np.concatenate([[last_prompt], ref[0]]).astype(np.int32)[None]
+    out, stats = _spec(cfg, params, ids, pix, mask, gen, max_len, spec_k,
+                       extra_hist=jnp.asarray(extra))
+    np.testing.assert_array_equal(out, ref)
+    # 12 tokens at spec_k=4: first token free + ceil(11/4)=3 windows if every
+    # draft lands; allow one extra window of slack
+    assert int(stats["windows"]) <= 4, stats
+
+
+def test_spec_rejects_sampling(model):
+    cfg, params = model
+    rng = np.random.default_rng(4)
+    ids, pix, mask = _batch(cfg, rng, [2], bucket=1 + cfg.num_image_tokens + 4)
+    state = generate_prefill(params, cfg, ids, pix, mask, ids.shape[1] + 4,
+                             compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="greedy-only"):
+        generate_decode_spec(params, cfg, state,
+                             GenerationConfig(do_sample=True), 2,
+                             ids, jnp.sum(mask, axis=1),
+                             compute_dtype=jnp.float32)
