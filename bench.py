@@ -322,7 +322,9 @@ def main():
                 params, cfg,
                 synth_requests(cfg, int(os.environ.get("BENCH_SERVE_N", 48))),
                 slots=int(os.environ.get("BENCH_SERVE_SLOTS", 16)),
-                kv_quant=os.environ.get("BENCH_SERVE_KV", "int8") or None)
+                kv_quant=os.environ.get("BENCH_SERVE_KV", "int8") or None,
+                reps=int(os.environ.get("BENCH_SERVE_REPS", 3)),
+                arrival_rate=float(os.environ.get("BENCH_SERVE_RATE", 6)))
             del params
             log(f"serving: {serving}")
         except Exception as e:  # noqa: BLE001
@@ -338,9 +340,22 @@ def main():
             })
     if serving:
         line.update({"serving_requests_per_s": serving["requests_per_s"],
+                     "serving_requests_per_s_band":
+                         serving["requests_per_s_band"],
+                     "serving_reps": serving["reps"],
                      "serving_tokens_per_s": serving["useful_tokens_per_s"],
                      "serving_slots": serving["slots"],
                      "serving_kv": serving["kv_quant"]})
+        ol = serving.get("open_loop")
+        if ol:
+            lat = ol.get("latency") or {}
+            line.update({"serving_open_loop_offered_req_s": ol["offered_req_s"],
+                         "serving_open_loop_achieved_req_s":
+                             ol["achieved_req_s"],
+                         "serving_open_loop_ttft_p50_s":
+                             (lat.get("ttft") or {}).get("p50"),
+                         "serving_open_loop_ttft_p95_s":
+                             (lat.get("ttft") or {}).get("p95")})
     print(json.dumps(line))
 
 

@@ -453,7 +453,13 @@ class CaptioningEvaluator:
         out = {"CIDEr": round(self._cider(), 4), "n": len(self.records)}
         out.update({k: round(v, 4) for k, v in self._bleu4().items()})
         out["ROUGE_L"] = round(self._rouge_l(), 4)
-        out["METEOR"] = round(self._meteor(), 4)
+        # labeled as approximate so reports cannot be mistaken for
+        # pycocoevalcap output: the native scorer covers the exact+stem
+        # stages only (no WordNet synonym/paraphrase modules), and SPICE's
+        # Java scene-graph parser is unavailable — emitted as null
+        out["METEOR_approx"] = round(self._meteor(), 4)
+        out["meteor_variant"] = "exact+stem"
+        out["SPICE"] = None
         return out
 
     def dump_results(self, path: str):

@@ -256,12 +256,23 @@ def sdpa_smajor_q8(q, k_q, k_s, v_q, v_s, bias, n_rep, scale=None):
 
 
 def sdpa_decode_stale_smajor_q8(q, k_q, k_s, v_q, v_s, k_cur, v_cur, bias,
-                                n_rep=1, scale=None):
+                                n_rep=1, scale=None, win_q8=None):
     """``sdpa_decode_stale_smajor`` over an int8-quantized cache slice (see
     ``sdpa_smajor_q8`` for the scale-folding contract).  The fresh window's
     k/v stay full-precision, arrive ALREADY repeated to H heads (same
     contract as the bf16 variant), and join the softmax out-of-band
-    (W=1 classic decode; W>1 speculative verification window)."""
+    (W=1 classic decode; W>1 speculative verification window).
+
+    ``win_q8`` (speculative windows, W > 1): the window's QUANTIZED k/v as
+    they are about to be written to the cache — ``(k_wq [W, B, KV, hd] int8,
+    k_ws [W, B, KV], v_wq, v_ws)``, pre-head-repeat.  Intra-window query i
+    then attends to draft keys j < i through the SAME int8 + folded-scale
+    compute path a later sequential ``generate_decode`` step would use when
+    reading those slots back from the cache, while the diagonal (each
+    token's own k/v) stays full-precision exactly as the classic W=1 step
+    keeps it.  Without this, near-tie argmaxes could diverge between the
+    speculative and sequential streams under an int8 cache (the draft keys
+    joined at full precision here but quantized there)."""
     scale = q.shape[-1] ** -0.5 if scale is None else scale
     if n_rep != 1:
         k_q, v_q = jnp.repeat(k_q, n_rep, 2), jnp.repeat(v_q, n_rep, 2)
@@ -269,7 +280,26 @@ def sdpa_decode_stale_smajor_q8(q, k_q, k_s, v_q, v_s, k_cur, v_cur, bias,
     s_cache = jnp.einsum("bhqd,sbhd->bhqs", q, k_q.astype(q.dtype),
                          preferred_element_type=jnp.float32)
     s_cache = s_cache * (_fold_scale(k_s) * scale) + bias
-    s_self = _window_scores(q, k_cur, scale)                  # [B, H, W, W]
+    W = q.shape[2]
+    if win_q8 is not None and W > 1:
+        k_wq, k_ws, v_wq, v_ws = win_q8
+        if n_rep != 1:
+            k_wq, v_wq = jnp.repeat(k_wq, n_rep, 2), jnp.repeat(v_wq, n_rep, 2)
+            k_ws, v_ws = jnp.repeat(k_ws, n_rep, 2), jnp.repeat(v_ws, n_rep, 2)
+        # off-diagonal (j < i) scores: identical math to the cache read path
+        s_w = jnp.einsum("bhqd,wbhd->bhqw", q, k_wq.astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        s_w = s_w * (_fold_scale(k_ws) * scale)               # [B, H, W, W]
+        # diagonal: each window token's own key, full precision (as W=1)
+        diag = jnp.sum(q.astype(jnp.float32) * k_cur.astype(jnp.float32),
+                       axis=-1) * scale                       # [B, H, W]
+        i = jnp.arange(W)
+        eye = (i[:, None] == i[None, :])[None, None]
+        lower = (i[:, None] > i[None, :])[None, None]
+        s_self = jnp.where(eye, diag[..., :, None],
+                           jnp.where(lower, s_w, NEG_INF))
+    else:
+        s_self = _window_scores(q, k_cur, scale)              # [B, H, W, W]
     m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True),
                     jnp.max(s_self, axis=-1, keepdims=True))
     e_c = jnp.exp(s_cache - m)
@@ -279,9 +309,20 @@ def sdpa_decode_stale_smajor_q8(q, k_q, k_s, v_q, v_s, k_cur, v_cur, bias,
     p = (e_c / denom) * _fold_scale(v_s)
     out = jnp.einsum("bhqs,sbhd->bhqd", p.astype(q.dtype), v_q.astype(q.dtype),
                      preferred_element_type=jnp.float32)
-    out = out + jnp.einsum("bhqk,bhkd->bhqd", e_s / denom,
-                           v_cur.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
+    if win_q8 is not None and W > 1:
+        p_self = e_s / denom                                  # [B, H, W, W]
+        # draft values j < i through the cache compute path ...
+        p_off = jnp.where(eye, 0.0, p_self) * _fold_scale(v_ws)
+        out = out + jnp.einsum("bhqw,wbhd->bhqd", p_off.astype(q.dtype),
+                               v_wq.astype(q.dtype),
+                               preferred_element_type=jnp.float32)
+        # ... and each token's own value full-precision (the diagonal)
+        p_diag = jnp.sum(jnp.where(eye, p_self, 0.0), axis=-1)  # [B, H, W]
+        out = out + p_diag[..., None] * v_cur.astype(jnp.float32)
+    else:
+        out = out + jnp.einsum("bhqk,bhkd->bhqd", e_s / denom,
+                               v_cur.astype(jnp.float32),
+                               preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 
@@ -657,11 +698,12 @@ def llama_forward(
             v_buf = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
             ks_buf = jax.lax.dynamic_index_in_dim(ksc, li, 0, keepdims=False)
             vs_buf = jax.lax.dynamic_index_in_dim(vsc, li, 0, keepdims=False)
-            attn = sdpa_decode_stale_smajor_q8(
-                q, k_buf, ks_buf, v_buf, vs_buf,
-                repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep)
             kq, ks = quantize_kv(k.transpose(2, 0, 1, 3))   # [T, B, KV, hd]
             vq, vs = quantize_kv(v.transpose(2, 0, 1, 3))
+            attn = sdpa_decode_stale_smajor_q8(
+                q, k_buf, ks_buf, v_buf, vs_buf,
+                repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep,
+                win_q8=(kq, ks, vq, vs) if T > 1 else None)
             if per_row_idx:
                 # per-row W-slot scatter: row b writes its window at slots
                 # cache_index[b]..cache_index[b]+T-1 (OOB rows dropped)

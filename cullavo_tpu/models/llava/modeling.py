@@ -777,8 +777,10 @@ def generate_decode_spec(params, cfg: LlavaConfig, state: dict,
     lengths — the lookup corpus.  ``extra_hist`` [B, E] optionally prepends
     extra lookup text (e.g. retrieved documents / a previous turn) without
     it being part of the prompt.  Returns (tokens [B, max_new_tokens],
-    stats {"windows": scalar, "emitted": scalar}) — acceptance rate =
-    (emitted - windows) / (windows * (spec_k - 1)).
+    stats {"windows": scalar, "emitted": scalar}).  Note ``emitted``
+    includes each row's prefill-sampled first token, which no window
+    produced, so draft acceptance = (emitted - B - windows) /
+    (windows * (spec_k - 1)) for B rows.
     """
     if gen.do_sample:
         raise ValueError("speculative decode is greedy-only (exactness "
@@ -837,7 +839,10 @@ def generate_decode_spec(params, cfg: LlavaConfig, state: dict,
         within = (t == eos) & (j <= a[:, None])
         has_eos = jnp.any(within, axis=1)
         e = jnp.where(has_eos, jnp.argmax(within, axis=1) + 1, a + 1)
-        e = jnp.where(done, 0, e)                              # [B] emitted
+        # done rows and rows that already emitted max_new stop advancing
+        # (an exhausted row kept burning full windows — and walking
+        # cur_pos/write_idx past the cache — while slower rows finished)
+        e = jnp.where(done | (n_emit >= max_new), 0, e)        # [B] emitted
         rows = jnp.arange(B)[:, None]
         keep = j < e[:, None]
         # OOB index = drop: rows/positions beyond the verified prefix

@@ -153,10 +153,16 @@ def hungarian_match(
     On accelerators this runs the device-side JV solver (axon PJRT has no
     host callbacks, and a callback would force a host sync per train step);
     on CPU it keeps the scipy callback for bit-exact reference parity.
-    ``CULLAVO_HOST_LAP=1`` forces the callback everywhere."""
+    ``CULLAVO_HOST_LAP=1`` forces the callback everywhere;
+    ``CULLAVO_DEVICE_LAP=1`` forces the device-side JV solver everywhere —
+    on the 8-virtual-CPU-device test mesh this makes the multichip dryrun
+    exercise the SAME matcher path a real TPU pod runs (and kills the
+    pure_callback's `{maximal device=0}` SPMD full-rematerialization)."""
     import os
 
-    if jax.default_backend() != "cpu" and os.environ.get("CULLAVO_HOST_LAP") != "1":
+    if os.environ.get("CULLAVO_DEVICE_LAP") == "1" or (
+            jax.default_backend() != "cpu"
+            and os.environ.get("CULLAVO_HOST_LAP") != "1"):
         return hungarian_match_device(cost, n_valid)
     B, Q, N = cost.shape
     out_shapes = (jax.ShapeDtypeStruct((B, N), jnp.int32),

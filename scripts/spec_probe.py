@@ -76,8 +76,17 @@ def main():
         p50 = float(np.percentile(ts, 50))
         return out, p50
 
-    # baseline: plain greedy decode (prefill re-run each rep; we report the
-    # decode-phase delta between configs, prefill is common to all three)
+    # price the prefill once so the three configs can be reported decode-only
+    # (each rep below re-runs the prefill for cache hygiene, but quoting the
+    # raw rep time would mix ~equal prefill cost into what is described as a
+    # decode-phase bracket, understating the decode speedup at small N)
+    def prefill_only():
+        st = prefill()
+        return np.asarray(st["logits"][:, :8])  # tiny fetch = true barrier
+
+    _, t_pre = timed(prefill_only, "prefill")
+
+    # baseline: plain greedy decode
     def base():
         st = prefill()
         toks, _ = generate_decode(params, cfg, st, gen,
@@ -108,22 +117,31 @@ def main():
     assert (ceil_toks == ref).all(), "spec ceiling diverged from greedy"
 
     def rate(stats):
+        # windows emit (emitted - B) tokens: each row's first token came from
+        # the prefill logits, not from a window (see generate_decode_spec)
         w = int(stats["windows"])
-        return {"windows": w, "emitted": int(stats["emitted"]),
-                "tokens_per_window": round(int(stats["emitted"]) / max(w, 1), 3)}
+        emitted = int(stats["emitted"])
+        return {"windows": w, "emitted": emitted,
+                "tokens_per_window": round((emitted - B) / max(w, 1), 3),
+                "acceptance": round((emitted - B - w) / max(w * (K - 1), 1), 3)}
 
+    # decode-only: subtract the separately-timed prefill from each rep p50
+    dec = {"baseline": max(t_base - t_pre, 1e-9),
+           "spec_floor": max(t_floor - t_pre, 1e-9),
+           "spec_ceiling": max(t_ceil - t_pre, 1e-9)}
     result = {
         "metric": "spec_decode_7b",
         "quant": quant, "kv_quant": kv_quant or "bf16",
         "batch": B, "new_tokens": N, "spec_k": K,
-        "p50_s": {"baseline": round(t_base, 3), "spec_floor": round(t_floor, 3),
+        "p50_s": {"prefill": round(t_pre, 3), "baseline": round(t_base, 3),
+                  "spec_floor": round(t_floor, 3),
                   "spec_ceiling": round(t_ceil, 3)},
-        "tok_per_s": {k: round(B * N / v, 1) for k, v in
-                      (("baseline", t_base), ("spec_floor", t_floor),
-                       ("spec_ceiling", t_ceil))},
+        "decode_p50_s": {k: round(v, 3) for k, v in dec.items()},
+        "decode_tok_per_s": {k: round(B * N / v, 1) for k, v in dec.items()},
         "floor": rate(floor_stats), "ceiling": rate(ceil_stats),
-        "speedup_ceiling": round(t_base / t_ceil, 3),
-        "overhead_floor": round(t_floor / t_base, 3),
+        "speedup_ceiling_decode": round(dec["baseline"] / dec["spec_ceiling"], 3),
+        "overhead_floor_decode": round(dec["spec_floor"] / dec["baseline"], 3),
+        "speedup_ceiling_e2e": round(t_base / t_ceil, 3),
     }
     print(json.dumps(result))
 

@@ -157,3 +157,61 @@ def test_spec_rejects_sampling(model):
                              GenerationConfig(do_sample=True), 2,
                              ids, jnp.sum(mask, axis=1),
                              compute_dtype=jnp.float32)
+
+
+def test_spec_window_attention_matches_sequential_int8_cache():
+    """The verification window's intra-window attention over an int8 cache
+    must see draft keys/values through the SAME quantized compute path a
+    sequential decode would read them back from the cache with — otherwise
+    near-tie argmaxes can diverge between the speculative and plain greedy
+    streams (the ``win_q8`` contract of ``sdpa_decode_stale_smajor_q8``)."""
+    from cullavo_tpu.models.llava.llama import (NEG_INF, quantize_kv,
+                                                sdpa_decode_stale_smajor_q8)
+
+    rng = np.random.default_rng(7)
+    B, H, KV, hd, S0, W = 2, 4, 2, 8, 6, 3
+    S = S0 + W
+    n_rep = H // KV
+
+    def f32(*shape):
+        return jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    # pre-window cache (quantized), window q/k/v full precision
+    kq0, ks0 = quantize_kv(f32(S0, B, KV, hd))
+    vq0, vs0 = quantize_kv(f32(S0, B, KV, hd))
+    q = f32(B, H, W, hd)
+    k_w = f32(W, B, KV, hd)           # window keys, S-major like the cache
+    v_w = f32(W, B, KV, hd)
+    kwq, kws = quantize_kv(k_w)
+    vwq, vws = quantize_kv(v_w)
+
+    def pad_cache(kq, ks, vq, vs, upto):
+        z = jnp.zeros((S - kq.shape[0], B, KV, hd), jnp.int8)
+        zs = jnp.zeros((S - ks.shape[0], B, KV), jnp.bfloat16)
+        return (jnp.concatenate([kq, z]), jnp.concatenate([ks, zs]),
+                jnp.concatenate([vq, z]), jnp.concatenate([vs, zs]))
+
+    def rep(x):
+        return jnp.repeat(x.transpose(1, 2, 0, 3), n_rep, axis=1)  # [B,H,W,hd]
+
+    # window verify: base cache only, win slots masked, drafts via win_q8
+    bias_w = jnp.where(jnp.arange(S)[None, None, None, :] < S0, 0.0, NEG_INF)
+    out_win = sdpa_decode_stale_smajor_q8(
+        q, *pad_cache(kq0, ks0, vq0, vs0, S0), rep(k_w), rep(v_w),
+        bias_w, n_rep=n_rep, win_q8=(kwq, kws, vwq, vws))
+
+    # sequential: step i reads slots < S0+i from the cache (window drafts
+    # j < i already written quantized), its own k/v fresh
+    for i in range(W):
+        kq_i = jnp.concatenate([kq0, kwq[:i]])
+        ks_i = jnp.concatenate([ks0, kws[:i]])
+        vq_i = jnp.concatenate([vq0, vwq[:i]])
+        vs_i = jnp.concatenate([vs0, vws[:i]])
+        bias_i = jnp.where(jnp.arange(S)[None, None, None, :] < S0 + i,
+                           0.0, NEG_INF)
+        out_i = sdpa_decode_stale_smajor_q8(
+            q[:, :, i:i + 1], *pad_cache(kq_i, ks_i, vq_i, vs_i, S0 + i),
+            rep(k_w[i:i + 1]), rep(v_w[i:i + 1]), bias_i, n_rep=n_rep)
+        np.testing.assert_allclose(np.asarray(out_win[:, :, i]),
+                                   np.asarray(out_i[:, :, 0]),
+                                   atol=2e-5, rtol=0)

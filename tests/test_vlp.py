@@ -21,7 +21,7 @@ def test_captioning_metrics_perfect_match():
     assert r["Bleu_4"] == pytest.approx(1.0, abs=1e-6)
     assert r["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
     assert r["ROUGE_L"] == pytest.approx(1.0, abs=1e-6)
-    assert r["METEOR"] > 0.9
+    assert r["METEOR_approx"] > 0.9
     assert r["CIDEr"] > 0
 
 
@@ -31,7 +31,7 @@ def test_captioning_metrics_disjoint():
     r = ev.results()
     assert r["Bleu_4"] < 1e-6
     assert r["ROUGE_L"] == 0.0
-    assert r["METEOR"] == 0.0
+    assert r["METEOR_approx"] == 0.0
 
 
 def test_captioning_metrics_partial_order():
@@ -49,7 +49,7 @@ def test_captioning_metrics_partial_order():
     close.add(1, "a brown dog plays with a ball", refs)
     far.add(1, "a cat sleeps quietly indoors", refs)
     rc, rf = close.results(), far.results()
-    for m in ("Bleu_4", "ROUGE_L", "METEOR", "CIDEr"):
+    for m in ("Bleu_4", "ROUGE_L", "METEOR_approx", "CIDEr"):
         assert rc[m] > rf[m], m
 
 
@@ -175,5 +175,6 @@ def test_vlp_captioning_pipeline(tmp_path):
     out = pipe.evaluate_model(records,
                               out_path=str(tmp_path / "captions.json"))
     assert out["n"] == 2
-    assert {"Bleu_4", "METEOR", "ROUGE_L", "CIDEr"} <= set(out)
+    assert {"Bleu_4", "METEOR_approx", "ROUGE_L", "CIDEr"} <= set(out)
+    assert out["SPICE"] is None
     assert os.path.exists(tmp_path / "captions.json")

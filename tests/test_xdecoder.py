@@ -150,6 +150,26 @@ def test_hungarian_matches_scipy():
         assert valid[b, :n].all() and not valid[b, n:].any()
 
 
+def test_device_lap_env_forces_jv_on_cpu(monkeypatch):
+    """CULLAVO_DEVICE_LAP=1 selects the device-side JV solver on the CPU
+    backend (the path a TPU pod runs; used by dryrun_multichip so the
+    multichip evidence covers the pod matcher, not the scipy callback) and
+    still produces scipy-optimal assignments."""
+    from scipy.optimize import linear_sum_assignment
+    monkeypatch.setenv("CULLAVO_DEVICE_LAP", "1")
+    rng = np.random.default_rng(5)
+    cost = rng.random((2, 6, 4)).astype(np.float32)
+    n_valid = np.asarray([4, 3], np.int32)
+    src, valid = jax.jit(hungarian_match)(jnp.asarray(cost), jnp.asarray(n_valid))
+    src, valid = np.asarray(src), np.asarray(valid)
+    for b, n in enumerate(n_valid):
+        r, c = linear_sum_assignment(cost[b, :, :n])
+        total_ref = cost[b, r, c].sum()
+        total_dev = cost[b, src[b, :n], np.arange(n)].sum()
+        np.testing.assert_allclose(total_dev, total_ref, rtol=1e-6)
+        assert valid[b, :n].all() and not valid[b, n:].any()
+
+
 def test_criterion_losses_finite_and_sensitive(pipeline_outputs):
     *_, out = pipeline_outputs
     B, N, H, W = 2, 4, 16, 16
