@@ -222,6 +222,16 @@ def run_quant_mode(quant_mode: str, kv_quant: Optional[str] = None) -> dict:
     # decode the full batch once — the per-step weight-stream dequant is
     # batch-independent, so a big decode batch amortizes it (the NF4 lever)
     chunk = int(os.environ.get("BENCH_PREFILL_CHUNK", B))
+    # BENCH_SPEC_K=<k>: greedy prompt-lookup speculative decode (realistic
+    # non-oracle corpus — the prompt itself; random weights give arbitrary
+    # acceptance, so this prices the window-verify overhead floor on the
+    # decode-phase weight stream, the regime spec attacks at NF4)
+    spec_k = int(os.environ.get("BENCH_SPEC_K", 0))
+    if spec_k:
+        from cullavo_tpu.models.llava.modeling import generate_decode_spec
+        max_len = T_padded + DECODE_TOKENS + spec_k
+        plen = jnp.sum(jnp.asarray(mask), axis=1)
+
     def run():
         state = generate_prefill_chunked(params, cfg, jids, jpix, jmask,
                                          max_len, chunk,
@@ -229,8 +239,15 @@ def run_quant_mode(quant_mode: str, kv_quant: Optional[str] = None) -> dict:
                                          kv_quant=kv_quant)
         # return_state=True lets the donated prefill cache alias the output
         # cache (in-place decode; one cache-sized buffer instead of two)
-        out, _ = generate_decode(params, cfg, state, gen,
-                                 compute_dtype=jnp.bfloat16, return_state=True)
+        if spec_k:
+            out, _, _ = generate_decode_spec(params, cfg, state, gen, spec_k,
+                                             jids, plen,
+                                             compute_dtype=jnp.bfloat16,
+                                             return_state=True)
+        else:
+            out, _ = generate_decode(params, cfg, state, gen,
+                                     compute_dtype=jnp.bfloat16,
+                                     return_state=True)
         return np.asarray(out)  # host transfer = true completion barrier
 
     log("compiling prefill...")
@@ -324,7 +341,8 @@ def main():
                 slots=int(os.environ.get("BENCH_SERVE_SLOTS", 16)),
                 kv_quant=os.environ.get("BENCH_SERVE_KV", "int8") or None,
                 reps=int(os.environ.get("BENCH_SERVE_REPS", 3)),
-                arrival_rate=float(os.environ.get("BENCH_SERVE_RATE", 6)))
+                arrival_rate=float(os.environ.get("BENCH_SERVE_RATE", 6)),
+                spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K", 0)) or None)
             del params
             log(f"serving: {serving}")
         except Exception as e:  # noqa: BLE001

@@ -101,7 +101,13 @@ def import_fpn(sd: Mapping[str, np.ndarray], cfg,
     g = lambda k: np.asarray(sd[prefix + k])
 
     def convgn(base):
-        return {"kernel": _conv(g(base + ".weight")), "bias": g(base + ".bias"),
+        # with NORM: "GN" (the active configs) detectron2's use_bias is
+        # False (transformer_encoder_fpn.py:49) — lateral/output convs carry
+        # no bias key in a real checkpoint; zero matches exactly
+        w = _conv(g(base + ".weight"))
+        bias = (g(base + ".bias") if prefix + base + ".bias" in sd
+                else np.zeros((w.shape[-1],), np.float32))
+        return {"kernel": w, "bias": bias,
                 "norm": {"scale": g(base + ".norm.weight"),
                          "bias": g(base + ".norm.bias")}}
 
@@ -248,7 +254,7 @@ def import_davit(sd: Mapping[str, np.ndarray], cfg, prefix="backbone.") -> dict:
     window_attn|channel_attn (PreNorm .norm + .fn.qkv/.fn.proj), ffn
     (.norm + .fn.net.fc1/fc2))."""
     g = lambda k: np.asarray(sd[prefix + k])
-    params: dict = {"stages": [], "patch_embeds": [], "out_norms": {}}
+    params: dict = {"stages": [], "patch_embeds": []}
     for i, depth in enumerate(cfg.depths):
         params["patch_embeds"].append({
             "kernel": _conv(g(f"convs.{i}.proj.weight")),
@@ -281,11 +287,6 @@ def import_davit(sd: Mapping[str, np.ndarray], cfg, prefix="backbone.") -> dict:
                 }
             blocks.append(sub)
         params["stages"].append(blocks)
-        # the reference DaViT emits raw stage outputs (no out norms,
-        # davit.py:434 commented) — identity norms keep forward parity
-        dim = cfg.embed_dims[i]
-        params["out_norms"][str(i)] = {"scale": np.ones((dim,), np.float32),
-                                       "bias": np.zeros((dim,), np.float32)}
     return params
 
 

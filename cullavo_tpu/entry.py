@@ -466,8 +466,20 @@ def _load_xdecoder_params(cfg, model_cfg):
 
         return align_and_update(params, loaded,
                                 log=lambda m: print(m, file=sys.stderr))
-    # flat reference-layout state dict saved as npz (torch .pt → npz offline)
-    state = dict(np.load(resume, allow_pickle=False))
+    if resume.endswith((".pt", ".pth", ".bin")):
+        # the reference's own torch checkpoint format (BaseModel.py:20-69
+        # CuLLaVO.pt / xdecoder_focalt_last.pt): torch state dict → numpy
+        import torch
+
+        raw = torch.load(resume, map_location="cpu", weights_only=True)
+        if isinstance(raw, dict) and "model" in raw \
+                and isinstance(raw["model"], dict):
+            raw = raw["model"]
+        state = {k: v.float().numpy() for k, v in raw.items()
+                 if hasattr(v, "numpy")}
+    else:
+        # flat reference-layout state dict saved as npz (torch-free hosts)
+        state = dict(np.load(resume, allow_pickle=False))
     from cullavo_tpu.checkpoint.xdecoder_import import (align_and_update,
                                                        import_xdecoder_checkpoint)
 
@@ -541,10 +553,14 @@ def _eval_xdecoder(cfg) -> dict:
             # keep only the keys EvalTasks knows: an extra config key (e.g.
             # GROUNDING) must degrade to the known subset, not TypeError out
             known = {"semantic", "instance", "panoptic"}
-            tasks = (xp.EvalTasks(**{k.lower(): bool(v)
-                                     for k, v in dict(md["tasks"]).items()
-                                     if k.lower() in known})
-                     if md.get("tasks") else xp.tasks_for_dataset(ds_name))
+            t = md.get("tasks")
+            if isinstance(t, (list, tuple)):
+                # list form: TASKS: [semantic, panoptic, instance]
+                t = {k: True for k in t}
+            tasks = (xp.EvalTasks(**{str(k).lower(): bool(v)
+                                     for k, v in dict(t).items()
+                                     if str(k).lower() in known})
+                     if t else xp.tasks_for_dataset(ds_name))
         except ValueError:
             tasks = xp.EvalTasks(semantic=True)
         # class-name text embeddings, prompt-ensembled, computed once before
@@ -561,7 +577,8 @@ def _eval_xdecoder(cfg) -> dict:
                               if s.get("isthing", True)}
         pipe = build_pipeline("XDecoderPipeline", cfg, model_cfg=model_cfg,
                               params=params, text_class_embeds=text_embeds,
-                              tasks=tasks)
+                              tasks=tasks,
+                              eval_batch=int(cfg.get("EVAL_BATCH", 8)))
         out = pipe.evaluate_model((mapper(r) for r in records), limit=limit,
                                   thing_ids=frozenset(thing_ids))
         # metric dict only — raw per-image outputs stay out of the report
@@ -577,6 +594,14 @@ def _eval_vl(cfg) -> dict:
     from cullavo_tpu.data.registry import get_dataset
     from cullavo_tpu.pipelines.base import build_pipeline
     import cullavo_tpu.pipelines.vqa_pipeline  # noqa: F401 (registration)
+
+    zoo = (cfg.get("MODEL") or {}).get("ZOO")
+    if zoo:
+        # zoo workload (the reference's BLIP-2/InstructBLIP/KOSMOS-2/BakLLaVA
+        # vl_test pipelines): MODEL.ZOO selects the spec; MODEL.ZOO_PATH a
+        # local HF snapshot for the torch harness; without a path the
+        # native tower answers (tiny random smoke model when MODEL.TINY)
+        return _eval_vl_zoo(cfg, zoo)
 
     model_cfg, params, tokenizer = _build_llava(cfg)
     extra = {}
@@ -602,6 +627,54 @@ def _eval_vl(cfg) -> dict:
         rows = map(mapper, get_dataset(ds_name))
         results[ds_name] = pipe.evaluate_model(rows, limit=limit,
                                                out_dir=cfg.get("SAVE_DIR"))
+    return results
+
+
+def _eval_vl_zoo(cfg, zoo: str) -> dict:
+    """vl_test with a zoo tower (eval_for_vl_model over the non-LLaVA
+    pipelines, lbk_entry.py:20-22 + pipeline/BLIP2VQAVALPipeline.py etc.)."""
+    import json
+    import os
+
+    from cullavo_tpu.data.mappers import VQAEvalMapper
+    from cullavo_tpu.data.registry import get_dataset
+    from cullavo_tpu.pipelines.vl_zoo_pipeline import (MODEL_SPECS,
+                                                      VLZooVQAPipeline,
+                                                      native_blip2_answer_fn)
+
+    if zoo not in MODEL_SPECS:
+        raise SystemExit(f"unknown MODEL.ZOO {zoo!r}; one of "
+                         f"{sorted(MODEL_SPECS)}")
+    zoo_path = (cfg.get("MODEL") or {}).get("ZOO_PATH")
+    answer_fn = None
+    img_size = None
+    if not zoo_path:
+        if zoo != "blip2":
+            raise SystemExit(
+                f"MODEL.ZOO: {zoo} needs MODEL.ZOO_PATH (local HF snapshot) "
+                "— only blip2 has a checkpoint-free native smoke answerer")
+        answer_fn = native_blip2_answer_fn(
+            max_new_tokens=int(cfg.get("MAX_NEW_TOKENS", 10)))
+        from cullavo_tpu.models.blip2 import tiny_blip2_config
+
+        img_size = tiny_blip2_config("t5").vision.image_size
+    pipe = VLZooVQAPipeline(cfg, zoo, model_path=zoo_path,
+                            answer_fn=answer_fn)
+    limit = int(cfg.get("LIMIT", 0)) or None
+    mapper = VQAEvalMapper(image_size=img_size)
+    results = {}
+    out_dir = cfg.get("SAVE_DIR")
+    for ds_name in _dataset_names(cfg):
+        def rows():
+            for rec in get_dataset(ds_name):
+                m = mapper(rec)
+                m["image"] = m.pop("pixel_values")
+                yield m
+        results[ds_name] = pipe.evaluate_model(rows(), limit=limit)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            pipe.evaluator.dump_results(
+                os.path.join(out_dir, "vqa_results.json"))
     return results
 
 
@@ -746,7 +819,8 @@ def _engine_from_cfg(scfg, model_cfg, params, tokenizer, buckets, max_len):
         kv_quant=scfg.get("KV_QUANT") or None,
         compute_dtype=jnp.bfloat16 if str(
             scfg.get("DTYPE", "bfloat16")) == "bfloat16" else jnp.float32,
-        lora=lora, lora_scaling=lora_scaling)
+        lora=lora, lora_scaling=lora_scaling,
+        spec_k=int(scfg["SPEC_K"]) if scfg.get("SPEC_K") else None)
     return gen, eng
 
 

@@ -157,6 +157,31 @@ def criterion_config_from(cfg) -> CriterionConfig:
         weight_dice=float(_get(cfg, "MODEL.DECODER.DICE_WEIGHT", 5.0)),
         weight_bbox=float(_get(cfg, "MODEL.DECODER.BBOX_WEIGHT", 5.0)),
         weight_giou=float(_get(cfg, "MODEL.DECODER.GIOU_WEIGHT", 2.0)),
+        weight_caption=float(_get(cfg, "MODEL.DECODER.CAPTION_WEIGHT", 1.0)),
+        weight_captioning=float(
+            _get(cfg, "MODEL.DECODER.CAPTIONING_WEIGHT", 2.0)),
+        weight_retrieval_decoder=float(
+            _get(cfg, "MODEL.DECODER.RETRIEVAL_WEIGHT", 2.0)),
+        weight_retrieval_backbone=float(
+            _get(cfg, "MODEL.DECODER.BACKBONER_WEIGHT", 8.0)),
+        weight_grounding_ce=float(
+            _get(cfg, "MODEL.DECODER.GCLASS_WEIGHT", 0.4)),
+        weight_grounding_bce=float(
+            _get(cfg, "MODEL.DECODER.GMASK_WEIGHT", 1.0)),
+        weight_grounding_dice=float(
+            _get(cfg, "MODEL.DECODER.GDICE_WEIGHT", 1.0)),
+        # deep-supervision cutoffs (yaml:143-146: TOP_*_LAYERS: 3)
+        top_x_layers_mask=int(_get(cfg, "MODEL.DECODER.TOP_MASK_LAYERS", 10)),
+        top_x_layers_class=int(_get(cfg, "MODEL.DECODER.TOP_MASK_LAYERS", 10)),
+        top_x_layers_box=int(_get(cfg, "MODEL.DECODER.TOP_MASK_LAYERS", 10)),
+        top_x_layers_caption=int(
+            _get(cfg, "MODEL.DECODER.TOP_CAPTION_LAYERS", 3)),
+        top_x_layers_captioning=int(
+            _get(cfg, "MODEL.DECODER.TOP_CAPTIONING_LAYERS", 3)),
+        top_x_layers_retrieval=int(
+            _get(cfg, "MODEL.DECODER.TOP_RETRIEVAL_LAYERS", 3)),
+        top_x_layers_grounding=int(
+            _get(cfg, "MODEL.DECODER.TOP_GROUNDING_LAYERS", 3)),
     )
 
 

@@ -562,6 +562,103 @@ def decode_quantum(params, cfg: LlavaConfig, state: dict, gen: GenerationConfig,
     return toks.T, new_state
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "num_steps",
+                                             "spec_k", "compute_dtype"),
+                   donate_argnums=(2, 3))
+def decode_quantum_spec(params, cfg: LlavaConfig, state: dict,
+                        hist_state: dict, gen: GenerationConfig,
+                        num_steps: int, spec_k: int,
+                        compute_dtype=jnp.bfloat16,
+                        lora: Optional[dict] = None,
+                        lora_scaling: float = 0.0):
+    """``decode_quantum`` with prompt-lookup speculative windows
+    (``generate_decode_spec`` machinery on the serving slot pool).
+
+    Each loop iteration runs ONE ``spec_k``-token verification forward per
+    pool row (per-row W-slot cache writes; rejected slots never get their
+    ``full_mask`` bit).  A row emits between 1 and ``spec_k`` tokens per
+    forward, so the quantum completes in between ``ceil(num_steps/spec_k)``
+    and ``num_steps`` forwards — decode is weight-stream-bound (~6.6 GB per
+    forward at 7B int8), so accepted drafts convert directly into serving
+    throughput.  Greedy-only: a draft survives only when it equals the
+    argmax, so the emitted stream is token-exact vs ``decode_quantum``.
+
+    ``hist_state``: ``{"hist": [B, Hcap] int32, "hist_len": [B] int32}`` —
+    the per-slot lookup corpus (prompt + emitted tokens, current token
+    last), maintained by the engine at admission and by this function as
+    tokens are emitted.  Donated alongside ``state``.
+
+    Returns ``(tokens [B, num_steps], n_emit [B], new_state,
+    new_hist_state)`` — row b's valid tokens are ``tokens[b, :n_emit[b]]``
+    (done/idle rows emit 0)."""
+    if gen.do_sample:
+        raise ValueError("speculative decode is greedy-only (exactness "
+                         "contract); use decode_quantum for sampling")
+    assert spec_k >= 2, "spec_k < 2 is plain decode — use decode_quantum"
+    lm = _cast_params(params, compute_dtype, from_bf16=False)
+    lora_c = _cast_params(lora, compute_dtype, from_bf16=False) if lora else None
+    adapter_ids = state.get("adapter_ids")
+    B = state["cur_tok"].shape[0]
+    W = spec_k
+    eos = gen.eos_token_id
+
+    out = jnp.full((B, num_steps + W), eos, jnp.int32)
+    n_emit = jnp.zeros((B,), jnp.int32)
+
+    def cond(c):
+        done, n_emit = c[10], c[7]
+        return jnp.any(~done & (n_emit < num_steps))
+
+    def body(c):
+        (cur_tok, cur_pos, write_idx, full_mask, key_pos, cache, out, n_emit,
+         hist, hist_len, done) = c
+        draft = _ngram_draft(hist, hist_len, cur_tok, W)       # [B, W-1]
+        tokens_in = jnp.concatenate([cur_tok[:, None], draft], axis=1)
+        pos = cur_pos[:, None] + jnp.arange(W)[None]
+        logits, cache = llava_forward(lm, cfg, tokens_in, None, None, pos,
+                                      cache, write_idx, full_mask, key_pos,
+                                      stale_cache=True, lora=lora_c,
+                                      lora_scaling=lora_scaling,
+                                      adapter_ids=adapter_ids)
+        t = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [B, W]
+        match = draft == t[:, :-1]                             # [B, W-1]
+        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        j = jnp.arange(W)[None]
+        within = (t == eos) & (j <= a[:, None])
+        has_eos = jnp.any(within, axis=1)
+        e = jnp.where(has_eos, jnp.argmax(within, axis=1) + 1, a + 1)
+        e = jnp.where(done | (n_emit >= num_steps), 0, e)      # [B] emitted
+        rows = jnp.arange(B)[:, None]
+        keep = j < e[:, None]
+        out = out.at[rows, jnp.where(keep, n_emit[:, None] + j,
+                                     out.shape[1])].set(t, mode="drop")
+        hist = hist.at[rows, jnp.where(keep, hist_len[:, None] + j,
+                                       hist.shape[1])].set(t, mode="drop")
+        mpos = jnp.where(keep, write_idx[:, None] + j, full_mask.shape[1])
+        full_mask = full_mask.at[rows, mpos].set(1, mode="drop")
+        key_pos = key_pos.at[rows, mpos].set(cur_pos[:, None] + j, mode="drop")
+        last = jnp.take_along_axis(t, jnp.maximum(e - 1, 0)[:, None], 1)[:, 0]
+        cur_tok = jnp.where(e > 0, last, cur_tok)
+        done = done | (has_eos & (e > 0))
+        return (cur_tok, cur_pos + e, write_idx + e, full_mask, key_pos,
+                cache, out, n_emit + e, hist, hist_len + e, done)
+
+    carry = (state["cur_tok"], state["cur_pos"], state["write_idx"],
+             state["full_mask"], state["key_pos"], state["cache"], out,
+             n_emit, hist_state["hist"], hist_state["hist_len"],
+             state["done"])
+    carry = jax.lax.while_loop(cond, body, carry)
+    new_state = {"logits": state["logits"], "cache": carry[5],
+                 "full_mask": carry[3], "key_pos": carry[4],
+                 "cur_pos": carry[1], "write_idx": carry[2],
+                 "cur_tok": carry[0], "done": carry[10]}
+    if adapter_ids is not None:
+        new_state["adapter_ids"] = adapter_ids
+    n_emit = jnp.minimum(carry[7], num_steps)
+    return (carry[6][:, :num_steps], n_emit, new_state,
+            {"hist": carry[8], "hist_len": carry[9]})
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def write_slot(pool: dict, chunk: dict, row, slot, first_tok, done0) -> dict:
     """Admit one prefilled request into a slot of the donated decode pool.

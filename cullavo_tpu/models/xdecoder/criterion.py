@@ -54,11 +54,19 @@ class CriterionConfig:
     weight_grounding_ce: float = 0.4     # GCLASS_WEIGHT
     weight_grounding_bce: float = 1.0    # GMASK_WEIGHT
     weight_grounding_dice: float = 1.0   # GDICE_WEIGHT
+    # per-loss deep-supervision cutoffs: a loss runs on decoder prediction p
+    # iff its reference layer_id (0 = FINAL prediction, 1 = second-to-last,
+    # ... — criterion.py:747-760 enumerates aux_outputs reversed) is
+    # < top_x_layers_*.  mask/class/box train on all 10 predictions; the
+    # text-side losses on the top 3 (TOP_{GROUNDING,CAPTION,CAPTIONING,
+    # RETRIEVAL}_LAYERS: 3, configs/xdecoder/xdecoder_focalt_lang.yaml:143-146)
     top_x_layers_mask: int = 10
     top_x_layers_class: int = 10
     top_x_layers_box: int = 10
-    top_x_layers_captioning: int = 10
-    top_x_layers_grounding: int = 10
+    top_x_layers_caption: int = 3
+    top_x_layers_captioning: int = 3
+    top_x_layers_retrieval: int = 3
+    top_x_layers_grounding: int = 3
 
 
 def loss_labels(pred_logits, tgt_classes, src_idx, valid, cfg: CriterionConfig):
@@ -91,8 +99,9 @@ def loss_masks(pred_masks, tgt_masks, src_idx, valid, num_masks, rng,
                                     cfg.oversample_ratio, cfg.importance_sample_ratio)
     coords = jax.lax.stop_gradient(coords)
     pred_pts = point_sample_batch(mp, coords)[:, 0]           # [BN, P]
-    tgt_pts = (point_sample_batch(mt.astype(jnp.float32), coords)[:, 0] > 0.5)
-    tgt_pts = tgt_pts.astype(jnp.float32)
+    # gt labels are bilinearly sampled, NOT binarized (reference
+    # criterion.py point_sample on the float target with no threshold)
+    tgt_pts = point_sample_batch(mt.astype(jnp.float32), coords)[:, 0]
 
     v = valid.reshape(B * N).astype(jnp.float32)
     bce = jnp.mean(
@@ -125,17 +134,19 @@ def loss_boxes(pred_boxes, tgt_boxes, src_idx, valid, num_masks):
 def loss_captionings(pred_captionings, tgt_token_embs, tgt_token_ids, token_mask,
                      vocab_embs, logit_scale):
     """Token-level CE: predicted caption embeddings vs the vocabulary
-    embedding matrix (criterion.py loss_captionings)."""
-    v = pred_captionings / (jnp.linalg.norm(pred_captionings, axis=-1, keepdims=True) + 1e-7)
-    t = vocab_embs / (jnp.linalg.norm(vocab_embs, axis=-1, keepdims=True) + 1e-7)
-    logits = jnp.exp(logit_scale) * jnp.einsum("btd,vd->btv", v, t)
+    embedding matrix (criterion.py:233-253 loss_captionings).
+
+    The reference uses RAW dot products — both the embedding normalization
+    and the logit-scale temperature are commented out there
+    (criterion.py:239-245) — and normalizes by ``mask.sum() + 1``."""
+    logits = jnp.einsum("btd,vd->btv", pred_captionings, vocab_embs)
     # predict token t+1 from slot t
     logits = logits[:, :-1]
     labels = tgt_token_ids[:, 1:]
     mask = token_mask[:, 1:].astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask) / (jnp.sum(mask) + 1.0)
 
 
 def loss_groundings(pred_gmasks, tgt_gmasks, gvalid, rng, cfg: CriterionConfig):
@@ -148,7 +159,9 @@ def loss_groundings(pred_gmasks, tgt_gmasks, gvalid, rng, cfg: CriterionConfig):
         uncertain_point_coords(mp, rng, cfg.num_points, cfg.oversample_ratio,
                                cfg.importance_sample_ratio))
     pred_pts = point_sample_batch(mp, coords)[:, 0]
-    tgt_pts = (point_sample_batch(mt.astype(jnp.float32), coords)[:, 0] > 0.5).astype(jnp.float32)
+    # gt labels are bilinearly sampled, NOT binarized (reference
+    # criterion.py point_sample on the float target with no threshold)
+    tgt_pts = point_sample_batch(mt.astype(jnp.float32), coords)[:, 0]
     v = gvalid.reshape(B * G).astype(jnp.float32)
     bce = jnp.mean(jnp.maximum(pred_pts, 0) - pred_pts * tgt_pts
                    + jax.nn.softplus(-jnp.abs(pred_pts)), axis=-1)
@@ -272,8 +285,7 @@ def match_groundings(g_masks_all, g_texts_all, tgt_gmasks, g_class_embs,
 
     coords = jax.random.uniform(rng, (B, cfg.num_points, 2))
     pred_pts = psb(g_masks_all, coords)                       # [B, Qg, P]
-    tgt_pts = (psb(tgt_gmasks.astype(jnp.float32), coords) > 0.5
-               ).astype(jnp.float32)                          # [B, G, P]
+    tgt_pts = psb(tgt_gmasks.astype(jnp.float32), coords)     # [B, G, P]
     cost_mask = jax.vmap(batch_sigmoid_ce_cost)(pred_pts, tgt_pts)
     cost_dice = jax.vmap(batch_dice_cost)(pred_pts, tgt_pts)
     cost = (cfg.cost_class * cost_cls + cfg.cost_mask * cost_mask
@@ -317,7 +329,16 @@ def set_criterion(
     """Full deep-supervised loss dict.  ``data_axis`` set inside shard_map
     enables the world-size num_masks normalization (criterion.py:858-866).
     ``return_indices`` additionally returns the MAIN layer's Hungarian match
-    (src_idx, valid) for downstream losses (loss_captions)."""
+    (src_idx, valid) for downstream losses (loss_captions);
+    ``return_indices="all"`` returns instead a dict mapping each reference
+    layer_id (0 = final prediction, 1 = second-to-last, ... —
+    criterion.py:747-760 enumerates aux_outputs REVERSED) to its
+    (src_idx, valid), so the caller can deep-supervise text-side losses with
+    the per-layer seg matching the reference uses.
+
+    Key suffixes follow the reference numbering: ``loss_ce`` (final, the
+    caller renames to ``loss_mask_ce_0``), ``loss_ce_1`` (second-to-last
+    prediction), ... ``loss_ce_{L-1}`` (the learnable-query prediction)."""
     tgt_valid = targets["valid"]
     n_valid = jnp.sum(tgt_valid, axis=1).astype(jnp.int32)
     num_masks = jnp.sum(tgt_valid).astype(jnp.float32)
@@ -326,12 +347,16 @@ def set_criterion(
     num_masks = jnp.maximum(num_masks, 1.0)
 
     losses = {}
-    main_indices = None
+    all_indices = {}
     layers = [outputs] + list(outputs.get("aux_outputs", []))
+    L = len(layers)
 
     for li, out in enumerate(layers):
         rng, r_match, r_mask, r_ground = jax.random.split(rng, 4)
-        suffix = "" if li == 0 else f"_{li - 1}"
+        # reference layer_id: 0 = final; aux element j (FORWARD order,
+        # j = li-1) is prediction j of L, i.e. layer_id (L-1) - j
+        ref_id = 0 if li == 0 else L - li
+        suffix = "" if li == 0 else f"_{ref_id}"
         # Hungarian matching per layer (criterion.py forward: indices per aux)
         cost = compute_match_costs(
             out["pred_logits"], out["pred_masks"], targets["classes"],
@@ -341,25 +366,26 @@ def set_criterion(
             cost_dice=cfg.cost_dice)
         src_idx, valid = hungarian_match(cost, n_valid)
         valid = valid & tgt_valid.astype(bool)
-        if li == 0:
-            main_indices = (src_idx, valid)
+        all_indices[ref_id] = (src_idx, valid)
 
-        if li < cfg.top_x_layers_class:
+        if ref_id < cfg.top_x_layers_class:
             losses[f"loss_ce{suffix}"] = cfg.weight_ce * loss_labels(
                 out["pred_logits"], targets["classes"], src_idx, valid, cfg)
-        if li < cfg.top_x_layers_mask:
+        if ref_id < cfg.top_x_layers_mask:
             bce, dice = loss_masks(out["pred_masks"], targets["masks"], src_idx,
                                    valid, num_masks, r_mask, cfg)
             losses[f"loss_mask_bce{suffix}"] = cfg.weight_mask * bce
             losses[f"loss_mask_dice{suffix}"] = cfg.weight_dice * dice
-        if li < cfg.top_x_layers_box and out.get("pred_boxes") is not None \
+        if ref_id < cfg.top_x_layers_box and out.get("pred_boxes") is not None \
                 and "boxes" in targets:
             l1, giou = loss_boxes(jax.nn.sigmoid(out["pred_boxes"]),
                                   targets["boxes"], src_idx, valid, num_masks)
             losses[f"loss_bbox{suffix}"] = cfg.weight_bbox * l1
             losses[f"loss_giou{suffix}"] = cfg.weight_giou * giou
+    if return_indices == "all":
+        return losses, all_indices
     if return_indices:
-        return losses, main_indices
+        return losses, all_indices[0]
     return losses
 
 

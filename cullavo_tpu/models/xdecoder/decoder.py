@@ -245,12 +245,13 @@ def forward_prediction_heads(params, cfg: XDecoderConfig, output, mask_features,
     mask_embed = _mlp3(params["mask_embed"], decoder_output)
     outputs_mask = jnp.einsum("bqc,bhwc->bqhw", mask_embed, mask_features)
 
-    # next-layer cross-attn mask: bilinear-resized sigmoid > 0.5 (the
-    # reference uses bicubic+antialias; bilinear is the TPU-friendly choice
-    # with negligible effect at these resolutions)
+    # next-layer cross-attn mask: bicubic+antialias-resized sigmoid > 0.5 —
+    # exactly the reference (xdecoder.py:458 F.interpolate mode="bicubic",
+    # antialias=True); jax.image.resize bicubic antialiases on downscale by
+    # default and matches torch to ~2e-7 (torch-parity harness)
     B, N = decoder_output.shape[:2]
     Ht, Wt = target_size
-    resized = jax.image.resize(outputs_mask, (B, N, Ht, Wt), method="bilinear")
+    resized = jax.image.resize(outputs_mask, (B, N, Ht, Wt), method="bicubic")
     allowed = (jax.nn.sigmoid(resized) >= 0.5).reshape(B, N, Ht * Wt)
     # reference unmasks row nq ("fill False for cls token", xdecoder.py:464-465):
     # an empty slice in seg mode (N == nq), the first grounding query when the

@@ -167,10 +167,10 @@ def focal_modulation(x, w, focal_level: int, scaling_modulator: bool, eps: float
         ctx_all = jnp.zeros_like(q)
         for l in range(focal_level):
             ctx = jax.nn.gelu(_depthwise_conv(ctx, w[f"focal{l}_w"]),
-                              approximate=True)
+                              approximate=False)
             ctx_all = ctx_all + ctx * gates[..., l:l + 1]
         ctx_global = jax.nn.gelu(jnp.mean(ctx, axis=(1, 2), keepdims=True),
-                                 approximate=True)
+                                 approximate=False)
         ctx_all = ctx_all + ctx_global * gates[..., focal_level:focal_level + 1]
         if scaling_modulator:
             ctx_all = ctx_all / (focal_level + 1)
@@ -200,7 +200,7 @@ def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array,
         L = cfg.focal_levels[i]
 
         def _mlp(y, w):
-            y = jax.nn.gelu(y @ w["fc1_w"] + w["fc1_b"], approximate=True)
+            y = jax.nn.gelu(y @ w["fc1_w"] + w["fc1_b"], approximate=False)
             return y @ w["fc2_w"] + w["fc2_b"]
 
         def block(h, w):

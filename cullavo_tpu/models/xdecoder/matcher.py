@@ -186,9 +186,11 @@ def compute_match_costs(
     cost_class: float = 2.0,
     cost_mask: float = 5.0,
     cost_dice: float = 5.0,
+    coords: Optional[jax.Array] = None,
 ):
     """Device-side cost matrices with uniformly sampled points
-    (matcher.py:106-168 'memory_efficient_forward')."""
+    (matcher.py:106-168 'memory_efficient_forward').  ``coords`` [B, P, 2]
+    overrides the uniform sampling (torch-parity tests)."""
     B, Q = pred_logits.shape[:2]
     N = tgt_classes.shape[1]
 
@@ -196,10 +198,13 @@ def compute_match_costs(
     safe_cls = jnp.clip(tgt_classes, 0, pred_logits.shape[-1] - 1)
     cls_cost = -jnp.take_along_axis(probs, safe_cls[:, None, :], axis=2)  # [B, Q, N]
 
-    coords = jax.random.uniform(rng, (B, num_points, 2))
+    if coords is None:
+        coords = jax.random.uniform(rng, (B, num_points, 2))
     pred_pts = point_sample_batch(pred_masks, coords)          # [B, Q, P]
+    # gt labels are BILINEARLY sampled, NOT binarized — the reference keeps
+    # the fractional interpolated values at mask edges (matcher.py:133-138
+    # point_sample on the float target with no threshold)
     tgt_pts = point_sample_batch(tgt_masks.astype(jnp.float32), coords)
-    tgt_pts = (tgt_pts > 0.5).astype(jnp.float32)
 
     mask_cost = jax.vmap(batch_sigmoid_ce_cost)(pred_pts, tgt_pts)
     dice_cost = jax.vmap(batch_dice_cost)(pred_pts, tgt_pts)

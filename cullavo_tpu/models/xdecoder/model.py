@@ -187,9 +187,21 @@ def forward_seg_train(params, cfg: XDecoderModelConfig, images, targets,
                            logit_scale=params["text"]["logit_scale"],
                            grounding_tokens=grounding_tokens,
                            task="seg", is_train=True)
-    losses = set_criterion(out, targets, cfg.criterion, rng, data_axis)
+    nq = cfg.decoder.num_queries
+
+    # criterion sees OBJECT queries only ([:nq-1]) — the class token and any
+    # grounding-conditioned duplicate slots are excluded from seg matching
+    # (xdecoder_model.py:338-345 slices every layer unconditionally)
+    def _obj(o):
+        return {k: (v[:, :nq - 1] if k in ("pred_logits", "pred_masks",
+                                           "pred_boxes") and v is not None
+                    else v)
+                for k, v in o.items() if k != "aux_outputs"}
+
+    crit_out = _obj(out)
+    crit_out["aux_outputs"] = [_obj(a) for a in out.get("aux_outputs", [])]
+    losses = set_criterion(crit_out, targets, cfg.criterion, rng, data_axis)
     if grounding_tokens is not None and "grounding_masks" in targets:
-        nq = cfg.decoder.num_queries
         # Hungarian-match ALL nq-1 grounding-conditioned queries to the G
         # phrase targets (matcher.py grounding_forward) — see
         # forward_joint_train for the rationale
@@ -282,10 +294,11 @@ def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
 
     crit_out = _obj(out)
     crit_out["aux_outputs"] = [_obj(a) for a in out.get("aux_outputs", [])]
-    raw, (src_idx, match_valid) = set_criterion(
+    raw, all_idx = set_criterion(
         crit_out, targets, cfg.criterion, r_crit, data_axis,
-        return_indices=True)
-    # reference key names (criterion.py: loss_mask_ce_0 / loss_bbox_0 / ...)
+        return_indices="all")
+    # reference key names (criterion.py: loss_mask_ce_0 / loss_bbox_0 / ...;
+    # numeric suffixes already carry the reference layer_id — 0 = final)
     rename = {"loss_ce": "loss_mask_ce", "loss_mask_bce": "loss_mask_bce",
               "loss_mask_dice": "loss_mask_dice", "loss_bbox": "loss_bbox",
               "loss_giou": "loss_giou"}
@@ -296,43 +309,71 @@ def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
                 losses[f"{new}_0"] = v
                 break
             if k.startswith(old + "_"):
-                losses[f"{new}_{int(k[len(old) + 1:]) + 1}"] = v
+                losses[f"{new}_{int(k[len(old) + 1:])}"] = v
                 break
     crit = cfg.criterion
-    losses["loss_caption_0"] = crit.weight_caption * loss_captions(
-        out["pred_captions"][:, :nq - 1], src_idx, match_valid, batch["classes"],
-        batch["labels_hash"], class_embs, cap_embs, batch["caption_hash"],
-        batch["caption_valid"], logit_scale)
+
+    # deep supervision (criterion.py:747-760 + yaml TOP_*_LAYERS: 3): the
+    # text-side losses apply to the top-3 decoder predictions — reference
+    # layer_id r supervises prediction preds[L-1-r] (the aux list is in
+    # FORWARD order, aux[j] = prediction j; final = layer_id 0)
+    aux = out.get("aux_outputs", [])
+    L = len(aux) + 1
+
+    def seg_pred(r):
+        """Decoder prediction at reference layer_id r (full query axis)."""
+        return out if r == 0 else aux[L - 1 - r]
+
+    for r in range(min(crit.top_x_layers_caption, L)):
+        losses[f"loss_caption_{r}"] = crit.weight_caption * loss_captions(
+            seg_pred(r)["pred_captions"][:, :nq - 1], *all_idx[r],
+            batch["classes"], batch["labels_hash"], class_embs, cap_embs,
+            batch["caption_hash"], batch["caption_valid"], logit_scale)
+
     # grounding: Hungarian-match ALL nq-1 duplicated queries to the G
     # phrases (matcher.py grounding_forward) — the duplicated queries carry
     # no per-phrase binding, so a fixed slot↔phrase pairing would supervise
-    # noise; matching mirrors evaluate_grounding's argmax at inference
-    r_gmatch, r_ground = jax.random.split(r_ground)
-    g_masks_all = out["pred_masks"][:, nq:]           # [B, nq-1, Hm, Wm]
-    g_texts_all = out["pred_captions"][:, nq:]
-    g_src, g_valid, g_sim = match_groundings(
-        g_masks_all, g_texts_all, batch["grounding_masks"], grounding_tokens,
-        batch["grounding_valid"], logit_scale, r_gmatch, cfg.criterion)
-    g_masks_pred = jnp.take_along_axis(
-        g_masks_all, g_src[:, :, None, None], axis=1)  # [B, G, Hm, Wm]
-    bce, dice = loss_groundings(g_masks_pred, batch["grounding_masks"],
-                                g_valid, r_ground, cfg.criterion)
-    losses["loss_grounding_bce_0"] = crit.weight_grounding_bce * bce
-    losses["loss_grounding_dice_0"] = crit.weight_grounding_dice * dice
-    losses["loss_grounding_ce_0"] = crit.weight_grounding_ce * loss_grounding_ce(
-        g_sim, g_src, g_valid, batch["grounding_hash"])
+    # noise; matching mirrors evaluate_grounding's argmax at inference.
+    # Re-matched per supervised layer, as the reference's loss_groundings
+    # re-runs its grounding matcher inside every aux call (criterion.py:775)
+    for r in range(min(crit.top_x_layers_grounding, L)):
+        r_gmatch, r_gpts, r_ground = jax.random.split(r_ground, 3)
+        p = seg_pred(r)
+        g_masks_all = p["pred_masks"][:, nq:]         # [B, nq-1, Hm, Wm]
+        g_texts_all = p["pred_captions"][:, nq:]
+        g_src, g_valid, g_sim = match_groundings(
+            g_masks_all, g_texts_all, batch["grounding_masks"],
+            grounding_tokens, batch["grounding_valid"], logit_scale,
+            r_gmatch, cfg.criterion)
+        g_masks_pred = jnp.take_along_axis(
+            g_masks_all, g_src[:, :, None, None], axis=1)  # [B, G, Hm, Wm]
+        bce, dice = loss_groundings(g_masks_pred, batch["grounding_masks"],
+                                    g_valid, r_gpts, cfg.criterion)
+        losses[f"loss_grounding_bce_{r}"] = crit.weight_grounding_bce * bce
+        losses[f"loss_grounding_dice_{r}"] = crit.weight_grounding_dice * dice
+        losses[f"loss_grounding_ce_{r}"] = (
+            crit.weight_grounding_ce
+            * loss_grounding_ce(g_sim, g_src, g_valid, batch["grounding_hash"]))
 
     # -- vlp pass: captioning token CE + retrieval ITC (decoder + backbone)
     out_vlp = xdecoder_forward(params["decoder"], cfg.decoder, pyramid,
                                mask_features, caption_tokens=cap_tok,
                                task="vlp", is_train=True)
-    losses["loss_captioning_0"] = crit.weight_captioning * loss_captionings(
-        out_vlp["pred_captionings"], cap_tok, batch["caption_text_ids"],
-        batch["caption_text_mask"], vocab_embs, logit_scale)
-    img_emb = out_vlp["pred_captions"][:, nq - 1]
-    losses["loss_retrieval_decoder_0"] = (
-        crit.weight_retrieval_decoder * image_text_contrastive_loss(
-            img_emb, cap_sent, logit_scale, data_axis))
+    aux_vlp = out_vlp.get("aux_outputs", [])
+    Lv = len(aux_vlp) + 1
+
+    def vlp_pred(r):
+        return out_vlp if r == 0 else aux_vlp[Lv - 1 - r]
+
+    for r in range(min(crit.top_x_layers_captioning, Lv)):
+        losses[f"loss_captioning_{r}"] = crit.weight_captioning * loss_captionings(
+            vlp_pred(r)["pred_captionings"], cap_tok, batch["caption_text_ids"],
+            batch["caption_text_mask"], vocab_embs, logit_scale)
+    for r in range(min(crit.top_x_layers_retrieval, Lv)):
+        img_emb = vlp_pred(r)["pred_captions"][:, nq - 1]
+        losses[f"loss_retrieval_decoder_{r}"] = (
+            crit.weight_retrieval_decoder * image_text_contrastive_loss(
+                img_emb, cap_sent, logit_scale, data_axis))
     if "backbone_proj" in params:
         v5 = jnp.mean(feats["res5"], axis=(1, 2)) @ params["backbone_proj"]
         losses["loss_retrieval_backbone_0"] = (
@@ -354,7 +395,9 @@ def forward_eval(params, cfg: XDecoderModelConfig, images, text_class_embeds,
     mask_pred = out["pred_masks"]          # [B, Q, h, w]
     if out_size is not None:
         B, Q = mask_pred.shape[:2]
-        mask_pred = jax.image.resize(mask_pred, (B, Q, *out_size), method="bilinear")
+        # reference upsamples bicubic+antialias (xdecoder_model.py:452-458);
+        # jax bicubic matches torch's antialiased bicubic to ~2e-7
+        mask_pred = jax.image.resize(mask_pred, (B, Q, *out_size), method="bicubic")
     return mask_cls, mask_pred, out["pred_boxes"]
 
 
@@ -514,7 +557,8 @@ def evaluate_grounding(params, cfg: XDecoderModelConfig, images,
     best = jnp.argmax(sim, axis=-1)
     picked = jnp.take_along_axis(g_masks, best[:, None, None, None], axis=1)[:, 0]
     if out_size is not None:
-        picked = jax.image.resize(picked, (B, *out_size), method="bilinear")
+        # reference: bicubic + antialias (xdecoder_model.py:631-636)
+        picked = jax.image.resize(picked, (B, *out_size), method="bicubic")
     return picked
 
 

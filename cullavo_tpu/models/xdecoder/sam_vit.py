@@ -119,7 +119,11 @@ def _rel_pos_bias(q, rel_h, rel_w, H, W):
     r_q = q.reshape(Bn, H, W, -1)
     rel_h_term = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh)
     rel_w_term = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw)
-    bias = rel_h_term[:, :, :, :, None] + rel_w_term[:, :, None, :]
+    # bias[b, i, j, kh, kw] = rel_h[b, i, j, kh] + rel_w[b, i, j, kw]
+    # (vit.py:358-361).  NB: the width term needs its new axis at position 3
+    # — [:, :, None, :] would put it at 2, silently broadcasting H against
+    # the KEY row whenever H == W (caught by the torch-parity harness).
+    bias = rel_h_term[:, :, :, :, None] + rel_w_term[:, :, :, None, :]
     return bias.reshape(Bn, H * W, H * W)
 
 

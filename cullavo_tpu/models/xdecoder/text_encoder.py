@@ -32,7 +32,11 @@ class TextEncoderConfig:
     layers: int = 12
     context_length: int = 77
     autoregressive: bool = True
-    layer_norm_eps: float = 1e-5
+    # the reference's TF-style LayerNorm uses eps=1e-12 INSIDE the sqrt
+    # (LangEncoder/transformer.py:22-36) — NOT torch's 1e-5 default; with
+    # std-0.02 embeddings the variance is small enough that 1e-5 shifts
+    # activations ~0.5%/block (caught by the torch-parity harness)
+    layer_norm_eps: float = 1e-12
     dim_lang: int = 512           # projection output
 
 
@@ -73,11 +77,15 @@ def text_transformer_forward(params, cfg: TextEncoderConfig, input_ids, attentio
     x = jnp.take(params["token_embedding"], input_ids, axis=0)
     x = x + params["positional_embedding"][None, :T]
 
-    key_valid = attention_mask[:, None, :].astype(bool)      # [B, 1, T]
-    ok = jnp.broadcast_to(key_valid, (B, T, T))
     if cfg.autoregressive:
-        causal = jnp.tril(jnp.ones((T, T), bool))
-        ok = ok & causal[None]
+        # the reference applies ONLY the causal mask in autoregressive mode —
+        # key_padding_mask is None there (transformer.py:169: key padding
+        # applies iff NOT autogressive), so padded keys stay visible; outputs
+        # at positions <= EOT are unaffected for right-padded text
+        ok = jnp.broadcast_to(jnp.tril(jnp.ones((T, T), bool))[None], (B, T, T))
+    else:
+        key_valid = attention_mask[:, None, :].astype(bool)  # [B, 1, T]
+        ok = jnp.broadcast_to(key_valid, (B, T, T))
     bias = jnp.where(ok[:, None], 0.0, -1e30)
 
     def layer(h, w):
@@ -175,9 +183,13 @@ def class_embeddings_train(params, cfg, tokenize, class_names, rng: np.random.Ge
 
 def clip_text_config(width: int = 768, heads: int = 12, layers: int = 12,
                      dim_lang: int = 768) -> TextEncoderConfig:
-    """HF CLIPTextModelWithProjection geometry (CLIP-L/336 defaults)."""
+    """HF CLIPTextModelWithProjection geometry (CLIP-L/336 defaults).
+
+    HF CLIP LayerNorms use eps=1e-5 — unlike the reference's own text
+    transformer whose TF-style LayerNorm hardcodes 1e-12 (the
+    TextEncoderConfig default)."""
     return TextEncoderConfig(width=width, heads=heads, layers=layers,
-                             dim_lang=dim_lang)
+                             dim_lang=dim_lang, layer_norm_eps=1e-5)
 
 
 def import_hf_clip_text(state, cfg: TextEncoderConfig):

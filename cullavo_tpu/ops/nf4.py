@@ -43,17 +43,27 @@ NF4_MIDPOINTS = (NF4_CODE[1:] + NF4_CODE[:-1]) / 2.0
 BLOCK = 64          # values per absmax block (bnb nf4 default)
 ABSMAX_BLOCK = 256  # absmax values per double-quant block
 
+# bnb's double quantization ("compress_statistics") stores the absmax array
+# through quantize_blockwise with the DYNAMIC 8-bit map — a sign +
+# 7-exponent-level non-uniform code — NOT linear int8 (the independently
+# authored ops/nf4_oracle.py implements the same algorithm from the bnb
+# spec; the two cross-check in tests/test_ops.py)
+from cullavo_tpu.ops.nf4_oracle import DYNAMIC_MAP  # noqa: E402
+
+DYNAMIC_MIDPOINTS = (DYNAMIC_MAP[1:] + DYNAMIC_MAP[:-1]) / 2.0
+
 
 @dataclasses.dataclass
 class NF4Tensor:
     """Packed NF4 representation of a 2-D array (flattened blockwise)."""
     packed: jax.Array          # uint8 [n/2] — two 4-bit codes per byte (high nibble first)
-    absmax: jax.Array          # fp32 [n/BLOCK]  (or int8 if double-quantized)
+    absmax: jax.Array          # fp32 [n/BLOCK], or uint8 dynamic-map codes
+                               # when double-quantized (bnb quantize_blockwise)
     shape: tuple               # original shape
     dtype: object              # original dtype
     # double-quant fields (None when not double-quantized)
-    absmax_scale: Optional[jax.Array] = None   # fp32 [n/BLOCK/ABSMAX_BLOCK]
-    absmax_offset: Optional[jax.Array] = None  # fp32 scalar
+    absmax_scale: Optional[jax.Array] = None   # fp32 per-256-block absmax
+    absmax_offset: Optional[jax.Array] = None  # fp32 scalar (mean of absmax)
 
     def tree_flatten(self):
         children = (self.packed, self.absmax, self.absmax_scale, self.absmax_offset)
@@ -96,15 +106,23 @@ def quantize_nf4(x: jax.Array, double_quant: bool = True) -> NF4Tensor:
     if not double_quant:
         return NF4Tensor(packed, absmax, shape, dtype)
 
+    # bnb double quant: offset = mean(absmax); quantize_blockwise of the
+    # centered absmax with the dynamic 8-bit map over 256-blocks.  Nearest
+    # dynamic-map entry via 255 unrolled midpoint compares (searchsorted's
+    # while-loop lowering crashes the axon Mosaic helper; this form is flat
+    # elementwise code, and the absmax array is only n/64 values)
     m = absmax.shape[0]
     pad = (-m) % ABSMAX_BLOCK
     offset = jnp.mean(absmax)
     centered = jnp.pad(absmax - offset, (0, pad))
     ab = centered.reshape(-1, ABSMAX_BLOCK)
     ab_absmax = jnp.max(jnp.abs(ab), axis=1)
-    ab_scale = jnp.where(ab_absmax == 0, 1.0, ab_absmax) / 127.0
-    q = jnp.clip(jnp.round(ab / ab_scale[:, None]), -128, 127).astype(jnp.int8)
-    return NF4Tensor(packed, q.reshape(-1)[:m], shape, dtype,
+    ab_scale = jnp.where(ab_absmax == 0, 1.0, ab_absmax)
+    normed = ab / ab_scale[:, None]
+    q = jnp.zeros(normed.shape, jnp.int32)
+    for mp in DYNAMIC_MIDPOINTS.tolist():
+        q += (normed > mp).astype(jnp.int32)
+    return NF4Tensor(packed, q.reshape(-1)[:m].astype(jnp.uint8), shape, dtype,
                      absmax_scale=ab_scale, absmax_offset=offset)
 
 
@@ -113,8 +131,8 @@ def _decode_absmax(t: NF4Tensor) -> jax.Array:
         return t.absmax.astype(jnp.float32)
     m = t.absmax.shape[0]
     pad = (-m) % ABSMAX_BLOCK
-    q = jnp.pad(t.absmax.astype(jnp.float32), (0, pad)).reshape(-1, ABSMAX_BLOCK)
-    ab = q * t.absmax_scale[:, None]
+    idx = jnp.pad(t.absmax.astype(jnp.int32), (0, pad)).reshape(-1, ABSMAX_BLOCK)
+    ab = jnp.asarray(DYNAMIC_MAP)[idx] * t.absmax_scale[:, None]
     return ab.reshape(-1)[:m] + t.absmax_offset
 
 

@@ -325,3 +325,55 @@ def native_blip2_imagenet_fns(hf_model_dir: str, class_names: list,
         return blip2_image_embed(params, cfg, pixel_values)
 
     return image_embed_fn, class_embeds
+
+
+def native_blip2_answer_fn(model_cfg=None, params=None, tokenizer=None,
+                           max_new_tokens: int = 10, num_beams: int = 5,
+                           length_penalty: float = -1.0):
+    """TPU-native BLIP-2 answerer for VLZooVQAPipeline: flan-T5 tower with
+    the reference decode configuration (beam-5, length-penalty −1, ≤10 new
+    tokens — BLIP2VQAVALPipeline.py:175), entirely in JAX.
+
+    With no checkpoint (``model_cfg=None``: the CLI smoke / integration
+    mode) a tiny random model + ByteTokenizer drive the full native path —
+    answers are arbitrary strings, but every stage (ViT encode → Q-Former →
+    T5 beam search → detokenize) runs end-to-end.  Real checkpoints go
+    through models/blip2.import_blip2_torch and an HF tokenizer instead."""
+    import jax
+    import numpy as np
+
+    from cullavo_tpu.data.tokenizer import ByteTokenizer
+    from cullavo_tpu.models.blip2 import tiny_blip2_config
+    from cullavo_tpu.models.blip2.modeling import (blip2_beam_generate,
+                                                   init_blip2_params)
+
+    if model_cfg is None:
+        model_cfg = tiny_blip2_config("t5")
+        params = init_blip2_params(model_cfg, jax.random.PRNGKey(0))
+    if tokenizer is None:
+        tokenizer = ByteTokenizer()
+    vocab = model_cfg.text.vocab_size
+    spec = MODEL_SPECS["blip2"]
+    S = model_cfg.vision.image_size
+
+    def answer(question: str, image) -> str:
+        text = spec.prompt.format(q=question)
+        # fold oversized ids into the tiny vocab (smoke mode only; a real
+        # checkpoint's tokenizer always fits its own vocab)
+        ids = np.asarray(tokenizer.encode(text), np.int32)
+        ids = np.where(ids >= vocab, 4 + ids % max(vocab - 4, 1), ids)
+        pix = np.asarray(image, np.float32)
+        if pix.ndim == 3 and pix.shape[0] == 3 and pix.shape[1:] != (S, S):
+            ri = np.linspace(0, pix.shape[1] - 1, S).astype(int)
+            ci = np.linspace(0, pix.shape[2] - 1, S).astype(int)
+            pix = pix[:, ri][:, :, ci]
+        out = blip2_beam_generate(
+            params, model_cfg, pix[None], ids[None],
+            np.ones((1, len(ids)), np.int32), max_new_tokens,
+            num_beams=num_beams, length_penalty=length_penalty,
+            eos_token_id=1)
+        toks = [int(t) for t in np.asarray(out)[0] if int(t) > 1]
+        return tokenizer.decode(toks) if hasattr(tokenizer, "decode") \
+            else " ".join(map(str, toks))
+
+    return answer

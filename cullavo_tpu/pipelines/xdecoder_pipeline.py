@@ -139,13 +139,19 @@ def _bucket_hw(h: int, w: int, step: int = 128) -> tuple:
 class XDecoderPipeline:
     def __init__(self, cfg, model_cfg: XDecoderModelConfig, params,
                  text_class_embeds, tasks: EvalTasks = EvalTasks(),
-                 bucket_step: int = 128):
+                 bucket_step: int = 128, eval_batch: int = 8):
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.params = params
         self.text_class_embeds = text_class_embeds
         self.tasks = tasks
         self.bucket_step = bucket_step
+        # device batch per forward: the reference's detectron2 loader is
+        # batch-1 (metric-identical either way — per-image inference and
+        # metrics run on each row), but batching the forward is free
+        # throughput on TPU (the bench measures batch 8); EVAL_BATCH: 1
+        # reverts to the reference's loop shape
+        self.eval_batch = max(1, int(eval_batch))
         self._eval_fns: dict = {}
 
     def _fn_for(self, out_size):
@@ -176,60 +182,79 @@ class XDecoderPipeline:
 
             pan_metrics = PanopticEvaluator(self.model_cfg.num_classes)
         data_t, compute_t, eval_t = [], [], []
+        n_images = 0
         t_last = time.perf_counter()
+        # group row indices by padded bucket, batch each group: one compiled
+        # program per (bucket, batch) shape; the short tail pads with zero
+        # rows whose outputs are simply not read
+        import collections as _collections
+        by_bucket = _collections.OrderedDict()
         for i, row in enumerate(rows):
             h, w = row["image"].shape[:2]
-            bh, bw = _bucket_hw(h, w, self.bucket_step)
-            img = np.zeros((1, bh, bw, row["image"].shape[2]),
-                           row["image"].dtype)
-            img[0, :h, :w] = row["image"]
+            by_bucket.setdefault(_bucket_hw(h, w, self.bucket_step),
+                                 []).append(i)
+        B = self.eval_batch
+        for (bh, bw), idxs in by_bucket.items():
             fn = self._fn_for((bh, bw))
-            t0 = time.perf_counter()
-            data_t.append(t0 - t_last)
-            mask_cls, mask_pred, boxes = fn(
-                self.params, jnp.asarray(img), self.text_class_embeds)
-            mask_cls.block_until_ready()
-            # crop the padded margin back off before any metric
-            mask_pred = mask_pred[:, :, :h, :w]
-            t1 = time.perf_counter()
-            compute_t.append(t1 - t0)
-            if self.tasks.semantic and "sem_seg" in row:
-                # fused matmul+argmax (equal to argmax(semantic_inference);
-                # ~10x faster at 512² and skips the [C, H, W] fp32 map)
-                pred = np.asarray(semantic_inference_argmax(
-                    mask_cls[0], mask_pred[0]))
-                sem_metrics.add(pred, row["sem_seg"])
-            if self.tasks.panoptic:
-                pan, segs = panoptic_inference_host(
-                    np.asarray(mask_cls[0]), np.asarray(mask_pred[0]), thing_ids,
-                    self.model_cfg.object_mask_threshold,
-                    self.model_cfg.overlap_threshold)
-                pan_outputs.append({"image_id": row.get("image_id"),
-                                    "panoptic": pan, "segments": segs})
-                if pan_metrics is not None and "pan_seg_gt" in row:
-                    # PQ against GT id map + segment list (reference
-                    # datasets/evaluation/panoptic_evaluation.py via panopticapi)
-                    pan_metrics.add(pan, segs, row["pan_seg_gt"],
-                                    row["segments_gt"])
-            if self.tasks.instance:
-                inst = instance_inference(mask_cls[0], mask_pred[0],
-                                          self.model_cfg.num_classes,
-                                          self.model_cfg.test_topk_per_image)
-                inst_outputs.append({
-                    "image_id": row.get("image_id"),
-                    "scores": np.asarray(inst["scores"]),
-                    "classes": np.asarray(inst["classes"]),
-                    "masks": np.asarray(inst["masks"]),
-                })
-                if inst_metrics is not None and "instances_gt" in row:
-                    gt = row["instances_gt"]  # {"masks" [M,H,W], "classes" [M]}
-                    inst_metrics.add(np.asarray(inst["masks"]) > 0.5,
-                                     np.asarray(inst["classes"]),
-                                     np.asarray(inst["scores"]),
-                                     np.asarray(gt["masks"]).astype(bool),
-                                     np.asarray(gt["classes"]))
-            t_last = time.perf_counter()
-            eval_t.append(t_last - t1)
+            for off in range(0, len(idxs), B):
+                group = idxs[off:off + B]
+                img = np.zeros((B, bh, bw, rows[group[0]]["image"].shape[2]),
+                               rows[group[0]]["image"].dtype)
+                for j, i in enumerate(group):
+                    r = rows[i]["image"]
+                    img[j, :r.shape[0], :r.shape[1]] = r
+                t0 = time.perf_counter()
+                data_t.append(t0 - t_last)
+                mask_cls, mask_pred, boxes = fn(
+                    self.params, jnp.asarray(img), self.text_class_embeds)
+                mask_cls.block_until_ready()
+                t1 = time.perf_counter()
+                compute_t.append(t1 - t0)
+                n_images += len(group)
+                for j, i in enumerate(group):
+                    row = rows[i]
+                    h, w = row["image"].shape[:2]
+                    # crop the padded margin back off before any metric
+                    mc, mp = mask_cls[j], mask_pred[j][:, :h, :w]
+                    if self.tasks.semantic and "sem_seg" in row:
+                        # fused matmul+argmax (equal to
+                        # argmax(semantic_inference); ~10x faster at 512²
+                        # and skips the [C, H, W] fp32 map)
+                        pred = np.asarray(semantic_inference_argmax(mc, mp))
+                        sem_metrics.add(pred, row["sem_seg"])
+                    if self.tasks.panoptic:
+                        pan, segs = panoptic_inference_host(
+                            np.asarray(mc), np.asarray(mp), thing_ids,
+                            self.model_cfg.object_mask_threshold,
+                            self.model_cfg.overlap_threshold)
+                        pan_outputs.append({"image_id": row.get("image_id"),
+                                            "panoptic": pan, "segments": segs})
+                        if pan_metrics is not None and "pan_seg_gt" in row:
+                            # PQ against GT id map + segment list (reference
+                            # datasets/evaluation/panoptic_evaluation.py via
+                            # panopticapi)
+                            pan_metrics.add(pan, segs, row["pan_seg_gt"],
+                                            row["segments_gt"])
+                    if self.tasks.instance:
+                        inst = instance_inference(
+                            mc, mp, self.model_cfg.num_classes,
+                            self.model_cfg.test_topk_per_image)
+                        inst_outputs.append({
+                            "image_id": row.get("image_id"),
+                            "scores": np.asarray(inst["scores"]),
+                            "classes": np.asarray(inst["classes"]),
+                            "masks": np.asarray(inst["masks"]),
+                        })
+                        if inst_metrics is not None and "instances_gt" in row:
+                            gt = row["instances_gt"]
+                            inst_metrics.add(
+                                np.asarray(inst["masks"]) > 0.5,
+                                np.asarray(inst["classes"]),
+                                np.asarray(inst["scores"]),
+                                np.asarray(gt["masks"]).astype(bool),
+                                np.asarray(gt["classes"]))
+                t_last = time.perf_counter()
+                eval_t.append(t_last - t1)
         out: dict = {}
         if self.tasks.semantic:
             out["sem_seg"] = sem_metrics.results()
@@ -243,12 +268,19 @@ class XDecoderPipeline:
             out["instance_outputs"] = inst_outputs
             if inst_metrics is not None and inst_metrics.n_gt:
                 out["instance_ap"] = inst_metrics.results()
-        w = min(warmup, max(len(rows) - 1, 0))
+        w = min(warmup, max(len(compute_t) - 1, 0))
         out["timing"] = {
+            # per-BATCH means (batch size = eval_batch); images_per_s is the
+            # headline rate over the post-warmup batches
             "data_s": float(np.mean(data_t[w:])) if data_t[w:] else 0.0,
             "compute_s": float(np.mean(compute_t[w:])) if compute_t[w:] else 0.0,
             "eval_s": float(np.mean(eval_t[w:])) if eval_t[w:] else 0.0,
+            "eval_batch": self.eval_batch,
         }
+        total = sum(data_t[w:]) + sum(compute_t[w:]) + sum(eval_t[w:])
+        imgs = max(n_images - w * self.eval_batch, 0)
+        if total > 0 and imgs > 0:
+            out["timing"]["images_per_s"] = imgs / total
         return out
 
 

@@ -42,7 +42,8 @@ def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
                     lora: Optional[dict] = None,
                     lora_scaling: float = 0.0,
                     arrival_rate: Optional[float] = None,
-                    reps: int = 3) -> dict:
+                    reps: int = 3,
+                    spec_k: Optional[int] = None) -> dict:
     """One warm pass (compile) + ``reps`` timed passes; returns median+band."""
     bucket = -(-max(len(r.input_ids) for r in reqs) // 8) * 8
     max_len = bucket + max(r.max_new_tokens for r in reqs)
@@ -55,7 +56,8 @@ def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
                              prompt_buckets=(bucket,), prefill_chunk=chunk,
                              quantum=quantum, kv_quant=kv_quant,
                              compute_dtype=compute_dtype,
-                             lora=lora, lora_scaling=lora_scaling)
+                             lora=lora, lora_scaling=lora_scaling,
+                             spec_k=spec_k)
 
     def run():
         eng = make_engine()
@@ -85,7 +87,8 @@ def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
            "wall_s": round(len(reqs) / float(np.median(rates)), 2),
            "n_requests": len(reqs), "reps": reps,
            "slots": slots, "quantum": quantum, "bucket": bucket,
-           "kv_quant": kv_quant or "bf16", "latency": lats[order]}
+           "kv_quant": kv_quant or "bf16", "spec_k": spec_k,
+           "latency": lats[order]}
     if arrival_rate:
         out["open_loop"] = measure_open_loop(make_engine, reqs, arrival_rate)
     return out

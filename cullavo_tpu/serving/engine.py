@@ -46,6 +46,7 @@ from cullavo_tpu.models.llava.modeling import (GenerationConfig,
                                                _sample_token,
                                                alloc_decode_state,
                                                decode_quantum,
+                                               decode_quantum_spec,
                                                generate_prefill, write_slot,
                                                write_slots)
 
@@ -61,6 +62,11 @@ class Request:
     max_new_tokens: int = 16
     adapter_id: int = 0                         # row of the engine's stacked
                                                 # adapters (0 when none)
+    extra_hist: Optional[np.ndarray] = None     # [E] int32 extra lookup
+                                                # corpus for spec_k engines
+                                                # (retrieved text, prior
+                                                # turns); prepended to the
+                                                # prompt in the n-gram table
 
 
 class ServingEngine:
@@ -87,7 +93,8 @@ class ServingEngine:
                  prefill_chunk: int = 2, quantum: int = 8,
                  kv_quant: Optional[str] = None,
                  compute_dtype=jnp.bfloat16, seed: int = 0,
-                 lora: Optional[dict] = None, lora_scaling: float = 0.0):
+                 lora: Optional[dict] = None, lora_scaling: float = 0.0,
+                 spec_k: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.gen = gen
@@ -108,6 +115,14 @@ class ServingEngine:
         self.buckets = tuple(sorted(int(b) for b in prompt_buckets))
         self.prefill_chunk = int(prefill_chunk)
         self.quantum = int(quantum)
+        # speculative decode (prompt-lookup windows inside each quantum,
+        # decode_quantum_spec): greedy-only, token-exact vs plain quanta.
+        # The per-slot lookup corpus lives in self.hist (device), filled at
+        # admission with the prompt + first token
+        self.spec_k = int(spec_k) if spec_k else None
+        if self.spec_k is not None and gen.do_sample:
+            raise ValueError("spec_k requires greedy generation")
+        self.hist: Optional[dict] = None
         self.kv_quant = kv_quant
         self.compute_dtype = compute_dtype
         self._rng = jax.random.PRNGKey(seed)
@@ -219,6 +234,11 @@ class ServingEngine:
                 self.pool["cur_tok"] = jnp.zeros((self.num_slots,), jnp.int32)
                 # idle rows decode as done (emit eos, write nothing useful)
                 self.pool["done"] = jnp.ones((self.num_slots,), jnp.bool_)
+            if self.spec_k is not None and self.hist is None:
+                cap = self.max_len + self.quantum + self.spec_k
+                self.hist = {
+                    "hist": jnp.zeros((self.num_slots, cap), jnp.int32),
+                    "hist_len": jnp.zeros((self.num_slots,), jnp.int32)}
 
             # slot -1 = not admitted (pad rows, finished-at-admission)
             slots_vec = np.full((chunk_b,), -1, np.int32)
@@ -252,6 +272,28 @@ class ServingEngine:
                     self.pool = write_slot(self.pool, chunk, int(i),
                                            int(slots_vec[i]),
                                            int(first[i]), False)
+            if self.spec_k is not None:
+                cap = self.hist["hist"].shape[1]
+                for i, r in enumerate(group):
+                    slot = int(slots_vec[i])
+                    if slot < 0:
+                        continue
+                    # lookup corpus = valid prompt tokens + the first
+                    # sampled token (current token LAST, the _ngram_draft
+                    # contract); extra_hist (e.g. retrieved text) prepends
+                    row = np.zeros((cap,), np.int32)
+                    pre = (np.asarray(r.extra_hist, np.int32)
+                           if getattr(r, "extra_hist", None) is not None
+                           else np.zeros((0,), np.int32))
+                    T = len(r.input_ids)
+                    n = len(pre) + T + 1
+                    row[:len(pre)] = pre
+                    row[len(pre):len(pre) + T] = np.asarray(r.input_ids,
+                                                            np.int32)
+                    row[len(pre) + T] = int(first[i])
+                    self.hist["hist"] = self.hist["hist"].at[slot].set(
+                        jnp.asarray(row))
+                    self.hist["hist_len"] = self.hist["hist_len"].at[slot].set(n)
 
     # -- scheduling ---------------------------------------------------------
     def step(self):
@@ -261,14 +303,23 @@ class ServingEngine:
         if not self.active:
             return
         self._rng, sub = jax.random.split(self._rng)
-        toks, self.pool = decode_quantum(
-            self.params, self.cfg, self.pool, self.gen, self.quantum,
-            rng=sub, compute_dtype=self.compute_dtype,
-            lora=self.lora, lora_scaling=self.lora_scaling)
-        toks = np.asarray(toks)                     # [num_slots, quantum]
+        if self.spec_k is not None:
+            toks, n_emit, self.pool, self.hist = decode_quantum_spec(
+                self.params, self.cfg, self.pool, self.hist, self.gen,
+                self.quantum, self.spec_k, compute_dtype=self.compute_dtype,
+                lora=self.lora, lora_scaling=self.lora_scaling)
+            toks = np.asarray(toks)                 # [num_slots, quantum]
+            n_emit = np.asarray(n_emit)
+        else:
+            toks, self.pool = decode_quantum(
+                self.params, self.cfg, self.pool, self.gen, self.quantum,
+                rng=sub, compute_dtype=self.compute_dtype,
+                lora=self.lora, lora_scaling=self.lora_scaling)
+            toks = np.asarray(toks)                 # [num_slots, quantum]
+            n_emit = np.full((toks.shape[0],), toks.shape[1], np.int64)
         for slot in list(self.active):
             req, out = self.active[slot]
-            for t in toks[slot]:
+            for t in toks[slot][:n_emit[slot]]:
                 t = int(t)
                 out.append(t)
                 if t == self.gen.eos_token_id or len(out) >= req.max_new_tokens:

@@ -137,11 +137,12 @@ def main():
         # SERVE_RATE=R adds an open-loop Poisson-arrival pass at R req/s
         # (TTFT/E2E under load, queueing delay included)
         rate = float(os.environ.get("SERVE_RATE", 0) or 0)
+        spec_k = int(os.environ.get("SERVE_SPEC_K", 0) or 0)
         print(json.dumps(measure_serving(
             params, cfg, reqs, slots=slots, quantum=quantum,
             prefill_chunk=chunk, kv_quant=kv_quant,
             lora=lora, lora_scaling=lora_scaling,
-            arrival_rate=rate or None)))
+            arrival_rate=rate or None, spec_k=spec_k or None)))
         return
     if mode == "static":
         log("compile+warm static...")

@@ -444,3 +444,51 @@ SERVE:
     assert a == b
     assert [r["id"] for r in a] == [10, 11, 12]
     assert all(len(r["tokens"]) == 5 for r in a)
+
+
+def test_eval_cli_vl_test_zoo_blip2(tmp_path, capsys):
+    """A zoo workload is reachable from the entry: MODEL.ZOO: blip2 routes
+    eval_for_vl_model through VLZooVQAPipeline with the NATIVE flan-T5
+    tower (beam-5, length-penalty -1 — the reference decode configuration,
+    BLIP2VQAVALPipeline.py:175) end-to-end over a tiny fixture dataset."""
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for image_id in (1, 2):
+        _save_png(img_dir / f"COCO_val2014_{image_id:012d}.jpg",
+                  rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    qj, aj = tmp_path / "q.json", tmp_path / "a.json"
+    with open(qj, "w") as f:
+        json.dump({"questions": [
+            {"question_id": 100, "question": "what is it?", "image_id": 1},
+            {"question_id": 101, "question": "how many?", "image_id": 2}]}, f)
+    with open(aj, "w") as f:
+        json.dump({"annotations": [
+            {"question_id": 100, "question_type": "what is",
+             "answer_type": "other",
+             "answers": [{"answer": "cat"}] * 10},
+            {"question_id": 101, "question_type": "how many",
+             "answer_type": "number",
+             "answers": [{"answer": "2"}] * 10}]}, f)
+    out_dir = tmp_path / "out"
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: vl_test
+MODEL:
+  TINY: true
+  ZOO: blip2
+MAX_NEW_TOKENS: 4
+SAVE_DIR: {out_dir}
+DATASETS:
+  TEST: [fix_vqa_zoo]
+  REGISTER:
+    fix_vqa_zoo:
+      KIND: vqa
+      QUESTIONS_JSON: {qj}
+      ANNOTATIONS_JSON: {aj}
+      IMAGE_DIR: {img_dir}
+""")
+    res = _run_eval(capsys, conf)
+    m = res["fix_vqa_zoo"]
+    assert m["n"] == 2
+    assert 0.0 <= m["overall"] <= 100.0
+    assert os.path.exists(out_dir / "vqa_results.json")

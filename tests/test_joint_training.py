@@ -125,6 +125,19 @@ REFERENCE_LOSS_KEYS = {
     "loss_retrieval_decoder_0", "loss_retrieval_backbone_0",
     "loss_grounding_bce_0", "loss_grounding_dice_0", "loss_grounding_ce_0",
 }
+# deep supervision (criterion.py:747-760 + TOP_*_LAYERS: 3): the text-side
+# losses also apply to layer_id 1 and 2 (second/third-to-last predictions);
+# mask/class/box apply to every prediction (tiny config: 4)
+REFERENCE_LOSS_KEYS |= {
+    f"loss_{name}_{r}"
+    for name in ("caption", "captioning", "retrieval_decoder",
+                 "grounding_bce", "grounding_dice", "grounding_ce")
+    for r in (1, 2)
+} | {
+    f"loss_{name}_{r}"
+    for name in ("mask_ce", "mask_bce", "mask_dice", "bbox", "giou")
+    for r in (1, 2, 3)
+}
 
 
 def test_collate_joint_shapes():

@@ -152,12 +152,15 @@ def test_nf4_double_quant_error_small():
     t_nd = quantize_nf4(jnp.asarray(x), double_quant=False)
     d_dq = np.asarray(dequantize_nf4(t_dq))
     d_nd = np.asarray(dequantize_nf4(t_nd))
-    # double-quant adds only absmax-rounding error (<1% of scale)
+    # double-quant adds only absmax-rounding error.  bnb's dynamic 8-bit map
+    # has ~0.7% worst-case relative step near full scale (linspace(0.1,1,65)
+    # means in the top decade), so the bound is looser than the old linear
+    # int8 scheme's 1/127 — this matches real bitsandbytes behavior
     extra = np.abs(d_dq - d_nd).max()
     base = np.abs(x).max()
-    assert extra < 0.02 * base, (extra, base)
-    # storage: absmax is int8
-    assert t_dq.absmax.dtype == jnp.int8
+    assert extra < 0.03 * base, (extra, base)
+    # storage: absmax is uint8 dynamic-map codes (bnb quantize_blockwise)
+    assert t_dq.absmax.dtype == jnp.uint8
 
 
 def test_nf4_matmul_fused_matches_xla():
@@ -1209,3 +1212,64 @@ def test_int8_static_act_scale_scalar_and_per_layer():
     # 2-D (unstacked) weight + scalar
     q2 = quantize_linear_int8(w[0], smooth_scale=sm, act_scale=0.05)
     assert q2["sa"].shape == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# NF4 vs the independent bnb-spec oracle (VERDICT r2 item 3)
+# ---------------------------------------------------------------------------
+
+def test_nf4_dynamic_map_properties():
+    """bnb create_dynamic_map(signed=True): 256 sorted entries, symmetric,
+    contains 0 and ±1, 127 positive magnitudes over 7 decades."""
+    from cullavo_tpu.ops.nf4_oracle import DYNAMIC_MAP
+
+    assert DYNAMIC_MAP.shape == (256,)
+    assert np.all(np.diff(DYNAMIC_MAP) > 0)
+    # bnb appends 1.0 (only the positive end): max is exactly 1, the most
+    # negative entry is the last fraction mean of the top decade (~-0.993)
+    assert DYNAMIC_MAP[-1] == 1.0
+    np.testing.assert_allclose(DYNAMIC_MAP[0], -0.9929687, rtol=1e-6)
+    assert 0.0 in DYNAMIC_MAP
+    # symmetric except for the appended 1.0: entries 128..254 mirror 126..0
+    assert int(np.where(DYNAMIC_MAP == 0)[0][0]) == 127
+    np.testing.assert_allclose(DYNAMIC_MAP[:127], -DYNAMIC_MAP[254:127:-1],
+                               atol=0)
+
+
+def test_nf4_vs_independent_oracle_no_double_quant():
+    """quantize_nf4(double_quant=False) matches the independently authored
+    bnb-spec oracle bit-for-bit: packed bytes, absmax, dequantized values."""
+    from cullavo_tpu.ops import nf4_oracle as O
+
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(8, 256)) * rng.uniform(0.1, 3)).astype(np.float32)
+    t = quantize_nf4(jnp.asarray(x), double_quant=False)
+    st = O.quantize_4bit(x, compress_statistics=False)
+    np.testing.assert_array_equal(np.asarray(t.packed), st["packed"])
+    np.testing.assert_allclose(np.asarray(t.absmax), st["absmax"], rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(dequantize_nf4(t)),
+                               O.dequantize_4bit(st), atol=1e-6)
+
+
+def test_nf4_vs_independent_oracle_double_quant():
+    """Full bnb semantics incl. compress_statistics: dynamic-map absmax
+    codes, per-256-block scales, mean offset — both directions."""
+    from cullavo_tpu.ops import nf4_oracle as O
+
+    rng = np.random.default_rng(1)
+    # > 256 absmax blocks so multiple double-quant blocks are exercised
+    x = (rng.normal(size=(40, 1024)) * rng.uniform(0.05, 2)).astype(np.float32)
+    t = quantize_nf4(jnp.asarray(x), double_quant=True)
+    st = O.quantize_4bit(x, compress_statistics=True)
+    np.testing.assert_array_equal(np.asarray(t.packed), st["packed"])
+    np.testing.assert_array_equal(np.asarray(t.absmax), st["absmax"])
+    np.testing.assert_allclose(np.asarray(t.absmax_scale), st["absmax2"],
+                               rtol=1e-6)  # 1-ulp f32 max-reduction order
+    np.testing.assert_allclose(float(t.absmax_offset), float(st["offset"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dequantize_nf4(t)),
+                               O.dequantize_4bit(st), atol=1e-6, rtol=1e-6)
+    # double-quant round-trip stays close to the raw-absmax dequant
+    t0 = quantize_nf4(jnp.asarray(x), double_quant=False)
+    err = np.abs(np.asarray(dequantize_nf4(t)) - np.asarray(dequantize_nf4(t0)))
+    assert err.max() < 0.05 * np.abs(x).max()

@@ -266,3 +266,58 @@ def test_open_loop_poisson_arrivals(model):
         bucket = next(b for b in buckets if len(r.input_ids) <= b)
         assert eng.results[r.req_id] == _offline(cfg, params, r, bucket,
                                                  max_len, gen)
+
+
+def test_serving_spec_k_matches_plain_engine(model):
+    """spec_k engine streams are token-exact vs the plain engine (and thus
+    vs offline): prompt-lookup windows change only how many forwards a
+    quantum takes, never the emitted greedy tokens.  Mixed budgets, slot
+    reuse, and an oracle extra_hist row (guaranteed draft hits) included."""
+    cfg, params = model
+    rng = np.random.default_rng(11)
+    buckets = _buckets(cfg)
+    max_len = buckets[-1] + 14
+    gen = GenerationConfig(do_sample=False, eos_token_id=-1)
+    reqs = [
+        _request(cfg, rng, 0, 4, 9),
+        _request(cfg, rng, 1, 12, 6),
+        _request(cfg, rng, 2, 7, 12),
+        _request(cfg, rng, 3, 2, 4),
+        _request(cfg, rng, 4, 15, 10),
+    ]
+
+    def run(spec_k, reqs):
+        eng = ServingEngine(params, cfg, gen, num_slots=3, max_len=max_len,
+                            prompt_buckets=buckets, prefill_chunk=2,
+                            quantum=4, compute_dtype=jnp.float32,
+                            spec_k=spec_k)
+        for r in reqs:
+            eng.submit(r)
+        return eng.run()
+
+    plain = run(None, reqs)
+    spec = run(3, reqs)
+    assert set(plain) == set(spec)
+    for rid in plain:
+        assert plain[rid] == spec[rid], rid
+
+    # oracle corpus: seed one request's extra_hist with its own greedy
+    # stream — every draft lands, stream still exact
+    r = reqs[2]
+    oracle = Request(req_id=99, input_ids=r.input_ids,
+                     pixel_values=r.pixel_values,
+                     max_new_tokens=r.max_new_tokens,
+                     extra_hist=np.concatenate(
+                         [[int(r.input_ids[-1])],
+                          np.asarray(plain[2], np.int32)]).astype(np.int32))
+    out = run(4, [oracle])
+    assert out[99] == plain[2]
+
+
+def test_serving_spec_rejects_sampling(model):
+    cfg, params = model
+    with pytest.raises(ValueError, match="greedy"):
+        ServingEngine(params, cfg,
+                      GenerationConfig(do_sample=True, eos_token_id=-1),
+                      num_slots=2, max_len=64, prompt_buckets=(32,),
+                      spec_k=3)
