@@ -34,6 +34,7 @@ class DaViTConfig:
     patch_pad: Sequence[int] = (3, 0, 0, 0)
     patch_prenorm: Sequence[bool] = (False, True, True, True)
     layer_norm_eps: float = 1e-5
+    exact_gelu: bool = True    # reference nn.GELU; see FocalNetConfig
     out_indices: Sequence[int] = (0, 1, 2, 3)
 
 
@@ -86,8 +87,8 @@ def _dwconv(x, kernel, bias):
     return y + bias
 
 
-def _mlp(x, w):
-    y = jax.nn.gelu(x @ w["fc1_w"] + w["fc1_b"], approximate=False)
+def _mlp(x, w, exact_gelu: bool = True):
+    y = jax.nn.gelu(x @ w["fc1_w"] + w["fc1_b"], approximate=not exact_gelu)
     return y @ w["fc2_w"] + w["fc2_b"]
 
 
@@ -138,12 +139,12 @@ def _channel_attention(x, w, groups: int, eps: float):
     return res + out.reshape(B, H, W, C)
 
 
-def _dual_sub_block(x, w, attn_fn, eps):
+def _dual_sub_block(x, w, attn_fn, eps, exact_gelu: bool = True):
     x = x + _dwconv(x, w["conv1"], w["conv1_b"])
     x = attn_fn(x, w)
     x = x + _dwconv(x, w["conv2"], w["conv2_b"])
     y = layer_norm(x, w["ln_ffn_s"], w["ln_ffn_b"], eps)
-    return x + _mlp(y, w)
+    return x + _mlp(y, w, exact_gelu)
 
 
 def davit_forward(params, cfg: DaViTConfig, images: jax.Array) -> dict:
@@ -167,10 +168,12 @@ def davit_forward(params, cfg: DaViTConfig, images: jax.Array) -> dict:
             x = _dual_sub_block(
                 x, blk["spatial"],
                 lambda y, w: _window_attention(y, w, cfg.num_heads[i],
-                                               cfg.window_size, eps), eps)
+                                               cfg.window_size, eps), eps,
+                cfg.exact_gelu)
             x = _dual_sub_block(
                 x, blk["channel"],
-                lambda y, w: _channel_attention(y, w, cfg.num_groups[i], eps), eps)
+                lambda y, w: _channel_attention(y, w, cfg.num_groups[i], eps),
+                eps, cfg.exact_gelu)
 
         if i in cfg.out_indices:
             # the reference emits RAW stage outputs — DaViT has no per-output

@@ -37,6 +37,12 @@ class FocalNetConfig:
     use_layerscale: bool = True
     layerscale_value: float = 1e-4
     scaling_modulator: bool = True
+    # exact erf GELU matches the reference's nn.GELU bit-for-bit (the
+    # torch-parity harness asserts it); tanh-approx is ~16% faster e2e on
+    # the elementwise-bound focal eval (45.7 vs 38.4 img/s, 512² batch 8)
+    # at ≤3e-3 abs deviation — sub-bf16-noise, but NOT reference numerics,
+    # so it stays opt-in (exact_gelu=False)
+    exact_gelu: bool = True
     use_dw: bool = False          # focal_dw variant: residual depthwise 3x3
                                   # before modulation and before the MLP, and
                                   # post-LN applied AFTER the MLP residual
@@ -128,7 +134,8 @@ def _depthwise_conv(x, kernel):
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
 
 
-def focal_modulation(x, w, focal_level: int, scaling_modulator: bool, eps: float):
+def focal_modulation(x, w, focal_level: int, scaling_modulator: bool, eps: float,
+                     exact_gelu: bool = True):
     """x: [B, H, W, C] → [B, H, W, C].  The focal-modulation op:
     q/ctx/gates from one projection, hierarchical depthwise-conv contexts
     gated and summed (+ global mean context), modulated via a 1x1 ``h``."""
@@ -167,10 +174,10 @@ def focal_modulation(x, w, focal_level: int, scaling_modulator: bool, eps: float
         ctx_all = jnp.zeros_like(q)
         for l in range(focal_level):
             ctx = jax.nn.gelu(_depthwise_conv(ctx, w[f"focal{l}_w"]),
-                              approximate=False)
+                              approximate=not exact_gelu)
             ctx_all = ctx_all + ctx * gates[..., l:l + 1]
         ctx_global = jax.nn.gelu(jnp.mean(ctx, axis=(1, 2), keepdims=True),
-                                 approximate=False)
+                                 approximate=not exact_gelu)
         ctx_all = ctx_all + ctx_global * gates[..., focal_level:focal_level + 1]
         if scaling_modulator:
             ctx_all = ctx_all / (focal_level + 1)
@@ -200,7 +207,8 @@ def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array,
         L = cfg.focal_levels[i]
 
         def _mlp(y, w):
-            y = jax.nn.gelu(y @ w["fc1_w"] + w["fc1_b"], approximate=False)
+            y = jax.nn.gelu(y @ w["fc1_w"] + w["fc1_b"],
+                            approximate=not cfg.exact_gelu)
             return y @ w["fc2_w"] + w["fc2_b"]
 
         def block(h, w):
@@ -210,7 +218,8 @@ def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array,
             y = h
             if not cfg.use_postln:
                 y = layer_norm(y, w["norm1_s"], w["norm1_b"], eps)
-            y = focal_modulation(y, w, L, cfg.scaling_modulator, eps)
+            y = focal_modulation(y, w, L, cfg.scaling_modulator, eps,
+                                 exact_gelu=cfg.exact_gelu)
             if cfg.use_postln:
                 y = layer_norm(y, w["norm1_s"], w["norm1_b"], eps)
             h = shortcut + w["gamma1"] * y

@@ -80,3 +80,45 @@ def image_text_contrastive_loss(image_emb: jax.Array, text_emb: jax.Array,
     image_emb = image_emb / (jnp.linalg.norm(image_emb, axis=-1, keepdims=True) + 1e-7)
     text_emb = text_emb / (jnp.linalg.norm(text_emb, axis=-1, keepdims=True) + 1e-7)
     return vl_contrastive_loss(image_emb, text_emb, logit_scale, axis_name)
+
+
+def fine_grained_itc_loss(query_emb: jax.Array, token_emb: jax.Array,
+                          token_mask: jax.Array,
+                          logit_scale: jax.Array) -> jax.Array:
+    """The fine-grained query↔caption-token contrastive term of the
+    reference's ``loss_itc`` (criterion.py:165-196): object-query embeddings
+    vs the batch's caption TOKEN embeddings, soft targets weighted by token
+    position (``mask * cumsum(mask)``), i2t and t2i combined 0.7/0.3.
+    The decoder retrieval loss is coarse + 0.5 × this term
+    (criterion.py:198 ``loss_contrast + loss_contrast_fine * 0.5``).
+
+    query_emb [B, Q, D] (pred_captions object slots, un-normalized);
+    token_emb [B, T, D] (caption token embeddings through lang_proj);
+    token_mask [B, T] {0,1}.  Static-shape: the reference's boolean
+    ``keep`` gather is replaced by -inf key bias / zero row weights."""
+    B, Q, D = query_emb.shape
+    T = token_emb.shape[1]
+    v = query_emb / (jnp.linalg.norm(query_emb, axis=-1, keepdims=True) + 1e-7)
+    t = token_emb / (jnp.linalg.norm(token_emb, axis=-1, keepdims=True) + 1e-7)
+    scale = jnp.clip(jnp.exp(logit_scale), max=100.0)
+    m = token_mask.astype(jnp.float32)
+    w = m * jnp.cumsum(m, axis=1)                       # positional weights
+    valid = m.reshape(B * T)                            # [BT]
+
+    # soft targets: image b ↔ its own caption's tokens, position-weighted
+    gt = (jnp.eye(B)[:, :, None] * w[None]).reshape(B, B * T)
+    gt = gt / (gt.sum(axis=1, keepdims=True) + 1e-7)
+
+    tt = t.reshape(B * T, D)
+    # i2t: per-image logits = query-mean similarity to every batch token
+    logits_vt = scale * jnp.einsum("bqd,kd->bqk", v, tt).mean(axis=1)  # [B, BT]
+    bias = jnp.where(valid > 0, 0.0, -1e30)[None]
+    loss_vt = -jnp.mean(jnp.sum(
+        gt * jax.nn.log_softmax(logits_vt + bias, axis=-1), axis=-1))
+
+    # t2i: per-token logits = query-mean similarity to every batch image
+    logits_tv = scale * jnp.einsum("kd,bqd->kbq", tt, v).mean(axis=-1)  # [BT, B]
+    ce_rows = -jnp.sum(gt.T * jax.nn.log_softmax(logits_tv, axis=-1), axis=-1)
+    loss_tv = jnp.sum(ce_rows * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    return loss_vt * 0.7 + loss_tv * 0.3

@@ -246,7 +246,8 @@ def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
                                                       loss_groundings,
                                                       match_groundings,
                                                       set_criterion)
-    from cullavo_tpu.models.xdecoder.language_loss import image_text_contrastive_loss
+    from cullavo_tpu.models.xdecoder.language_loss import (
+        fine_grained_itc_loss, image_text_contrastive_loss)
 
     tp, tc = params["text"], cfg.text
     # -- text side (trained end-to-end)
@@ -370,10 +371,15 @@ def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
             vlp_pred(r)["pred_captionings"], cap_tok, batch["caption_text_ids"],
             batch["caption_text_mask"], vocab_embs, logit_scale)
     for r in range(min(crit.top_x_layers_retrieval, Lv)):
-        img_emb = vlp_pred(r)["pred_captions"][:, nq - 1]
+        # reference loss_itc (criterion.py:165-198): coarse image↔caption
+        # contrastive + 0.5 × the fine-grained query↔token term
+        pc = vlp_pred(r)["pred_captions"]
+        coarse = image_text_contrastive_loss(pc[:, nq - 1], cap_sent,
+                                             logit_scale, data_axis)
+        fine = fine_grained_itc_loss(pc[:, :nq - 1], cap_tok,
+                                     batch["caption_text_mask"], logit_scale)
         losses[f"loss_retrieval_decoder_{r}"] = (
-            crit.weight_retrieval_decoder * image_text_contrastive_loss(
-                img_emb, cap_sent, logit_scale, data_axis))
+            crit.weight_retrieval_decoder * (coarse + 0.5 * fine))
     if "backbone_proj" in params:
         v5 = jnp.mean(feats["res5"], axis=(1, 2)) @ params["backbone_proj"]
         losses["loss_retrieval_backbone_0"] = (
@@ -576,7 +582,8 @@ def forward_vlp_train(params, cfg: XDecoderModelConfig, images,
     (EOT) embeddings for the retrieval ITC.
     """
     from cullavo_tpu.models.xdecoder.criterion import loss_captionings
-    from cullavo_tpu.models.xdecoder.language_loss import image_text_contrastive_loss
+    from cullavo_tpu.models.xdecoder.language_loss import (
+        fine_grained_itc_loss, image_text_contrastive_loss)
 
     feats = _backbone_apply(params["backbone"], cfg, images)
     mask_features, _, pyramid = _encoder_apply(params["fpn"], cfg, feats)

@@ -83,10 +83,52 @@ def main():
     # bf16); f32 master params stay in the optimizer
     dtype_name = os.environ.get("XDEC_TRAIN_DTYPE", "bf16")
     compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else None
-    step = jax.jit(make_xdecoder_train_step(cfg, tx, remat=remat,
-                                            compute_dtype=compute_dtype),
-                   donate_argnums=(0,))
-    log(f"compiling train step (remat={remat}, dtype={dtype_name})...")
+    joint = os.environ.get("XDEC_TRAIN_JOINT", "0") == "1"
+    if joint:
+        # the full multi-task objective (seg + caption + captioning +
+        # retrieval + grounding, deep-supervised on the top-3 layers) —
+        # VERDICT r2 #2's re-measure target
+        from cullavo_tpu.trainer.xdecoder_step import (
+            make_xdecoder_joint_train_step)
+
+        T = cfg.text.context_length
+        V = cfg.text.vocab_size
+        P, G = 4, 2
+        gm = np.zeros((B, G, H // 4, W // 4), np.float32)
+        gm[:, :, 20:80, 20:80] = 1.0
+        batch.update({
+            "labels_hash": jnp.asarray(rng.integers(
+                1, 1 << 30, size=(B, MAX_INST)).astype(np.int64)),
+            "class_ids": jnp.asarray(rng.integers(
+                1, V - 1, size=(cfg.num_classes + 1, T)).astype(np.int32)),
+            "class_mask": jnp.ones((cfg.num_classes + 1, T), jnp.int32),
+            "caption_ids": jnp.asarray(rng.integers(
+                1, V - 1, size=(B, P, T)).astype(np.int32)),
+            "caption_mask": jnp.ones((B, P, T), jnp.int32),
+            "caption_hash": jnp.asarray(rng.integers(
+                1, 1 << 30, size=(B, P)).astype(np.int64)),
+            "caption_valid": jnp.ones((B, P), bool),
+            "caption_text_ids": jnp.asarray(rng.integers(
+                1, V - 1, size=(B, T)).astype(np.int32)),
+            "caption_text_mask": jnp.ones((B, T), jnp.int32),
+            "grounding_ids": jnp.asarray(rng.integers(
+                1, V - 1, size=(B, G, T)).astype(np.int32)),
+            "grounding_token_mask": jnp.ones((B, G, T), jnp.int32),
+            "grounding_hash": jnp.asarray(rng.integers(
+                1, 1 << 30, size=(B, G)).astype(np.int64)),
+            "grounding_valid": jnp.ones((B, G), bool),
+            "grounding_masks": jnp.asarray(gm),
+        })
+        jstep = jax.jit(make_xdecoder_joint_train_step(
+            cfg, tx, remat=remat, compute_dtype=compute_dtype),
+            donate_argnums=(0,))
+        step = lambda st, b, te, k: jstep(st, b, k)
+    else:
+        step = jax.jit(make_xdecoder_train_step(cfg, tx, remat=remat,
+                                                compute_dtype=compute_dtype),
+                       donate_argnums=(0,))
+    log(f"compiling train step (remat={remat}, dtype={dtype_name}, "
+        f"joint={joint})...")
     t0 = time.time()
     state, m = step(state, batch, text_embeds, jax.random.PRNGKey(1))
     loss0 = float(np.asarray(m["loss_total"]))
@@ -108,7 +150,8 @@ def main():
 
         log(json.dumps(trace_and_top_ops(one_step), indent=1))
     print(json.dumps({
-        "metric": "xdecoder_seg_train_images_per_sec_per_chip",
+        "metric": ("xdecoder_joint_train_images_per_sec_per_chip" if joint
+                   else "xdecoder_seg_train_images_per_sec_per_chip"),
         "value": round(B / dt, 3),
         "unit": "images/s",
         "step_s": round(dt, 4),

@@ -535,3 +535,45 @@ def test_match_costs_match_reference_matcher():
         r_ref, c_ref = np.asarray(indices[b][0]), np.asarray(indices[b][1])
         order = np.argsort(c_ref)
         np.testing.assert_array_equal(src[b], r_ref[order])
+
+
+def test_fine_grained_itc_matches_reference_math():
+    """fine_grained_itc_loss == the fine-grained term of the reference's
+    loss_itc (criterion.py:165-196) replicated in torch with its boolean
+    ``keep`` gather (the static-shape -inf/zero-weight form must agree)."""
+    from cullavo_tpu.models.xdecoder.language_loss import fine_grained_itc_loss
+
+    rng = np.random.default_rng(13)
+    B, Q, T, D = 3, 5, 6, 16
+    vtk = rng.normal(size=(B, Q, D)).astype(np.float32)
+    ttk = rng.normal(size=(B, T, D)).astype(np.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[0, 4:] = 0
+    mask[2, 2:] = 0
+    logit_scale = np.float32(1.3)
+
+    vt = torch.from_numpy(vtk)
+    tt = torch.from_numpy(ttk)
+    mk = torch.from_numpy(mask)
+    ttk_mask = mk * torch.cumsum(mk, dim=1)
+    vtk_n = vt / (vt.norm(dim=-1, keepdim=True) + 1e-7)
+    ttk_n = tt / (tt.norm(dim=-1, keepdim=True) + 1e-7)
+    keep = mk.reshape(-1).bool()
+    scale = torch.exp(torch.tensor(logit_scale)).clamp(max=100)
+    gt = (torch.eye(B)[:, :, None] * ttk_mask[None]).reshape(B, -1)[:, keep]
+    gt = gt / (gt.sum(1, keepdim=True) + 1e-7)
+
+    def soft_ce(x, target):
+        return torch.sum(-target * torch.log_softmax(x, dim=-1), dim=-1).mean()
+
+    logits = scale * (vtk_n @ ttk_n.reshape(-1, D)[keep].T).mean(1)
+    loss_vt = soft_ce(logits, gt)
+    logits_tv = scale * (ttk_n.reshape(-1, D) @ vtk_n.reshape(-1, D).T)
+    logits_tv = logits_tv.reshape(B * T, B, Q).mean(dim=-1)[keep]
+    loss_tv = soft_ce(logits_tv, gt.t())
+    want = float(loss_vt * 0.7 + loss_tv * 0.3)
+
+    got = float(fine_grained_itc_loss(jnp.asarray(vtk), jnp.asarray(ttk),
+                                      jnp.asarray(mask),
+                                      jnp.asarray(logit_scale)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
