@@ -705,14 +705,19 @@ def llama_forward(
                 repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep,
                 win_q8=(kq, ks, vq, vs) if T > 1 else None)
             if per_row_idx:
-                # per-row W-slot scatter: row b writes its window at slots
-                # cache_index[b]..cache_index[b]+T-1 (OOB rows dropped)
-                rows = jnp.arange(B)[:, None]
-                pos = cache_index[:, None] + jnp.arange(T)[None, :]  # [B, T]
-                kc = kc.at[li, pos, rows].set(kq.transpose(1, 0, 2, 3), mode="drop")
-                vc = vc.at[li, pos, rows].set(vq.transpose(1, 0, 2, 3), mode="drop")
-                ksc = ksc.at[li, pos, rows].set(ks.transpose(1, 0, 2), mode="drop")
-                vsc = vsc.at[li, pos, rows].set(vs.transpose(1, 0, 2), mode="drop")
+                # per-row W-slot writes: row b writes its window at slots
+                # cache_index[b]..cache_index[b]+T-1 (OOB rows dropped).
+                # T static per-row scatters, NOT one [B, T]-indexed scatter:
+                # the 2-D advanced-index form made a W=4 speculative forward
+                # cost ~2x a T=1 step on chip (37 vs 20 ms — the multi-GB
+                # cache stopped updating in place), while the 1-D per-row
+                # pattern is the known in-place serving path
+                rows1 = jnp.arange(B)
+                for j in range(T):
+                    kc = kc.at[li, cache_index + j, rows1].set(kq[j], mode="drop")
+                    vc = vc.at[li, cache_index + j, rows1].set(vq[j], mode="drop")
+                    ksc = ksc.at[li, cache_index + j, rows1].set(ks[j], mode="drop")
+                    vsc = vsc.at[li, cache_index + j, rows1].set(vs[j], mode="drop")
             else:
                 kc = jax.lax.dynamic_update_slice(kc, kq[None], (li, cache_index, 0, 0, 0))
                 vc = jax.lax.dynamic_update_slice(vc, vq[None], (li, cache_index, 0, 0, 0))
@@ -726,12 +731,15 @@ def llama_forward(
                 q, k_buf.astype(compute_dtype), v_buf.astype(compute_dtype),
                 repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep)
             if per_row_idx:
-                rows = jnp.arange(B)[:, None]
-                pos = cache_index[:, None] + jnp.arange(T)[None, :]  # [B, T]
-                kc = kc.at[li, pos, rows].set(
-                    k.astype(kc.dtype).transpose(0, 2, 1, 3), mode="drop")
-                vc = vc.at[li, pos, rows].set(
-                    v.astype(vc.dtype).transpose(0, 2, 1, 3), mode="drop")
+                # T static per-row scatters (see the kv_q8 branch note)
+                rows1 = jnp.arange(B)
+                ks_major = k.astype(kc.dtype).transpose(2, 0, 1, 3)  # [T,B,KV,hd]
+                vs_major = v.astype(vc.dtype).transpose(2, 0, 1, 3)
+                for j in range(T):
+                    kc = kc.at[li, cache_index + j, rows1].set(ks_major[j],
+                                                               mode="drop")
+                    vc = vc.at[li, cache_index + j, rows1].set(vs_major[j],
+                                                               mode="drop")
             else:
                 # S-major write: one contiguous [1, 1, B, KV, hd] slab per layer
                 kc = jax.lax.dynamic_update_slice(

@@ -611,7 +611,7 @@ def decode_quantum_spec(params, cfg: LlavaConfig, state: dict,
 
     def body(c):
         (cur_tok, cur_pos, write_idx, full_mask, key_pos, cache, out, n_emit,
-         hist, hist_len, done) = c
+         hist, hist_len, done, n_fwd) = c
         draft = _ngram_draft(hist, hist_len, cur_tok, W)       # [B, W-1]
         tokens_in = jnp.concatenate([cur_tok[:, None], draft], axis=1)
         pos = cur_pos[:, None] + jnp.arange(W)[None]
@@ -641,12 +641,12 @@ def decode_quantum_spec(params, cfg: LlavaConfig, state: dict,
         cur_tok = jnp.where(e > 0, last, cur_tok)
         done = done | (has_eos & (e > 0))
         return (cur_tok, cur_pos + e, write_idx + e, full_mask, key_pos,
-                cache, out, n_emit + e, hist, hist_len + e, done)
+                cache, out, n_emit + e, hist, hist_len + e, done, n_fwd + 1)
 
     carry = (state["cur_tok"], state["cur_pos"], state["write_idx"],
              state["full_mask"], state["key_pos"], state["cache"], out,
              n_emit, hist_state["hist"], hist_state["hist_len"],
-             state["done"])
+             state["done"], jnp.int32(0))
     carry = jax.lax.while_loop(cond, body, carry)
     new_state = {"logits": state["logits"], "cache": carry[5],
                  "full_mask": carry[3], "key_pos": carry[4],
@@ -655,8 +655,11 @@ def decode_quantum_spec(params, cfg: LlavaConfig, state: dict,
     if adapter_ids is not None:
         new_state["adapter_ids"] = adapter_ids
     n_emit = jnp.minimum(carry[7], num_steps)
-    return (carry[6][:, :num_steps], n_emit, new_state,
-            {"hist": carry[8], "hist_len": carry[9]})
+    # n_fwd travels in hist_state (not the token outputs) so the engine can
+    # report tokens/forward without changing the harvest contract
+    hist_out = {"hist": carry[8], "hist_len": carry[9],
+                "n_fwd": hist_state.get("n_fwd", jnp.int32(0)) + carry[11]}
+    return carry[6][:, :num_steps], n_emit, new_state, hist_out
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -856,7 +859,12 @@ def generate_decode_spec(params, cfg: LlavaConfig, state: dict,
     greedy by construction — a draft token is only kept when it EQUALS the
     argmax the model would have produced, so the emitted stream is the
     greedy stream regardless of draft quality; drafting only changes how
-    many forwards it takes.  Decode at 7B is weight-stream-bound (~6.6 GB
+    many forwards it takes.  Caveat on "token-exact": the verification
+    logits come from a T=W matmul whose f32 reduction order differs from
+    the T=1 step's by ~1 ulp, so an EXACT logit tie between two tokens can
+    in principle resolve differently than sequential decode — immaterial
+    for real checkpoints, observable with degenerate random-weight models
+    that emit long runs of one token.  Decode at 7B is weight-stream-bound (~6.6 GB
     per forward at int8 vs ~45 MB of window activations), so a window
     forward costs nearly the same HBM traffic as a 1-token step: acceptance
     converts directly into throughput (ceiling spec_k×), while 0%%

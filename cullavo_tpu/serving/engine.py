@@ -116,7 +116,8 @@ class ServingEngine:
         self.prefill_chunk = int(prefill_chunk)
         self.quantum = int(quantum)
         # speculative decode (prompt-lookup windows inside each quantum,
-        # decode_quantum_spec): greedy-only, token-exact vs plain quanta.
+        # decode_quantum_spec): greedy-only, token-exact vs plain quanta
+        # (up to f32 near-tie argmax — see generate_decode_spec's caveat).
         # The per-slot lookup corpus lives in self.hist (device), filled at
         # admission with the prompt + first token
         self.spec_k = int(spec_k) if spec_k else None
