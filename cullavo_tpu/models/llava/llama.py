@@ -194,13 +194,30 @@ def sdpa_decode_stale_smajor(q, k_cache, v_cache, k_cur, v_cur, bias,
     """``sdpa_decode_stale`` for the S-major ``[S, B, KV, hd]`` cache slice
     (see ``sdpa_smajor`` for why the LLaMA cache is stored slot-major).
     q, k_cur, v_cur: [B, H, W, hd] (W=1 classic decode; W>1 speculative
-    verification window, intra-window causal); bias: [B|1, 1|H, W, S]."""
+    verification window, intra-window causal); bias: [B|1, 1|H, W, S].
+
+    Windows with W in 2..7 run the CACHE dots at the 8-padded width (see
+    ``_pad_window_q``); padded rows read garbage that is sliced away, the
+    intra-window block stays at W with NEG_INF-padded columns so real rows'
+    softmax denominators are untouched."""
     scale = q.shape[-1] ** -0.5 if scale is None else scale
     k = k_cache if n_rep == 1 else jnp.repeat(k_cache, n_rep, axis=2)
     v = v_cache if n_rep == 1 else jnp.repeat(v_cache, n_rep, axis=2)
-    s_cache = jnp.einsum("bhqd,sbhd->bhqs", q, k,
-                         preferred_element_type=jnp.float32) * scale + bias
     s_self = _window_scores(q, k_cur, scale)                  # [B, H, W, W]
+    W = q.shape[2]
+    pad = 0 if (W == 1 or W % 8 == 0) else (-W) % 8
+    qp, bias_p = q, bias
+    if pad:
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        bias_p = jnp.pad(jnp.broadcast_to(
+            bias, (q.shape[0], bias.shape[1]) + bias.shape[2:]),
+            ((0, 0), (0, 0), (0, pad), (0, 0)))
+        s_self = jnp.pad(s_self, ((0, 0), (0, 0), (0, pad), (0, pad)),
+                         constant_values=NEG_INF)
+        k_cur = jnp.pad(k_cur, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v_cur = jnp.pad(v_cur, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    s_cache = jnp.einsum("bhqd,sbhd->bhqs", qp, k,
+                         preferred_element_type=jnp.float32) * scale + bias_p
     m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True),
                     jnp.max(s_self, axis=-1, keepdims=True))
     e_c = jnp.exp(s_cache - m)
@@ -212,7 +229,7 @@ def sdpa_decode_stale_smajor(q, k_cache, v_cache, k_cur, v_cur, bias,
     out = out + jnp.einsum("bhqk,bhkd->bhqd", e_s / denom,
                            v_cur.astype(jnp.float32),
                            preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    return out[:, :, :W].astype(q.dtype)
 
 
 def quantize_kv(x: jax.Array):
@@ -253,6 +270,21 @@ def sdpa_smajor_q8(q, k_q, k_s, v_q, v_s, bias, n_rep, scale=None):
     out = jnp.einsum("bhqs,sbhd->bhqd", (p * _fold_scale(v_s)).astype(q.dtype),
                      v_q.astype(q.dtype), preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
+
+
+def _pad_window_q(q, bias):
+    """Pad the query-window axis to the 8-sublane multiple for the cache
+    dots: at W in 2..7 XLA's layout assignment handles the [B, H, W, S]
+    score shapes with per-layer cache relayouts (~36 ms/forward measured at
+    7B for ANY W>1 vs 19.8 at W=1); an 8-aligned W keeps the streaming
+    emitter.  Returns (q_padded, bias_padded, W_orig)."""
+    W = q.shape[2]
+    if W == 1 or W % 8 == 0:
+        return q, bias, W
+    pad = (-W) % 8
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    bp = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return qp, bp, W
 
 
 def sdpa_decode_stale_smajor_q8(q, k_q, k_s, v_q, v_s, k_cur, v_cur, bias,
