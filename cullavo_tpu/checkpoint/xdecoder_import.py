@@ -71,6 +71,13 @@ def import_focalnet(sd: Mapping[str, np.ndarray], cfg, prefix="backbone.") -> di
                                for d in range(depth)]),
             "fc2_b": st("mlp.fc2.bias"),
         }
+        if f"{prefix}layers.{i}.blocks.0.dw1.weight" in sd:
+            # focal_dw variant (focal_dw.py:147-153): residual depthwise 3x3
+            # convs before the modulation and before the MLP
+            blocks["dw1_w"] = st("dw1.weight", dw=True)
+            blocks["dw1_b"] = st("dw1.bias")
+            blocks["dw2_w"] = st("dw2.weight", dw=True)
+            blocks["dw2_b"] = st("dw2.bias")
         if f"{prefix}layers.{i}.blocks.0.gamma_1" in sd:
             blocks["gamma1"] = st("gamma_1")
             blocks["gamma2"] = st("gamma_2")
@@ -362,7 +369,12 @@ def import_deform_encoder(sd: Mapping[str, np.ndarray], cfg,
                          "bias": g(f"input_proj.{i}.1.bias")}}
 
     def convgn(base):
-        return {"kernel": _conv(g(base + ".weight")), "bias": g(base + ".bias"),
+        # with NORM: "GN" detectron2's use_bias is False — the FPN-fusion
+        # convs carry no bias key in a real checkpoint; zero matches exactly
+        w = _conv(g(base + ".weight"))
+        bias = (g(base + ".bias") if prefix + base + ".bias" in sd
+                else np.zeros((w.shape[-1],), np.float32))
+        return {"kernel": w, "bias": bias,
                 "norm": {"scale": g(base + ".norm.weight"),
                          "bias": g(base + ".norm.bias")}}
 

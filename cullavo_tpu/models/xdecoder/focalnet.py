@@ -195,7 +195,10 @@ def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array,
     eps = cfg.layer_norm_eps
     stem = params["stem"]
     stride = 4 if cfg.use_conv_embed else cfg.patch_size
-    pad = 2 if cfg.use_conv_embed else 0
+    # conv-embed stem: kernel 7 stride 4, padding 2 in focal.py:310 but
+    # padding 3 in focal_dw.py:393 — same output size at multiples of 4,
+    # SHIFTED sampling (torch-parity harness caught the variant difference)
+    pad = (3 if cfg.use_dw else 2) if cfg.use_conv_embed else 0
     x = jax.lax.conv_general_dilated(
         images, stem["kernel"], window_strides=(stride, stride),
         padding=[(pad, pad)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -220,9 +223,15 @@ def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array,
                 y = layer_norm(y, w["norm1_s"], w["norm1_b"], eps)
             y = focal_modulation(y, w, L, cfg.scaling_modulator, eps,
                                  exact_gelu=cfg.exact_gelu)
-            if cfg.use_postln:
+            if cfg.use_postln and not cfg.use_dw:
+                # focal.py:183-188 post-LN: norm on the modulation BRANCH
                 y = layer_norm(y, w["norm1_s"], w["norm1_b"], eps)
             h = shortcut + w["gamma1"] * y
+            if cfg.use_postln and cfg.use_dw:
+                # focal_dw.py:190-195 post-LN: norm applied to the residual
+                # SUM (after gamma), before dw2 — unlike focal.py's branch
+                # norm (caught by the torch-parity harness)
+                h = layer_norm(h, w["norm1_s"], w["norm1_b"], eps)
             if cfg.use_dw:
                 h = h + _depthwise_conv(h, w["dw2_w"]) + w["dw2_b"]
             if cfg.use_dw and cfg.use_postln:

@@ -152,6 +152,7 @@ def install_stubs():
     d2_modeling.ShapeSpec = ShapeSpec
     d2_modeling.Backbone = Backbone
     d2_modeling.BACKBONE_REGISTRY = _Registry()
+    d2_modeling.SEM_SEG_HEADS_REGISTRY = _Registry()
     d2_layers.ShapeSpec = ShapeSpec
 
     d2_utils = _mod("detectron2.utils")
@@ -227,6 +228,19 @@ def install_stubs():
     weight_init.c2_msra_fill = c2_msra_fill
     fv_nn.weight_init = weight_init
     fvcore.nn = fv_nn
+
+    # ---- MultiScaleDeformableAttention (the CUDA ext) ---------------------
+    # a raising stub: the import succeeds, and MSDeformAttn.forward's bare
+    # `except:` (ops/modules/ms_deform_attn.py:116-121) falls back to the
+    # pure-torch grid_sample path — the functional spec our Pallas kernel
+    # is tested against
+    msda = _mod("MultiScaleDeformableAttention")
+
+    def _no_cuda(*a, **k):
+        raise RuntimeError("MSDA CUDA ext unavailable (pure-torch fallback)")
+
+    msda.ms_deform_attn_forward = _no_cuda
+    msda.ms_deform_attn_backward = _no_cuda
 
     # ---- omegaconf (modeling/utils/config.py _called_with_cfg) ------------
     oc = _mod("omegaconf")

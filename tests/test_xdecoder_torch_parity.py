@@ -577,3 +577,117 @@ def test_fine_grained_itc_matches_reference_math():
                                       jnp.asarray(mask),
                                       jnp.asarray(logit_scale)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Deformable pixel decoder
+# ---------------------------------------------------------------------------
+
+def test_deform_pixel_decoder_matches_reference():
+    """MSDeformAttnPixelDecoder forward_features parity
+    (transformer_encoder_deform.py:200-353: 6-layer MSDeformAttn encoder on
+    res3-5 + FPN fusion for res2) — the samvitb/davit _deform configs' pixel
+    decoder.  The reference's CUDA ext is stubbed to raise, so its own
+    pure-torch grid_sample fallback runs (ms_deform_attn.py:116-121),
+    which is exactly the functional spec of the Pallas/XLA kernel."""
+    from cullavo_tpu.checkpoint.xdecoder_import import import_deform_encoder
+    from cullavo_tpu.models.xdecoder.deform_encoder import (
+        DeformEncoderConfig, deform_encoder_forward)
+
+    _seed_all()
+    dmod = R.load("vision.encoder.transformer_encoder_deform")
+    d2mod = sys.modules["detectron2.modeling"]
+    shapes = {"res2": d2mod.ShapeSpec(channels=16, stride=4),
+              "res3": d2mod.ShapeSpec(channels=32, stride=8),
+              "res4": d2mod.ShapeSpec(channels=64, stride=16),
+              "res5": d2mod.ShapeSpec(channels=128, stride=32)}
+    ref = dmod.MSDeformAttnPixelDecoder(
+        input_shape=shapes, transformer_dropout=0.0, transformer_nheads=4,
+        transformer_dim_feedforward=128, transformer_enc_layers=2,
+        conv_dim=64, mask_dim=32, norm="GN",
+        transformer_in_features=["res3", "res4", "res5"], common_stride=4)
+    ref.eval()
+
+    cfg = DeformEncoderConfig(in_channels=(16, 32, 64, 128), conv_dim=64,
+                              mask_dim=32, num_layers=2, num_heads=4,
+                              num_points=4, ffn_dim=128, gn_groups=32)
+    params = import_deform_encoder(R.state_dict_numpy(ref, "pd."), cfg,
+                                   prefix="pd.")
+
+    rng = np.random.default_rng(15)
+    feats_t = {k: torch.from_numpy(
+        rng.normal(size=(2, shapes[k].channels, 64 // shapes[k].stride,
+                         64 // shapes[k].stride)).astype(np.float32))
+        for k in shapes}
+    # transformer_encoder_deform.py:83 calls torch.from_numpy(x, dtype=...)
+    # which modern torch rejects (the fork broke mask2former's as_tensor) —
+    # shim it so the reference forward can run at all
+    real_from_numpy = torch.from_numpy
+
+    def fake_from_numpy(a, dtype=None, device=None):
+        t = torch.as_tensor(np.asarray(a))
+        return t.to(dtype) if dtype is not None else t
+
+    torch.from_numpy = fake_from_numpy
+    try:
+        with torch.no_grad():
+            mask_t, _, multi_t = ref.forward_features(feats_t)
+    finally:
+        torch.from_numpy = real_from_numpy
+
+    feats_j = {k: jnp.asarray(v.numpy().transpose(0, 2, 3, 1))
+               for k, v in feats_t.items()}
+    mask_j, _, multi_j = deform_encoder_forward(
+        jax.tree.map(jnp.asarray, params), cfg, feats_j)
+
+    assert len(multi_j) == len(multi_t) == 3
+    for i, (mj, mt) in enumerate(zip(multi_j, multi_t)):
+        got = np.asarray(mj).transpose(0, 3, 1, 2)
+        assert got.shape == tuple(mt.shape), (i, got.shape, mt.shape)
+        np.testing.assert_allclose(got, mt.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"multi_scale[{i}]")
+    np.testing.assert_allclose(np.asarray(mask_j).transpose(0, 3, 1, 2),
+                               mask_t.numpy(), atol=5e-4, rtol=1e-3,
+                               err_msg="mask_features")
+
+
+def test_focalnet_dw_forward_matches_reference():
+    """FocalNet-DW parity vs modeling/vision/backbone/focal_dw.py — the
+    ACTIVE xdecoder_focalt_lang.yaml backbone (NAME: focal_dw): residual
+    depthwise convs around the modulation and the SUM-post-LN ordering that
+    differs from focal.py's branch norm."""
+    from cullavo_tpu.checkpoint.xdecoder_import import import_focalnet
+    from cullavo_tpu.models.xdecoder.focalnet import (FocalNetConfig,
+                                                      focalnet_forward)
+
+    _seed_all()
+    fdw = R.load("vision.backbone.focal_dw")
+    ref = fdw.FocalNet(
+        pretrain_img_size=64, patch_size=4, embed_dim=16,
+        depths=[1, 2, 2, 1], focal_levels=[2, 2, 3, 2],
+        focal_windows=[3, 3, 3, 3], drop_path_rate=0.0,
+        use_conv_embed=True, use_postln=True,
+        use_postln_in_modulation=False, scaling_modulator=True,
+        use_layerscale=True)
+    ref.eval()
+
+    cfg = FocalNetConfig(embed_dim=16, depths=(1, 2, 2, 1),
+                         focal_levels=(2, 2, 3, 2), focal_windows=(3, 3, 3, 3),
+                         use_conv_embed=True, use_postln=True,
+                         use_postln_in_modulation=False,
+                         scaling_modulator=True, use_layerscale=True,
+                         use_dw=True)
+    params = import_focalnet(R.state_dict_numpy(ref, "backbone."), cfg)
+
+    x = np.random.default_rng(21).normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(x))
+    outs = focalnet_forward(jax.tree.map(jnp.asarray, params), cfg,
+                            jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert set(outs) == set(ref_outs) == {"res2", "res3", "res4", "res5"}
+    for k in sorted(outs):
+        got = np.asarray(outs[k]).transpose(0, 3, 1, 2)
+        want = ref_outs[k].numpy()
+        assert got.shape == want.shape, (k, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3,
+                                   err_msg=k)
