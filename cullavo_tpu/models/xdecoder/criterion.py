@@ -86,8 +86,10 @@ def loss_labels(pred_logits, tgt_classes, src_idx, valid, cfg: CriterionConfig):
 
 
 def loss_masks(pred_masks, tgt_masks, src_idx, valid, num_masks, rng,
-               cfg: CriterionConfig):
-    """Point-sampled BCE + dice on matched (query, target) mask pairs."""
+               cfg: CriterionConfig, coords=None):
+    """Point-sampled BCE + dice on matched (query, target) mask pairs.
+    ``coords`` [B*N, P, 2] overrides the uncertainty sampling (torch-parity
+    tests pin the points on both sides)."""
     B, Q, H, W = pred_masks.shape
     N = src_idx.shape[1]
     matched_pred = jnp.take_along_axis(
@@ -95,8 +97,10 @@ def loss_masks(pred_masks, tgt_masks, src_idx, valid, num_masks, rng,
     mp = matched_pred.reshape(B * N, 1, H, W)
     mt = tgt_masks.reshape(B * N, 1, tgt_masks.shape[2], tgt_masks.shape[3])
 
-    coords = uncertain_point_coords(mp, rng, cfg.num_points,
-                                    cfg.oversample_ratio, cfg.importance_sample_ratio)
+    if coords is None:
+        coords = uncertain_point_coords(mp, rng, cfg.num_points,
+                                        cfg.oversample_ratio,
+                                        cfg.importance_sample_ratio)
     coords = jax.lax.stop_gradient(coords)
     pred_pts = point_sample_batch(mp, coords)[:, 0]           # [BN, P]
     # gt labels are bilinearly sampled, NOT binarized (reference

@@ -202,11 +202,67 @@ def install_stubs():
         def __init__(self, tensor):
             self.tensor = tensor
 
+    class ImageList:
+        def __init__(self, tensor, image_sizes):
+            self.tensor, self.image_sizes = tensor, image_sizes
+
+        @staticmethod
+        def from_tensors(tensors, size_divisibility=0):
+            import torch as _t
+            sizes = [tuple(t.shape[-2:]) for t in tensors]
+            H = max(s[0] for s in sizes)
+            W = max(s[1] for s in sizes)
+            if size_divisibility > 0:
+                H = -(-H // size_divisibility) * size_divisibility
+                W = -(-W // size_divisibility) * size_divisibility
+            out = _t.zeros((len(tensors),) + tensors[0].shape[:-2] + (H, W),
+                           dtype=tensors[0].dtype)
+            for i, t in enumerate(tensors):
+                out[i, ..., :t.shape[-2], :t.shape[-1]] = t
+            return ImageList(out, sizes)
+
+    class BoxMode:
+        XYXY_ABS = 0
+        XYWH_ABS = 1
+
+    # Instances needs the full field-dict protocol for instance_inference
+    class Instances2:
+        def __init__(self, image_size, **fields):
+            self._image_size = image_size
+            self._fields = {}
+            for k, v in fields.items():
+                setattr(self, k, v)
+
+        def __setattr__(self, k, v):
+            if k.startswith("_"):
+                super().__setattr__(k, v)
+            else:
+                self._fields[k] = v
+
+        def __getattr__(self, k):
+            if k.startswith("_") or k not in self.__dict__.get("_fields", {}):
+                raise AttributeError(k)
+            return self._fields[k]
+
     d2_structures.Boxes = Boxes
     d2_structures.BitMasks = BitMasks
-    d2_structures.Instances = Instances
+    d2_structures.Instances = Instances2
+    d2_structures.ImageList = ImageList
+    d2_structures.BoxMode = BoxMode
     d2_structures.ROIMasks = ROIMasks
     d2.structures = d2_structures
+
+    d2_memory = _mod("detectron2.utils.memory")
+    d2_memory.retry_if_cuda_oom = lambda f: f
+    d2_utils.memory = d2_memory
+    d2_data = _mod("detectron2.data")
+
+    class _MetaCatalog:
+        def get(self, name):
+            import types as _types
+            return _types.SimpleNamespace(name=name)
+
+    d2_data.MetadataCatalog = _MetaCatalog()
 
     # ---- fvcore -----------------------------------------------------------
     fvcore = _mod("fvcore")
@@ -278,6 +334,38 @@ def load(name: str):
     """Import a reference module, e.g. load("vision.backbone.focal")."""
     install_stubs()
     return importlib.import_module(f"refmodeling.{name}")
+
+
+def load_isolated(name: str):
+    """Import a reference module WITHOUT executing its parent packages'
+    __init__ files (e.g. architectures/__init__ imports the whole CuLLaVO/HF
+    stack).  Synthetic namespace parents are registered so the leaf's
+    relative imports still resolve."""
+    install_stubs()
+    parts = name.split(".")
+    base = REF + "/modeling"
+    pkg = "refmodeling"
+    for part in parts[:-1]:
+        base = base + "/" + part
+        pkg = pkg + "." + part
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = [base]
+            m.__package__ = pkg
+            m.__spec__ = importlib.machinery.ModuleSpec(
+                pkg, loader=None, is_package=True)
+            m.__spec__.submodule_search_locations = [base]
+            sys.modules[pkg] = m
+    full = pkg + "." + parts[-1]
+    if full in sys.modules:
+        return sys.modules[full]
+    spec = importlib.util.spec_from_file_location(
+        full, base + "/" + parts[-1] + ".py")
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = pkg
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def state_dict_numpy(module, prefix=""):
