@@ -36,15 +36,15 @@ def main():
     opt = load_config([os.environ.get("BENCH_XDEC_CONFIG",
                                       "configs/xdecoder_test.yaml")])
     cfg = xdecoder_model_config_from(opt)
-    if os.environ.get("BENCH_XDEC_GELU", "exact") == "tanh":
-        # opt-in: tanh-approx GELU in the backbone — +16% e2e on focal-T
-        # (45.7 vs 38.4 img/s) at <=3e-3 deviation from reference numerics
+    gelu_mode = os.environ.get("BENCH_XDEC_GELU", "auto")
+    if gelu_mode in ("exact", "tanh") and hasattr(cfg.backbone, "exact_gelu"):
+        # auto (default): exact erf at f32, tanh at bf16 (within one bf16
+        # ulp of exact — FocalNetConfig.exact_gelu); "exact"/"tanh" force
         import dataclasses
 
-        if hasattr(cfg.backbone, "exact_gelu"):
-            cfg = dataclasses.replace(
-                cfg, backbone=dataclasses.replace(cfg.backbone,
-                                                  exact_gelu=False))
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone,
+                                              exact_gelu=gelu_mode == "exact"))
     log("init params (jit)...")
     params = jax.jit(lambda k: init_xdecoder_model_params(cfg, k))(
         jax.random.PRNGKey(0))

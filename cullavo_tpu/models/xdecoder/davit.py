@@ -34,7 +34,7 @@ class DaViTConfig:
     patch_pad: Sequence[int] = (3, 0, 0, 0)
     patch_prenorm: Sequence[bool] = (False, True, True, True)
     layer_norm_eps: float = 1e-5
-    exact_gelu: bool = True    # reference nn.GELU; see FocalNetConfig
+    exact_gelu: "bool | None" = None   # GELU policy; see FocalNetConfig
     out_indices: Sequence[int] = (0, 1, 2, 3)
 
 
@@ -87,8 +87,11 @@ def _dwconv(x, kernel, bias):
     return y + bias
 
 
-def _mlp(x, w, exact_gelu: bool = True):
-    y = jax.nn.gelu(x @ w["fc1_w"] + w["fc1_b"], approximate=not exact_gelu)
+def _mlp(x, w, exact_gelu=None):
+    from cullavo_tpu.models.xdecoder.focalnet import _approx_gelu
+
+    y = x @ w["fc1_w"] + w["fc1_b"]
+    y = jax.nn.gelu(y, approximate=_approx_gelu(y.dtype, exact_gelu))
     return y @ w["fc2_w"] + w["fc2_b"]
 
 

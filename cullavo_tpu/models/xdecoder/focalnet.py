@@ -37,12 +37,14 @@ class FocalNetConfig:
     use_layerscale: bool = True
     layerscale_value: float = 1e-4
     scaling_modulator: bool = True
-    # exact erf GELU matches the reference's nn.GELU bit-for-bit (the
-    # torch-parity harness asserts it); tanh-approx is ~16% faster e2e on
-    # the elementwise-bound focal eval (45.7 vs 38.4 img/s, 512² batch 8)
-    # at ≤3e-3 abs deviation — sub-bf16-noise, but NOT reference numerics,
-    # so it stays opt-in (exact_gelu=False)
-    exact_gelu: bool = True
+    # GELU variant policy.  None (default) = dtype-aware: exact erf for
+    # f32 activations (matches the reference's nn.GELU — the torch-parity
+    # harness asserts it), tanh-approx for bf16 (max |Δ| ≈ 1.5e-3 sits
+    # below the bf16 half-ulp at the relevant magnitudes, i.e. within one
+    # ulp of the exact value after bf16 rounding — and recovers the ~16%
+    # the elementwise-bound focal eval pays for erf: 45.7 vs 38.4 img/s at
+    # 512² batch 8).  True forces exact erf everywhere; False forces tanh.
+    exact_gelu: "bool | None" = None
     use_dw: bool = False          # focal_dw variant: residual depthwise 3x3
                                   # before modulation and before the MLP, and
                                   # post-LN applied AFTER the MLP residual
@@ -134,8 +136,15 @@ def _depthwise_conv(x, kernel):
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
 
 
+def _approx_gelu(x_dtype, exact_gelu) -> bool:
+    """Resolve the GELU policy (see FocalNetConfig.exact_gelu)."""
+    if exact_gelu is None:
+        return x_dtype == jnp.bfloat16
+    return not exact_gelu
+
+
 def focal_modulation(x, w, focal_level: int, scaling_modulator: bool, eps: float,
-                     exact_gelu: bool = True):
+                     exact_gelu=None):
     """x: [B, H, W, C] → [B, H, W, C].  The focal-modulation op:
     q/ctx/gates from one projection, hierarchical depthwise-conv contexts
     gated and summed (+ global mean context), modulated via a 1x1 ``h``."""
@@ -174,10 +183,10 @@ def focal_modulation(x, w, focal_level: int, scaling_modulator: bool, eps: float
         ctx_all = jnp.zeros_like(q)
         for l in range(focal_level):
             ctx = jax.nn.gelu(_depthwise_conv(ctx, w[f"focal{l}_w"]),
-                              approximate=not exact_gelu)
+                              approximate=_approx_gelu(x.dtype, exact_gelu))
             ctx_all = ctx_all + ctx * gates[..., l:l + 1]
         ctx_global = jax.nn.gelu(jnp.mean(ctx, axis=(1, 2), keepdims=True),
-                                 approximate=not exact_gelu)
+                                 approximate=_approx_gelu(x.dtype, exact_gelu))
         ctx_all = ctx_all + ctx_global * gates[..., focal_level:focal_level + 1]
         if scaling_modulator:
             ctx_all = ctx_all / (focal_level + 1)
@@ -211,7 +220,7 @@ def focalnet_forward(params, cfg: FocalNetConfig, images: jax.Array,
 
         def _mlp(y, w):
             y = jax.nn.gelu(y @ w["fc1_w"] + w["fc1_b"],
-                            approximate=not cfg.exact_gelu)
+                            approximate=_approx_gelu(y.dtype, cfg.exact_gelu))
             return y @ w["fc2_w"] + w["fc2_b"]
 
         def block(h, w):
