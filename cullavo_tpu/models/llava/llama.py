@@ -736,14 +736,19 @@ def llama_forward(
                 q, k_buf, ks_buf, v_buf, vs_buf,
                 repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep,
                 win_q8=(kq, ks, vq, vs) if T > 1 else None)
-            if per_row_idx:
-                # per-row W-slot writes: row b writes its window at slots
-                # cache_index[b]..cache_index[b]+T-1 (OOB rows dropped).
-                # T static per-row scatters, NOT one [B, T]-indexed scatter:
-                # the 2-D advanced-index form made a W=4 speculative forward
-                # cost ~2x a T=1 step on chip (37 vs 20 ms — the multi-GB
-                # cache stopped updating in place), while the 1-D per-row
-                # pattern is the known in-place serving path
+            if per_row_idx and T == 1:
+                # the production T=1 serving write — keep this EXACT index
+                # pattern: both the T-unrolled 1-D form and the [B, T] 2-D
+                # form measured ~35% slower engine throughput when applied
+                # at T=1 (5.6 vs 8.5 req/s, 12-slot bf16 pool)
+                rows = jnp.arange(B)[:, None]
+                pos = cache_index[:, None]
+                kc = kc.at[li, pos, rows].set(kq.transpose(1, 0, 2, 3), mode="drop")
+                vc = vc.at[li, pos, rows].set(vq.transpose(1, 0, 2, 3), mode="drop")
+                ksc = ksc.at[li, pos, rows].set(ks.transpose(1, 0, 2), mode="drop")
+                vsc = vsc.at[li, pos, rows].set(vs.transpose(1, 0, 2), mode="drop")
+            elif per_row_idx:
+                # speculative W-slot windows: T static per-row scatters
                 rows1 = jnp.arange(B)
                 for j in range(T):
                     kc = kc.at[li, cache_index + j, rows1].set(kq[j], mode="drop")
@@ -762,8 +767,16 @@ def llama_forward(
             attn = sdpa_decode_stale_smajor(
                 q, k_buf.astype(compute_dtype), v_buf.astype(compute_dtype),
                 repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep)
-            if per_row_idx:
-                # T static per-row scatters (see the kv_q8 branch note)
+            if per_row_idx and T == 1:
+                # production T=1 pattern — see the kv_q8 branch note
+                rows = jnp.arange(B)[:, None]
+                pos = cache_index[:, None]
+                kc = kc.at[li, pos, rows].set(
+                    k.astype(kc.dtype).transpose(0, 2, 1, 3), mode="drop")
+                vc = vc.at[li, pos, rows].set(
+                    v.astype(vc.dtype).transpose(0, 2, 1, 3), mode="drop")
+            elif per_row_idx:
+                # speculative W-slot windows: T static per-row scatters
                 rows1 = jnp.arange(B)
                 ks_major = k.astype(kc.dtype).transpose(2, 0, 1, 3)  # [T,B,KV,hd]
                 vs_major = v.astype(vc.dtype).transpose(2, 0, 1, 3)
