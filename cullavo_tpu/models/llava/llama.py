@@ -196,8 +196,8 @@ def sdpa_decode_stale_smajor(q, k_cache, v_cache, k_cur, v_cur, bias,
     q, k_cur, v_cur: [B, H, W, hd] (W=1 classic decode; W>1 speculative
     verification window, intra-window causal); bias: [B|1, 1|H, W, S].
 
-    Windows with W in 2..7 run the CACHE dots at the 8-padded width (see
-    ``_pad_window_q``); padded rows read garbage that is sliced away, the
+    Windows with W in 2..7 run the CACHE dots at the 8-padded width;
+    padded rows read garbage that is sliced away, the
     intra-window block stays at W with NEG_INF-padded columns so real rows'
     softmax denominators are untouched."""
     scale = q.shape[-1] ** -0.5 if scale is None else scale
@@ -270,21 +270,6 @@ def sdpa_smajor_q8(q, k_q, k_s, v_q, v_s, bias, n_rep, scale=None):
     out = jnp.einsum("bhqs,sbhd->bhqd", (p * _fold_scale(v_s)).astype(q.dtype),
                      v_q.astype(q.dtype), preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
-
-
-def _pad_window_q(q, bias):
-    """Pad the query-window axis to the 8-sublane multiple for the cache
-    dots: at W in 2..7 XLA's layout assignment handles the [B, H, W, S]
-    score shapes with per-layer cache relayouts (~36 ms/forward measured at
-    7B for ANY W>1 vs 19.8 at W=1); an 8-aligned W keeps the streaming
-    emitter.  Returns (q_padded, bias_padded, W_orig)."""
-    W = q.shape[2]
-    if W == 1 or W % 8 == 0:
-        return q, bias, W
-    pad = (-W) % 8
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    bp = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    return qp, bp, W
 
 
 def sdpa_decode_stale_smajor_q8(q, k_q, k_s, v_q, v_s, k_cur, v_cur, bias,

@@ -41,6 +41,7 @@ _SMOKE = {
     "tests/test_xdecoder.py::test_backbone_fpn_shapes",
     "tests/test_xdecoder.py::test_hungarian_matches_scipy",
     "tests/test_xdecoder_import.py::test_align_and_update_partial",
+    "tests/test_xdecoder_torch_parity.py::test_focalnet_forward_matches_reference",
     "tests/test_data_layer.py::test_panoptic_mapper",
     "tests/test_data_layer.py::test_rgb2id_roundtrip",
     "tests/test_datasets_extra.py::test_box_ap_evaluator",
