@@ -544,7 +544,8 @@ def _eval_xdecoder(cfg) -> dict:
         if "ref" in ds_name or (records and "text" in records[0]):
             pipe = build_pipeline("RefCOCOPipeline", cfg, model_cfg=model_cfg,
                                   params=params, tokenize=tokenize,
-                                  class_names=class_names)
+                                  class_names=class_names,
+                                  eval_batch=int(cfg.get("EVAL_BATCH", 8)))
             rows = map(RefCOCOEvalMapper(), records)
             results[ds_name] = pipe.evaluate_model(rows, limit=limit,
                                                    out_dir=out_dir)

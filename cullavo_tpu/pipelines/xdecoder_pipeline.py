@@ -290,12 +290,17 @@ class RefCOCOPipeline:
     (pipeline/RefCOCOPipeline.py:86-180)."""
 
     def __init__(self, cfg, model_cfg: XDecoderModelConfig, params,
-                 tokenize: Callable, class_names: Optional[list] = None):
+                 tokenize: Callable, class_names: Optional[list] = None,
+                 eval_batch: int = 8):
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.params = params
         self.tokenize = tokenize
         self.class_names = class_names or []
+        # device batch per forward — metric-identical to the reference's
+        # batch-1 loop (per-row metrics), free throughput (see
+        # XDecoderPipeline.eval_batch); eval_batch=1 reverts
+        self.eval_batch = max(1, int(eval_batch))
         self.total = GroundingMetrics()
         self.per_class: dict = {}
         self._fns: dict = {}
@@ -308,41 +313,69 @@ class RefCOCOPipeline:
                     p, cfgm, im, ids, m, out_size=out_size))
         return self._fns[out_size]
 
+    def _prep(self, row):
+        """row -> (image-bucket, text-bucket-len, padded ids, padded mask)."""
+        ids, mask = self.tokenize([row["text"]])
+        # tokenizers may return [L] or [1, L]; normalize to 1-D so the
+        # pad below never grows the batch axis
+        ids = np.asarray(ids).reshape(-1)
+        mask = np.asarray(mask).reshape(-1)
+        # bucketed shapes: one compiled program per (image-bucket,
+        # text-bucket, batch) triple instead of a retrace per sample.
+        # text bucket: multiple of 16, capped at the encoder's context
+        # length (the positional-embedding table bound)
+        tlen = min(-(-max(len(ids), 1) // 16) * 16,
+                   self.model_cfg.text.context_length)
+        if len(ids) >= tlen:
+            ids, mask = ids[:tlen], mask[:tlen]
+        else:
+            ids = np.pad(ids, (0, tlen - len(ids)))
+            mask = np.pad(mask, (0, tlen - len(mask)))
+        h, w = row["image"].shape[:2]
+        return _bucket_hw(h, w), tlen, ids, mask
+
     def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
                        out_dir: Optional[str] = None) -> dict:
         rows = list(dataset)
         if limit:
             rows = rows[:limit]
-        for row in rows:
-            ids, mask = self.tokenize([row["text"]])
-            # tokenizers may return [L] or [1, L]; normalize to 1-D so the
-            # pad below never grows the batch axis
-            ids = np.asarray(ids).reshape(-1)
-            mask = np.asarray(mask).reshape(-1)
-            # bucketed shapes: one compiled program per (image-bucket,
-            # text-bucket) pair instead of a retrace per sample
-            h, w = row["image"].shape[:2]
-            bh, bw = _bucket_hw(h, w)
-            img = np.zeros((1, bh, bw, row["image"].shape[2]),
-                           row["image"].dtype)
-            img[0, :h, :w] = row["image"]
-            # text bucket: multiple of 16, capped at the encoder's context
-            # length (the positional-embedding table bound)
-            tlen = min(-(-len(ids) // 16) * 16,
-                       self.model_cfg.text.context_length)
-            ids = ids[:tlen] if len(ids) >= tlen \
-                else np.pad(ids, (0, tlen - len(ids)))
-            mask = mask[:tlen] if len(mask) >= tlen \
-                else np.pad(mask, (0, tlen - len(mask)))
-            pred = self._fn_for((bh, bw))(
-                self.params, jnp.asarray(img), jnp.asarray(ids[None]),
-                jnp.asarray(mask[None]))
-            pred = np.asarray(pred[0])[:h, :w]
-            self.total.add(pred, row["gt_mask"])
-            cls = row.get("category")
-            if cls is not None:
-                self.per_class.setdefault(cls, GroundingMetrics()).add(
-                    pred, row["gt_mask"])
+        import collections as _collections
+        prepped = [self._prep(r) for r in rows]
+        by_bucket = _collections.OrderedDict()
+        for i, (ib, tb, _, _) in enumerate(prepped):
+            by_bucket.setdefault((ib, tb), []).append(i)
+        B = self.eval_batch
+        for ((bh, bw), tlen), idxs in by_bucket.items():
+            fn = self._fn_for((bh, bw))
+            for off in range(0, len(idxs), B):
+                group = idxs[off:off + B]
+                nb = len(group)
+                img = np.zeros((B, bh, bw, rows[group[0]]["image"].shape[2]),
+                               rows[group[0]]["image"].dtype)
+                ids_b = np.zeros((B, tlen), np.int32)
+                mask_b = np.zeros((B, tlen), np.int32)
+                for j, i in enumerate(group):
+                    r = rows[i]["image"]
+                    img[j, :r.shape[0], :r.shape[1]] = r
+                    ids_b[j] = prepped[i][2]
+                    mask_b[j] = prepped[i][3]
+                # pad rows repeat row 0's text (all-zero ids would feed the
+                # text encoder's argmax pooling garbage); their predictions
+                # are simply not read
+                for j in range(nb, B):
+                    ids_b[j] = ids_b[0]
+                    mask_b[j] = mask_b[0]
+                pred = np.asarray(fn(self.params, jnp.asarray(img),
+                                     jnp.asarray(ids_b), jnp.asarray(mask_b)))
+                for j, i in enumerate(group):
+                    row = rows[i]
+                    h, w = row["image"].shape[:2]
+                    p = pred[j][:h, :w]
+                    self.total.add(p, row["gt_mask"])
+                    cls = row.get("category")
+                    if cls is not None:
+                        self.per_class.setdefault(
+                            cls, GroundingMetrics()).add(p, row["gt_mask"])
         results = self.total.results()
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)

@@ -219,3 +219,47 @@ def test_xdecoder_eval_batched_matches_batch1():
     assert a.get("instance_ap") == b.get("instance_ap")
     for pa, pb in zip(a["panoptic_outputs"], b["panoptic_outputs"]):
         np.testing.assert_array_equal(pa["panoptic"], pb["panoptic"])
+
+
+def test_refcoco_eval_batched_matches_batch1():
+    """RefCOCO grounding eval_batch > 1 is metric-identical to the
+    reference-shaped batch-1 loop (mixed image sizes, variable text
+    lengths, non-divisible tail with repeated-text pad rows)."""
+    import jax
+
+    from cullavo_tpu.models.xdecoder.model import (init_xdecoder_model_params,
+                                                   tiny_xdecoder_config)
+    from cullavo_tpu.pipelines.xdecoder_pipeline import RefCOCOPipeline
+
+    cfg = tiny_xdecoder_config()
+    params = init_xdecoder_model_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+
+    def tokenize(texts):
+        ids = [(3 + np.frombuffer(t.encode(), np.uint8) % 60).astype(np.int32)
+               for t in texts]
+        n = max(len(i) for i in ids)
+        out = np.zeros((len(ids), n), np.int32)
+        mask = np.zeros((len(ids), n), np.int32)
+        for j, i in enumerate(ids):
+            out[j, :len(i)] = i
+            mask[j, :len(i)] = 1
+        return out, mask
+
+    rows = []
+    for i, (h, w, text) in enumerate([
+            (32, 40, "the red cup"), (32, 40, "a dog"),
+            (48, 32, "left person holding a very long blue umbrella"),
+            (32, 40, "cat"), (48, 32, "table")]):
+        rows.append({"image": rng.normal(size=(h, w, 3)).astype(np.float32),
+                     "text": text,
+                     "gt_mask": (rng.random((h, w)) > 0.6),
+                     "category": i % 2})
+
+    def run(eval_batch):
+        pipe = RefCOCOPipeline(Config({}), cfg, params, tokenize,
+                               eval_batch=eval_batch)
+        return pipe.evaluate_model(list(rows))
+
+    a, b = run(1), run(3)
+    assert a == b, (a, b)
