@@ -329,6 +329,7 @@ def set_criterion(
     rng: jax.Array,
     data_axis: Optional[str] = None,
     return_indices: bool = False,
+    pinned_coords: Optional[dict] = None,
 ):
     """Full deep-supervised loss dict.  ``data_axis`` set inside shard_map
     enables the world-size num_masks normalization (criterion.py:858-866).
@@ -339,6 +340,10 @@ def set_criterion(
     criterion.py:747-760 enumerates aux_outputs REVERSED) to its
     (src_idx, valid), so the caller can deep-supervise text-side losses with
     the per-layer seg matching the reference uses.
+
+    ``pinned_coords`` (torch-parity tests): {ref_layer_id: {"match":
+    [B, P, 2], "loss": [B*N, P, 2]}} overrides the random sample points of
+    the matcher costs and the mask loss for that layer.
 
     Key suffixes follow the reference numbering: ``loss_ce`` (final, the
     caller renames to ``loss_mask_ce_0``), ``loss_ce_1`` (second-to-last
@@ -361,13 +366,14 @@ def set_criterion(
         # j = li-1) is prediction j of L, i.e. layer_id (L-1) - j
         ref_id = 0 if li == 0 else L - li
         suffix = "" if li == 0 else f"_{ref_id}"
+        pin = (pinned_coords or {}).get(ref_id, {})
         # Hungarian matching per layer (criterion.py forward: indices per aux)
         cost = compute_match_costs(
             out["pred_logits"], out["pred_masks"], targets["classes"],
             targets["masks"], tgt_valid, r_match,
             num_points=min(cfg.num_points, 3136),
             cost_class=cfg.cost_class, cost_mask=cfg.cost_mask,
-            cost_dice=cfg.cost_dice)
+            cost_dice=cfg.cost_dice, coords=pin.get("match"))
         src_idx, valid = hungarian_match(cost, n_valid)
         valid = valid & tgt_valid.astype(bool)
         all_indices[ref_id] = (src_idx, valid)
@@ -377,7 +383,8 @@ def set_criterion(
                 out["pred_logits"], targets["classes"], src_idx, valid, cfg)
         if ref_id < cfg.top_x_layers_mask:
             bce, dice = loss_masks(out["pred_masks"], targets["masks"], src_idx,
-                                   valid, num_masks, r_mask, cfg)
+                                   valid, num_masks, r_mask, cfg,
+                                   coords=pin.get("loss"))
             losses[f"loss_mask_bce{suffix}"] = cfg.weight_mask * bce
             losses[f"loss_mask_dice{suffix}"] = cfg.weight_dice * dice
         if ref_id < cfg.top_x_layers_box and out.get("pred_boxes") is not None \

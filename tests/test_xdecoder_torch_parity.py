@@ -1046,3 +1046,152 @@ def test_full_stack_evaluate_matches_reference():
     np.testing.assert_allclose(sem_j, sem_t, atol=2e-3, rtol=1e-2)
     # and the class-assignment map itself agrees everywhere
     np.testing.assert_array_equal(sem_j.argmax(0), sem_t.argmax(0))
+
+
+def test_set_criterion_forward_deep_supervised_matches_reference():
+    """FULL SetCriterion.forward parity: per-layer Hungarian matching,
+    deep-supervised labels/masks/boxes losses, num_masks normalization and
+    reference key numbering — randomness pinned on both sides (matcher
+    per-row sample points + mask-loss uncertainty points per layer)."""
+    import collections
+
+    crit_mod = R.load("modules.criterion")
+    matcher_mod = R.load("modules.matcher")
+    _seed_all()
+    B, Q, C1, N, H, W, P = 2, 7, 6, 4, 16, 16, 32
+    L = 3  # predictions: final + 2 aux
+    rng = np.random.default_rng(31)
+    layers_np = [dict(
+        logits=rng.normal(size=(B, Q, C1)).astype(np.float32),
+        masks=rng.normal(size=(B, Q, H, W)).astype(np.float32),
+        boxes=rng.normal(size=(B, Q, 4)).astype(np.float32),
+    ) for _ in range(L)]
+    n_per = [4, 2]
+    tgt_cls = rng.integers(0, C1 - 1, size=(B, N)).astype(np.int64)
+    tgt_masks = (rng.random((B, N, H, W)) > 0.6).astype(np.float32)
+    tgt_boxes = (rng.random((B, N, 4)) * 0.4 + 0.1).astype(np.float32)
+    valid = np.zeros((B, N), bool)
+    for b, n in enumerate(n_per):
+        valid[b, :n] = True
+    # pinned randomness per reference layer_id
+    match_coords = {r: rng.random((B, P, 2)).astype(np.float32)
+                    for r in range(L)}
+    loss_coords = {r: rng.random((B, N, P, 2)).astype(np.float32)
+                   for r in range(L)}
+
+    # ---- reference ----
+    matcher = matcher_mod.HungarianMatcher(cost_class=2.0, cost_mask=5.0,
+                                           cost_dice=5.0, num_points=P)
+    ref = crit_mod.SetCriterion(
+        num_classes=C1 - 1, matcher=matcher, weight_dict={}, eos_coef=0.1,
+        top_x_layers={"mask": 10, "box": 10, "caption": 10,
+                      "captioning": 10, "retrieval": 10, "grounding": 10},
+        losses=["labels", "masks", "boxes"], num_points=P,
+        oversample_ratio=3.0, importance_sample_ratio=0.75,
+        grounding_weight=None)
+    # reference layer order: final first, then aux REVERSED (ref_id 1, 2);
+    # matcher draws torch.rand(1, P, 2) once per batch row per layer
+    rand_q = collections.deque()
+    for r in range(L):
+        for b in range(B):
+            rand_q.append(torch.from_numpy(match_coords[r][b:b + 1]))
+    # the reference concatenates matched pairs in linear_sum_assignment's
+    # src-ASCENDING order, not target order — derive each layer's pair
+    # order from the (parity-proven) native matching so both sides sample
+    # identical points per (src, tgt) pair
+    from cullavo_tpu.models.xdecoder.criterion import (CriterionConfig,
+                                                       set_criterion)
+
+    cfg = CriterionConfig(num_classes=C1 - 1, eos_coef=0.1, num_points=P,
+                          weight_ce=1.0, weight_mask=1.0, weight_dice=1.0,
+                          weight_bbox=1.0, weight_giou=1.0)
+    out_j = {
+        "pred_logits": jnp.asarray(layers_np[-1]["logits"]),
+        "pred_masks": jnp.asarray(layers_np[-1]["masks"]),
+        "pred_boxes": jnp.asarray(layers_np[-1]["boxes"]),
+        "aux_outputs": [
+            {"pred_logits": jnp.asarray(l["logits"]),
+             "pred_masks": jnp.asarray(l["masks"]),
+             "pred_boxes": jnp.asarray(l["boxes"])} for l in layers_np[:-1]],
+    }
+    tgts = {"classes": jnp.asarray(tgt_cls), "masks": jnp.asarray(tgt_masks),
+            "boxes": jnp.asarray(tgt_boxes), "valid": jnp.asarray(valid)}
+    pinned = {r: {"match": jnp.asarray(match_coords[r]),
+                  "loss": jnp.asarray(loss_coords[r].reshape(B * N, P, 2))}
+              for r in range(L)}
+    j_losses, all_idx = set_criterion(out_j, tgts, cfg, jax.random.PRNGKey(0),
+                                      pinned_coords=pinned,
+                                      return_indices="all")
+
+    unc_q = collections.deque()
+    for r in range(L):
+        src_np = np.asarray(all_idx[r][0])
+        chunks = []
+        for b, n in enumerate(n_per):
+            order_b = np.argsort(src_np[b, :n], kind="stable")
+            chunks.append(loss_coords[r][b, order_b])
+        unc_q.append(torch.from_numpy(np.concatenate(chunks)))
+
+    real_rand, real_unc = torch.rand, \
+        crit_mod.get_uncertain_point_coords_with_randomness
+
+    def fake_rand(*shape, **kw):
+        if tuple(shape) == (1, P, 2):
+            return rand_q.popleft()
+        return real_rand(*shape, **kw)
+
+    # aux layers are predictions [0, 1] in forward order; the reference
+    # reverses them (ref_id 1 = prediction 1, ref_id 2 = prediction 0)
+    outputs = {
+        "pred_logits": torch.from_numpy(layers_np[-1]["logits"]),
+        "pred_masks": torch.from_numpy(layers_np[-1]["masks"]),
+        "pred_boxes": torch.from_numpy(layers_np[-1]["boxes"]),
+        "aux_outputs": [
+            {"pred_logits": torch.from_numpy(l["logits"]),
+             "pred_masks": torch.from_numpy(l["masks"]),
+             "pred_boxes": torch.from_numpy(l["boxes"])}
+            for l in layers_np[:-1]],
+    }
+    targets = [{"labels": torch.from_numpy(tgt_cls[b, :n]),
+                "masks": torch.from_numpy(tgt_masks[b, :n]),
+                "boxes": torch.from_numpy(tgt_boxes[b, :n])}
+               for b, n in enumerate(n_per)]
+    # matcher.from_numpy shim (matcher.py:165 calls it with dtype=)
+    real_from_numpy = torch.from_numpy
+
+    def fake_from_numpy(a, dtype=None, device=None):
+        t = real_from_numpy(np.asarray(a))
+        return t.to(dtype) if dtype is not None else t
+
+    torch.rand = fake_rand
+    torch.from_numpy = fake_from_numpy
+    crit_mod.get_uncertain_point_coords_with_randomness = \
+        lambda *a, **k: unc_q.popleft()
+    try:
+        with torch.no_grad():
+            ref_losses = {k: float(v)
+                          for k, v in ref(outputs, targets, extra={}).items()}
+    finally:
+        torch.rand = real_rand
+        torch.from_numpy = real_from_numpy
+        crit_mod.get_uncertain_point_coords_with_randomness = real_unc
+    assert not rand_q and not unc_q   # every pinned draw consumed
+
+    # ---- native losses were computed above (same pinned points) ----
+    rename = {"loss_ce": "loss_mask_ce", "loss_mask_bce": "loss_mask_bce",
+              "loss_mask_dice": "loss_mask_dice", "loss_bbox": "loss_bbox",
+              "loss_giou": "loss_giou"}
+    got = {}
+    for k, v in j_losses.items():
+        for old, new in rename.items():
+            if k == old:
+                got[f"{new}_0"] = float(v)
+                break
+            if k.startswith(old + "_"):
+                got[f"{new}_{int(k[len(old) + 1:])}"] = float(v)
+                break
+
+    assert set(got) == set(ref_losses), (sorted(got), sorted(ref_losses))
+    for k in sorted(ref_losses):
+        np.testing.assert_allclose(got[k], ref_losses[k], rtol=2e-5,
+                                   atol=1e-6, err_msg=k)
