@@ -641,7 +641,8 @@ def _eval_vl_zoo(cfg, zoo: str) -> dict:
     from cullavo_tpu.data.registry import get_dataset
     from cullavo_tpu.pipelines.vl_zoo_pipeline import (MODEL_SPECS,
                                                       VLZooVQAPipeline,
-                                                      native_blip2_answer_fn)
+                                                      native_blip2_answer_fn,
+                                                      native_kosmos2_answer_fn)
 
     if zoo not in MODEL_SPECS:
         raise SystemExit(f"unknown MODEL.ZOO {zoo!r}; one of "
@@ -650,15 +651,21 @@ def _eval_vl_zoo(cfg, zoo: str) -> dict:
     answer_fn = None
     img_size = None
     if not zoo_path:
-        if zoo != "blip2":
+        mnt = int(cfg.get("MAX_NEW_TOKENS", 10))
+        if zoo == "blip2":
+            answer_fn = native_blip2_answer_fn(max_new_tokens=mnt)
+            from cullavo_tpu.models.blip2 import tiny_blip2_config
+
+            img_size = tiny_blip2_config("t5").vision.image_size
+        elif zoo == "kosmos2":
+            answer_fn = native_kosmos2_answer_fn(max_new_tokens=mnt)
+            from cullavo_tpu.models.kosmos2 import tiny_kosmos2_config
+
+            img_size = tiny_kosmos2_config().vision.image_size
+        else:
             raise SystemExit(
                 f"MODEL.ZOO: {zoo} needs MODEL.ZOO_PATH (local HF snapshot) "
-                "— only blip2 has a checkpoint-free native smoke answerer")
-        answer_fn = native_blip2_answer_fn(
-            max_new_tokens=int(cfg.get("MAX_NEW_TOKENS", 10)))
-        from cullavo_tpu.models.blip2 import tiny_blip2_config
-
-        img_size = tiny_blip2_config("t5").vision.image_size
+                "— blip2/kosmos2 have checkpoint-free native smoke answerers")
     pipe = VLZooVQAPipeline(cfg, zoo, model_path=zoo_path,
                             answer_fn=answer_fn)
     limit = int(cfg.get("LIMIT", 0)) or None

@@ -377,3 +377,55 @@ def native_blip2_answer_fn(model_cfg=None, params=None, tokenizer=None,
             else " ".join(map(str, toks))
 
     return answer
+
+
+def native_kosmos2_answer_fn(model_cfg=None, params=None, tokenizer=None,
+                             max_new_tokens: int = 10):
+    """TPU-native KOSMOS-2 answerer for VLZooVQAPipeline: latent-query
+    pooled image tokens + sinusoidal decoder, greedy KV-cache decode
+    (KOSMOS2VQAVALPipeline.py:99,170-183 — fp32 load, 'Question: {q}
+    Answer:' prompt, everything after the last 'Answer:').
+
+    With no checkpoint (``model_cfg=None``) a tiny random model +
+    ByteTokenizer drive the full native path end-to-end (CLI smoke mode);
+    real checkpoints go through models/kosmos2.import_kosmos2_torch."""
+    import jax
+    import numpy as np
+
+    from cullavo_tpu.data.tokenizer import ByteTokenizer
+    from cullavo_tpu.models.kosmos2 import (init_kosmos2_params,
+                                            kosmos2_generate,
+                                            tiny_kosmos2_config)
+
+    if model_cfg is None:
+        model_cfg = tiny_kosmos2_config()
+        params = init_kosmos2_params(model_cfg, jax.random.PRNGKey(0))
+    if tokenizer is None:
+        tokenizer = ByteTokenizer()
+    vocab = model_cfg.text.vocab_size
+    n_img = model_cfg.latent_query_num
+    S = model_cfg.vision.image_size
+    spec = MODEL_SPECS["kosmos2"]
+
+    def answer(question: str, image) -> str:
+        text = spec.prompt.format(q=question)
+        tids = np.asarray(tokenizer.encode(text), np.int32)
+        tids = np.where(tids >= vocab, 4 + tids % max(vocab - 4, 1), tids)
+        # HF kosmos2 prompt layout: [bos, <image>*latent_query_num, text...]
+        ids = np.concatenate([[1], np.full((n_img,), 3, np.int32), tids])
+        img_mask = np.zeros_like(ids)
+        img_mask[1:1 + n_img] = 1
+        pix = np.asarray(image, np.float32)
+        if pix.ndim == 3 and pix.shape[0] == 3 and pix.shape[1:] != (S, S):
+            ri = np.linspace(0, pix.shape[1] - 1, S).astype(int)
+            ci = np.linspace(0, pix.shape[2] - 1, S).astype(int)
+            pix = pix[:, ri][:, :, ci]
+        out = kosmos2_generate(
+            params, model_cfg, pix[None], ids[None], img_mask[None],
+            np.ones_like(ids)[None], max_new_tokens, eos_token_id=2)
+        toks = [int(t) for t in np.asarray(out)[0] if int(t) > 2]
+        ans = tokenizer.decode(toks) if hasattr(tokenizer, "decode") \
+            else " ".join(map(str, toks))
+        return ans.split("Answer:")[-1].strip() if "Answer:" in ans else ans
+
+    return answer

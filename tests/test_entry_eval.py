@@ -492,3 +492,42 @@ DATASETS:
     assert m["n"] == 2
     assert 0.0 <= m["overall"] <= 100.0
     assert os.path.exists(out_dir / "vqa_results.json")
+
+
+def test_eval_cli_vl_test_zoo_kosmos2(tmp_path, capsys):
+    """KOSMOS-2 zoo workload from the entry: MODEL.ZOO: kosmos2 runs the
+    NATIVE latent-query tower (greedy KV-cache decode, Answer: extraction —
+    KOSMOS2VQAVALPipeline.py semantics) end-to-end over a tiny fixture."""
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(8)
+    _save_png(img_dir / "COCO_val2014_000000000005.jpg",
+              rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    qj, aj = tmp_path / "q.json", tmp_path / "a.json"
+    with open(qj, "w") as f:
+        json.dump({"questions": [
+            {"question_id": 200, "question": "what color?", "image_id": 5}]}, f)
+    with open(aj, "w") as f:
+        json.dump({"annotations": [
+            {"question_id": 200, "question_type": "what color",
+             "answer_type": "other",
+             "answers": [{"answer": "red"}] * 10}]}, f)
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: vl_test
+MODEL:
+  TINY: true
+  ZOO: kosmos2
+MAX_NEW_TOKENS: 4
+SAVE_DIR: {tmp_path / 'out'}
+DATASETS:
+  TEST: [fix_vqa_k2]
+  REGISTER:
+    fix_vqa_k2:
+      KIND: vqa
+      QUESTIONS_JSON: {qj}
+      ANNOTATIONS_JSON: {aj}
+      IMAGE_DIR: {img_dir}
+""")
+    res = _run_eval(capsys, conf)
+    m = res["fix_vqa_k2"]
+    assert m["n"] == 1 and 0.0 <= m["overall"] <= 100.0
