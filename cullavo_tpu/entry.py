@@ -650,7 +650,26 @@ def _eval_vl_zoo(cfg, zoo: str) -> dict:
     zoo_path = (cfg.get("MODEL") or {}).get("ZOO_PATH")
     answer_fn = None
     img_size = None
-    if not zoo_path:
+    if zoo_path and not (cfg.get("MODEL") or {}).get("ZOO_TORCH"):
+        # real checkpoint: run the HF snapshot through the TPU-native JAX
+        # tower (the reference keeps these in torch — pipeline/
+        # BLIP2VQAVALPipeline.py etc.).  MODEL.ZOO_TORCH: true falls back
+        # to torch generate inside VLZooVQAPipeline.
+        mnt = int(cfg.get("MAX_NEW_TOKENS", 10))
+        if zoo in ("blip2", "instructblip"):
+            answer_fn = native_blip2_answer_fn(
+                hf_model_dir=zoo_path, max_new_tokens=mnt,
+                kind="flant5" if zoo == "blip2" else "instructblip")
+        elif zoo == "kosmos2":
+            answer_fn = native_kosmos2_answer_fn(hf_model_dir=zoo_path,
+                                                 max_new_tokens=mnt)
+        elif zoo == "bakllava":
+            from cullavo_tpu.pipelines.vl_zoo_pipeline import \
+                native_bakllava_answer_fn
+
+            answer_fn = native_bakllava_answer_fn(zoo_path,
+                                                  max_new_tokens=mnt)
+    elif not zoo_path:
         mnt = int(cfg.get("MAX_NEW_TOKENS", 10))
         if zoo == "blip2":
             answer_fn = native_blip2_answer_fn(max_new_tokens=mnt)

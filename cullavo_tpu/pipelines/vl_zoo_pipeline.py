@@ -112,103 +112,6 @@ def _blip2_cfg_cls(kind: str):
             "InstructBlipForConditionalGeneration")
 
 
-def native_blip2_answer_fn(hf_model_dir: str, kind: str = "flant5",
-                           max_new_tokens: int = 10, num_beams: int = 5,
-                           length_penalty: float = -1.0):
-    """TPU-native BLIP-2 / InstructBLIP: load the HF checkpoint once through
-    import_blip2_torch, answer via the JAX decode — beam search with the
-    reference's settings (num_beams=5, length_penalty=-1,
-    BLIP2VQAVALPipeline.py:175) by default; num_beams=1 falls back to the
-    greedy path.
-
-    ``kind``: "flant5" (blip2-flan-t5-*), "opt" (blip2-opt-*) or
-    "instructblip" (instructblip-vicuna-*, instruction-aware Q-Former)."""
-    import jax
-    import jax.numpy as jnp
-    import transformers
-
-    from cullavo_tpu.data.image_processing import preprocess_numpy
-    from cullavo_tpu.models.blip2 import blip2_generate, import_blip2_torch
-    from cullavo_tpu.models.blip2.modeling import blip2_beam_generate
-
-    cfg, cls = _blip2_cfg_cls(kind)
-    hf = getattr(transformers, cls).from_pretrained(hf_model_dir)
-    params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
-    proc = transformers.AutoProcessor.from_pretrained(hf_model_dir)
-    del hf
-
-    def answer(question: str, image) -> str:
-        text = MODEL_SPECS["blip2" if kind != "instructblip"
-                           else "instructblip"].prompt.format(q=question)
-        enc = proc.tokenizer(text, return_tensors="np")
-        pix = preprocess_numpy([np.asarray(image)], cfg.vision.image_size)
-        kwargs = {}
-        if kind == "instructblip":
-            q = proc.qformer_tokenizer(text, return_tensors="np")
-            kwargs = {"qformer_text_ids": jnp.asarray(q["input_ids"]),
-                      "qformer_text_mask": jnp.asarray(q["attention_mask"])}
-        eos = (proc.tokenizer.eos_token_id
-               if proc.tokenizer.eos_token_id is not None else -1)
-        ids = jnp.asarray(enc["input_ids"].astype(np.int32))
-        mask = jnp.asarray(enc["attention_mask"].astype(np.int32))
-        if num_beams > 1:
-            out = blip2_beam_generate(params, cfg, jnp.asarray(pix), ids, mask,
-                                      max_new_tokens, num_beams=num_beams,
-                                      length_penalty=length_penalty,
-                                      eos_token_id=eos,
-                                      pad_token_id=proc.tokenizer.pad_token_id or 0,
-                                      **kwargs)
-        else:
-            out = blip2_generate(params, cfg, jnp.asarray(pix), ids, mask,
-                                 max_new_tokens, eos_token_id=eos, **kwargs)
-        return proc.tokenizer.decode(np.asarray(out)[0],
-                                     skip_special_tokens=True).strip()
-
-    return answer
-
-
-def native_kosmos2_answer_fn(hf_model_dir: str, max_new_tokens: int = 10):
-    """TPU-native KOSMOS-2 (models/kosmos2.py) behind the zoo harness."""
-    import jax
-    import jax.numpy as jnp
-    import transformers
-
-    from cullavo_tpu.data.image_processing import preprocess_numpy
-    from cullavo_tpu.models.kosmos2 import (Kosmos2Config,
-                                            import_kosmos2_torch,
-                                            kosmos2_generate)
-
-    cfg = Kosmos2Config()
-    hf = transformers.Kosmos2ForConditionalGeneration.from_pretrained(hf_model_dir)
-    params = jax.tree.map(jnp.asarray, import_kosmos2_torch(hf, cfg))
-    proc = transformers.AutoProcessor.from_pretrained(hf_model_dir)
-    del hf
-
-    def answer(question: str, image) -> str:
-        text = MODEL_SPECS["kosmos2"].prompt.format(q=question)
-        from PIL import Image
-
-        im = image if isinstance(image, Image.Image) else Image.fromarray(
-            np.asarray(image))
-        enc = proc(images=im, text=text, return_tensors="np")
-        out = kosmos2_generate(
-            params, cfg, jnp.asarray(np.asarray(enc["pixel_values"])),
-            jnp.asarray(enc["input_ids"].astype(np.int32)),
-            jnp.asarray(enc["image_embeds_position_mask"].astype(np.int32)),
-            jnp.asarray(enc["attention_mask"].astype(np.int32)),
-            max_new_tokens,
-            eos_token_id=(proc.tokenizer.eos_token_id
-                          if proc.tokenizer.eos_token_id is not None else -1))
-        txt = proc.tokenizer.decode(np.asarray(out)[0],
-                                    skip_special_tokens=True)
-        # reference extraction: text after the last 'Answer:'
-        # (KOSMOS2VQAVALPipeline.py:182-183); generate returns only new
-        # tokens here, so the split is a no-op unless the model echoes
-        return txt.split("Answer:")[-1].strip()
-
-    return answer
-
-
 @register_pipeline("VLZooVQAPipeline")
 class VLZooVQAPipeline:
     """Runs any MODEL_SPECS entry (or a custom spec) on the VQA harness."""
@@ -329,7 +232,9 @@ def native_blip2_imagenet_fns(hf_model_dir: str, class_names: list,
 
 def native_blip2_answer_fn(model_cfg=None, params=None, tokenizer=None,
                            max_new_tokens: int = 10, num_beams: int = 5,
-                           length_penalty: float = -1.0):
+                           length_penalty: float = -1.0,
+                           hf_model_dir: Optional[str] = None,
+                           kind: str = "flant5"):
     """TPU-native BLIP-2 answerer for VLZooVQAPipeline: flan-T5 tower with
     the reference decode configuration (beam-5, length-penalty −1, ≤10 new
     tokens — BLIP2VQAVALPipeline.py:175), entirely in JAX.
@@ -338,7 +243,15 @@ def native_blip2_answer_fn(model_cfg=None, params=None, tokenizer=None,
     mode) a tiny random model + ByteTokenizer drive the full native path —
     answers are arbitrary strings, but every stage (ViT encode → Q-Former →
     T5 beam search → detokenize) runs end-to-end.  Real checkpoints go
-    through models/blip2.import_blip2_torch and an HF tokenizer instead."""
+    through models/blip2.import_blip2_torch and an HF tokenizer instead.
+
+    ``hf_model_dir``: a local HF snapshot (blip2-flan-t5-*, blip2-opt-* or
+    instructblip-vicuna-* per ``kind``) imported once through
+    import_blip2_torch — the real-checkpoint TPU-native path (the reference
+    runs these towers in torch; BLIP2VQAVALPipeline.py:100-217)."""
+    if hf_model_dir is not None:
+        return _hf_blip2_answer_fn(hf_model_dir, kind, max_new_tokens,
+                                   num_beams, length_penalty)
     import jax
     import numpy as np
 
@@ -380,7 +293,8 @@ def native_blip2_answer_fn(model_cfg=None, params=None, tokenizer=None,
 
 
 def native_kosmos2_answer_fn(model_cfg=None, params=None, tokenizer=None,
-                             max_new_tokens: int = 10):
+                             max_new_tokens: int = 10,
+                             hf_model_dir: Optional[str] = None):
     """TPU-native KOSMOS-2 answerer for VLZooVQAPipeline: latent-query
     pooled image tokens + sinusoidal decoder, greedy KV-cache decode
     (KOSMOS2VQAVALPipeline.py:99,170-183 — fp32 load, 'Question: {q}
@@ -389,6 +303,8 @@ def native_kosmos2_answer_fn(model_cfg=None, params=None, tokenizer=None,
     With no checkpoint (``model_cfg=None``) a tiny random model +
     ByteTokenizer drive the full native path end-to-end (CLI smoke mode);
     real checkpoints go through models/kosmos2.import_kosmos2_torch."""
+    if hf_model_dir is not None:
+        return _hf_kosmos2_answer_fn(hf_model_dir, max_new_tokens)
     import jax
     import numpy as np
 
@@ -427,5 +343,98 @@ def native_kosmos2_answer_fn(model_cfg=None, params=None, tokenizer=None,
         ans = tokenizer.decode(toks) if hasattr(tokenizer, "decode") \
             else " ".join(map(str, toks))
         return ans.split("Answer:")[-1].strip() if "Answer:" in ans else ans
+
+    return answer
+
+
+
+def _hf_blip2_answer_fn(hf_model_dir: str, kind: str, max_new_tokens: int,
+                        num_beams: int, length_penalty: float):
+    """Real-checkpoint branch of native_blip2_answer_fn: HF snapshot →
+    import_blip2_torch → JAX beam/greedy decode with the reference settings
+    (BLIP2VQAVALPipeline.py:175; InstructBLIP adds qformer text input)."""
+    import jax
+    import jax.numpy as jnp
+    import transformers
+
+    from cullavo_tpu.data.image_processing import preprocess_numpy
+    from cullavo_tpu.models.blip2 import blip2_generate, import_blip2_torch
+    from cullavo_tpu.models.blip2.modeling import blip2_beam_generate
+
+    cfg, cls = _blip2_cfg_cls(kind)
+    hf = getattr(transformers, cls).from_pretrained(hf_model_dir)
+    params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
+    proc = transformers.AutoProcessor.from_pretrained(hf_model_dir)
+    del hf
+
+    def answer(question: str, image) -> str:
+        text = MODEL_SPECS["blip2" if kind != "instructblip"
+                           else "instructblip"].prompt.format(q=question)
+        enc = proc.tokenizer(text, return_tensors="np")
+        pix = preprocess_numpy([np.asarray(image)], cfg.vision.image_size)
+        kwargs = {}
+        if kind == "instructblip":
+            q = proc.qformer_tokenizer(text, return_tensors="np")
+            kwargs = {"qformer_text_ids": jnp.asarray(q["input_ids"]),
+                      "qformer_text_mask": jnp.asarray(q["attention_mask"])}
+        eos = (proc.tokenizer.eos_token_id
+               if proc.tokenizer.eos_token_id is not None else -1)
+        ids = jnp.asarray(enc["input_ids"].astype(np.int32))
+        mask = jnp.asarray(enc["attention_mask"].astype(np.int32))
+        if num_beams > 1:
+            out = blip2_beam_generate(params, cfg, jnp.asarray(pix), ids, mask,
+                                      max_new_tokens, num_beams=num_beams,
+                                      length_penalty=length_penalty,
+                                      eos_token_id=eos,
+                                      pad_token_id=proc.tokenizer.pad_token_id or 0,
+                                      **kwargs)
+        else:
+            out = blip2_generate(params, cfg, jnp.asarray(pix), ids, mask,
+                                 max_new_tokens, eos_token_id=eos, **kwargs)
+        return proc.tokenizer.decode(np.asarray(out)[0],
+                                     skip_special_tokens=True).strip()
+
+    return answer
+
+
+def _hf_kosmos2_answer_fn(hf_model_dir: str, max_new_tokens: int):
+    """Real-checkpoint branch of native_kosmos2_answer_fn: HF snapshot →
+    import_kosmos2_torch → greedy JAX decode, 'Answer:' extraction
+    (KOSMOS2VQAVALPipeline.py:182-183)."""
+    import jax
+    import jax.numpy as jnp
+    import transformers
+
+    from cullavo_tpu.models.kosmos2 import (Kosmos2Config,
+                                            import_kosmos2_torch,
+                                            kosmos2_generate)
+
+    cfg = Kosmos2Config()
+    hf = transformers.Kosmos2ForConditionalGeneration.from_pretrained(hf_model_dir)
+    params = jax.tree.map(jnp.asarray, import_kosmos2_torch(hf, cfg))
+    proc = transformers.AutoProcessor.from_pretrained(hf_model_dir)
+    del hf
+
+    def answer(question: str, image) -> str:
+        text = MODEL_SPECS["kosmos2"].prompt.format(q=question)
+        from PIL import Image
+
+        im = image if isinstance(image, Image.Image) else Image.fromarray(
+            np.asarray(image))
+        enc = proc(images=im, text=text, return_tensors="np")
+        out = kosmos2_generate(
+            params, cfg, jnp.asarray(np.asarray(enc["pixel_values"])),
+            jnp.asarray(enc["input_ids"].astype(np.int32)),
+            jnp.asarray(enc["image_embeds_position_mask"].astype(np.int32)),
+            jnp.asarray(enc["attention_mask"].astype(np.int32)),
+            max_new_tokens,
+            eos_token_id=(proc.tokenizer.eos_token_id
+                          if proc.tokenizer.eos_token_id is not None else -1))
+        txt = proc.tokenizer.decode(np.asarray(out)[0],
+                                    skip_special_tokens=True)
+        # reference extraction: text after the last 'Answer:'
+        # (KOSMOS2VQAVALPipeline.py:182-183); generate returns only new
+        # tokens here, so the split is a no-op unless the model echoes
+        return txt.split("Answer:")[-1].strip()
 
     return answer

@@ -118,6 +118,26 @@ def test_vl_zoo_pipeline_with_injected_answerer():
     assert out["overall"] == 50.0
 
 
+def test_native_zoo_answerers_dispatch_hf_branch(monkeypatch):
+    """With ``hf_model_dir`` the public factories must route to the
+    real-checkpoint loaders (regression guard: the two variants were once
+    separate same-named defs and the HF one was silently shadowed)."""
+    import cullavo_tpu.pipelines.vl_zoo_pipeline as zoo
+
+    calls = []
+    monkeypatch.setattr(zoo, "_hf_blip2_answer_fn",
+                        lambda *a: calls.append(("blip2", a)) or "B")
+    monkeypatch.setattr(zoo, "_hf_kosmos2_answer_fn",
+                        lambda *a: calls.append(("kosmos2", a)) or "K")
+    out = zoo.native_blip2_answer_fn(hf_model_dir="/ckpt", kind="instructblip",
+                                     max_new_tokens=7, num_beams=3,
+                                     length_penalty=0.5)
+    assert out == "B" and calls[-1] == ("blip2",
+                                        ("/ckpt", "instructblip", 7, 3, 0.5))
+    out = zoo.native_kosmos2_answer_fn(hf_model_dir="/ckpt2", max_new_tokens=9)
+    assert out == "K" and calls[-1] == ("kosmos2", ("/ckpt2", 9))
+
+
 def test_caption_pipeline_with_injected_captioner():
     from cullavo_tpu.pipelines.vl_zoo_pipeline import COCOCaptionPipeline
 
