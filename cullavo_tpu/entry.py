@@ -671,8 +671,10 @@ def _eval_vl_zoo(cfg, zoo: str) -> dict:
                                                   max_new_tokens=mnt)
     elif not zoo_path:
         mnt = int(cfg.get("MAX_NEW_TOKENS", 10))
-        if zoo == "blip2":
-            answer_fn = native_blip2_answer_fn(max_new_tokens=mnt)
+        if zoo in ("blip2", "instructblip"):
+            answer_fn = native_blip2_answer_fn(
+                max_new_tokens=mnt,
+                kind="instructblip" if zoo == "instructblip" else "flant5")
             from cullavo_tpu.models.blip2 import tiny_blip2_config
 
             img_size = tiny_blip2_config("t5").vision.image_size
@@ -684,7 +686,8 @@ def _eval_vl_zoo(cfg, zoo: str) -> dict:
         else:
             raise SystemExit(
                 f"MODEL.ZOO: {zoo} needs MODEL.ZOO_PATH (local HF snapshot) "
-                "— blip2/kosmos2 have checkpoint-free native smoke answerers")
+                "— blip2/instructblip/kosmos2 have checkpoint-free native "
+                "smoke answerers")
     pipe = VLZooVQAPipeline(cfg, zoo, model_path=zoo_path,
                             answer_fn=answer_fn)
     limit = int(cfg.get("LIMIT", 0)) or None

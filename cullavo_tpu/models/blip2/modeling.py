@@ -256,8 +256,10 @@ def blip2_beam_generate(params, cfg: Blip2Config, pixel_values, input_ids,
     last_pos = pos0[rows, last_idx]
     init_logits = _lm_logits(params, cfg, h[rows, last_idx]).astype(jnp.float32)
 
-    # expand to contiguous batch×beam rows
-    cache = jax.tree.map(lambda a: jnp.repeat(a, nb, axis=1), cache)
+    # expand to contiguous batch×beam rows.  Batch axis differs per tower:
+    # OPT cache is [L, B, H, S, hd]; LLaMA/Vicuna is S-major [L, S, B, KV, hd]
+    bax = 1 if cfg.text_is_opt else 2
+    cache = jax.tree.map(lambda a: jnp.repeat(a, nb, axis=bax), cache)
     full_mask = jnp.repeat(full_mask, nb, axis=0)
     key_pos = jnp.repeat(key_pos, nb, axis=0)
     last_pos = jnp.repeat(last_pos, nb, axis=0)
@@ -280,7 +282,8 @@ def blip2_beam_generate(params, cfg: Blip2Config, pixel_values, input_ids,
         cache, full_mask, key_pos = state
         # masks/positions are identical across beams of a batch (parents never
         # cross batches), so only the cache needs the gather
-        cache = jax.tree.map(lambda a: jnp.take(a, flat_parent, axis=1), cache)
+        cache = jax.tree.map(lambda a: jnp.take(a, flat_parent, axis=bax),
+                             cache)
         return (cache, full_mask, key_pos)
 
     return beam_search(step_fn, reorder_fn, init_logits,

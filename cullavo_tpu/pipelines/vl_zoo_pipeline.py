@@ -261,12 +261,17 @@ def native_blip2_answer_fn(model_cfg=None, params=None, tokenizer=None,
                                                    init_blip2_params)
 
     if model_cfg is None:
-        model_cfg = tiny_blip2_config("t5")
+        # instructblip smoke = instruction-aware Q-Former + tiny LLaMA
+        # decoder (the "llama_text" tiny config); blip2 smoke = tiny flan-T5
+        model_cfg = tiny_blip2_config(
+            "llama_text" if kind == "instructblip" else "t5")
         params = init_blip2_params(model_cfg, jax.random.PRNGKey(0))
     if tokenizer is None:
         tokenizer = ByteTokenizer()
     vocab = model_cfg.text.vocab_size
-    spec = MODEL_SPECS["blip2"]
+    qf_vocab = model_cfg.qformer.vocab_size
+    use_qf_text = model_cfg.qformer.use_text_input
+    spec = MODEL_SPECS["instructblip" if kind == "instructblip" else "blip2"]
     S = model_cfg.vision.image_size
 
     def answer(question: str, image) -> str:
@@ -280,11 +285,20 @@ def native_blip2_answer_fn(model_cfg=None, params=None, tokenizer=None,
             ri = np.linspace(0, pix.shape[1] - 1, S).astype(int)
             ci = np.linspace(0, pix.shape[2] - 1, S).astype(int)
             pix = pix[:, ri][:, :, ci]
+        kwargs = {}
+        if use_qf_text:
+            # instruction-aware Q-Former conditions on the question text
+            # (InstructBLIPVQAVALPipeline.py: qformer_tokenizer input)
+            qids = np.asarray(tokenizer.encode(text), np.int32)
+            qids = np.where(qids >= qf_vocab,
+                            4 + qids % max(qf_vocab - 4, 1), qids)
+            kwargs = {"qformer_text_ids": qids[None],
+                      "qformer_text_mask": np.ones((1, len(qids)), np.int32)}
         out = blip2_beam_generate(
             params, model_cfg, pix[None], ids[None],
             np.ones((1, len(ids)), np.int32), max_new_tokens,
             num_beams=num_beams, length_penalty=length_penalty,
-            eos_token_id=1)
+            eos_token_id=1, **kwargs)
         toks = [int(t) for t in np.asarray(out)[0] if int(t) > 1]
         return tokenizer.decode(toks) if hasattr(tokenizer, "decode") \
             else " ".join(map(str, toks))

@@ -121,7 +121,9 @@ def test_blip2_opt_logits_and_greedy_match_hf():
     np.testing.assert_array_equal(out, ref_new)
 
 
-def test_instructblip_vicuna_greedy_matches_hf():
+def _tiny_instructblip():
+    """(hf, cfg, params) for a tiny InstructBLIP (LLaMA/Vicuna tower,
+    instruction-aware Q-Former) matched between HF and our import."""
     from transformers import (InstructBlipConfig, InstructBlipForConditionalGeneration,
                               InstructBlipQFormerConfig, InstructBlipVisionConfig,
                               LlamaConfig)
@@ -161,7 +163,11 @@ def test_instructblip_vicuna_greedy_matches_hf():
     torch.manual_seed(2)
     hf = InstructBlipForConditionalGeneration(hf_cfg).eval().float()
     params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
+    return hf, cfg, params
 
+
+def test_instructblip_vicuna_greedy_matches_hf():
+    hf, cfg, params = _tiny_instructblip()
     pix, ids, mask = _inputs(cfg, seed=2, text_len=5)
     rng = np.random.default_rng(3)
     q_ids = rng.integers(3, cfg.qformer.vocab_size - 1, size=(2, 4)).astype(np.int64)
@@ -186,6 +192,49 @@ def test_instructblip_vicuna_greedy_matches_hf():
         new, qformer_text_ids=jnp.asarray(q_ids),
         qformer_text_mask=jnp.asarray(q_mask)))
     np.testing.assert_array_equal(out, ref_new)
+
+
+def test_instructblip_vicuna_beam_search_matches_hf():
+    """Beam search on the LLaMA/Vicuna (S-major KV cache) tower vs HF —
+    the reference InstructBLIP decode config (beam 5, length-penalty -1,
+    InstructBLIPVQAVALPipeline.py).  Regression guard: the beam batch×beam
+    cache expansion once hardcoded the OPT [L, B, H, S, hd] batch axis and
+    silently mis-expanded the S-major LLaMA cache."""
+    from cullavo_tpu.models.blip2.modeling import blip2_beam_generate
+
+    hf, cfg, params = _tiny_instructblip()
+    pix, ids, mask = _inputs(cfg, seed=4, text_len=5)
+    rng = np.random.default_rng(5)
+    q_ids = rng.integers(3, cfg.qformer.vocab_size - 1, size=(2, 4)).astype(np.int64)
+    q_mask = np.ones_like(q_ids)
+
+    img_tok = np.full((ids.shape[0], cfg.num_query_tokens),
+                      cfg.text.vocab_size - 1, ids.dtype)
+    hf_ids = np.concatenate([img_tok, ids], axis=1)
+    hf_mask = np.concatenate([np.ones_like(img_tok), mask], axis=1)
+    new = 6
+    for nb, lp in ((3, -1.0), (5, 1.0)):
+        with torch.no_grad():
+            gen = hf.generate(pixel_values=torch.tensor(pix),
+                              qformer_input_ids=torch.tensor(q_ids),
+                              qformer_attention_mask=torch.tensor(q_mask),
+                              input_ids=torch.tensor(hf_ids),
+                              attention_mask=torch.tensor(hf_mask),
+                              max_new_tokens=new, do_sample=False,
+                              num_beams=nb, length_penalty=lp,
+                              early_stopping=False, use_cache=True,
+                              eos_token_id=1, pad_token_id=0)
+        ref_new = gen[:, hf_ids.shape[1]:].numpy()
+        out = np.asarray(blip2_beam_generate(
+            params, cfg, jnp.asarray(pix), jnp.asarray(ids),
+            jnp.asarray(mask), new, num_beams=nb, length_penalty=lp,
+            eos_token_id=1, pad_token_id=0,
+            qformer_text_ids=jnp.asarray(q_ids),
+            qformer_text_mask=jnp.asarray(q_mask)))
+        width = ref_new.shape[1]
+        np.testing.assert_array_equal(out[:, :width], ref_new,
+                                      err_msg=f"beams={nb} lp={lp}")
+        assert (out[:, width:] == 0).all()
 
 
 def test_t5_logits_and_greedy_match_hf():

@@ -531,3 +531,43 @@ DATASETS:
     res = _run_eval(capsys, conf)
     m = res["fix_vqa_k2"]
     assert m["n"] == 1 and 0.0 <= m["overall"] <= 100.0
+
+
+def test_eval_cli_vl_test_zoo_instructblip(tmp_path, capsys):
+    """InstructBLIP zoo workload from the entry: MODEL.ZOO: instructblip
+    runs the NATIVE instruction-aware Q-Former + LLaMA decoder (qformer
+    text conditioning, beam-5 — InstructBLIPVQAVALPipeline.py semantics)
+    end-to-end over a tiny fixture."""
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(9)
+    _save_png(img_dir / "COCO_val2014_000000000003.jpg",
+              rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    qj, aj = tmp_path / "q.json", tmp_path / "a.json"
+    with open(qj, "w") as f:
+        json.dump({"questions": [
+            {"question_id": 300, "question": "how big?", "image_id": 3}]}, f)
+    with open(aj, "w") as f:
+        json.dump({"annotations": [
+            {"question_id": 300, "question_type": "how big",
+             "answer_type": "other",
+             "answers": [{"answer": "small"}] * 10}]}, f)
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: vl_test
+MODEL:
+  TINY: true
+  ZOO: instructblip
+MAX_NEW_TOKENS: 4
+SAVE_DIR: {tmp_path / 'out'}
+DATASETS:
+  TEST: [fix_vqa_ib]
+  REGISTER:
+    fix_vqa_ib:
+      KIND: vqa
+      QUESTIONS_JSON: {qj}
+      ANNOTATIONS_JSON: {aj}
+      IMAGE_DIR: {img_dir}
+""")
+    res = _run_eval(capsys, conf)
+    m = res["fix_vqa_ib"]
+    assert m["n"] == 1 and 0.0 <= m["overall"] <= 100.0
