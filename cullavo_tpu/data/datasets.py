@@ -167,9 +167,23 @@ def load_imagenet_folder(root: str, folder_names: Optional[list] = None) -> list
     return rows
 
 
-def register_imagenet(name: str, root: str):
-    register_dataset(name, lambda: load_imagenet_folder(root),
-                     {"num_classes": 1000})
+def register_imagenet(name: str, root: str, folder_names: Optional[list] = None,
+                      class_names: Optional[list] = None):
+    """Folder-scan ImageNet registration (register_imagenet_cls.py).
+    ``folder_names`` restricts/orders the synset folders (defaults to the
+    full 1000-synset table); ``class_names`` are the human-readable labels
+    used for the zero-shot text prompts."""
+    from cullavo_tpu.utils import constants
+
+    if class_names is None:
+        # synset folder → human label via the canonical 1000-class table
+        syn2cls = dict(zip(constants.IMAGENET_FOLDER_NAMES,
+                           constants.IMAGENET_CLASSES))
+        class_names = ([syn2cls.get(f, f) for f in folder_names]
+                       if folder_names else list(constants.IMAGENET_CLASSES))
+    register_dataset(name, lambda: load_imagenet_folder(root, folder_names),
+                     {"num_classes": len(class_names),
+                      "class_names": class_names})
 
 
 # ---------------------------------------------------------------------------

@@ -328,6 +328,13 @@ def register_datasets_from_cfg(cfg):
                 (lambda j=spec["JSON"], r=spec.get("IMAGE_ROOT"):
                  load_conversation_json(j, r)),
                 {})
+        elif kind == "imagenet":
+            from cullavo_tpu.data.datasets import register_imagenet
+
+            register_imagenet(
+                name, spec["ROOT"],
+                folder_names=list(spec.get("FOLDERS", [])) or None,
+                class_names=list(spec.get("CLASS_NAMES", [])) or None)
         else:
             raise ValueError(f"unknown DATASETS.REGISTER KIND {kind!r}")
 
@@ -708,6 +715,41 @@ def _eval_vl_zoo(cfg, zoo: str) -> dict:
     return results
 
 
+def _eval_imagenet(cfg) -> dict:
+    """imagenet_test workload: zero-shot classification over class-folder
+    datasets (pipeline/BLIP2ImageNetPipeline.py, InstructBLIP variant —
+    Q-Former 'This is {class}' text embeds vs pooled image-query embeds).
+    MODEL.ZOO_PATH imports a real HF snapshot; without one a tiny random
+    model drives the same path (smoke)."""
+    from cullavo_tpu.data.image_processing import preprocess_numpy
+    from cullavo_tpu.data.mappers.eval_mappers import load_image_rgb
+    from cullavo_tpu.data.registry import get_dataset, get_metadata
+    from cullavo_tpu.pipelines.imagenet_pipeline import ImageNetPipeline
+    from cullavo_tpu.pipelines.vl_zoo_pipeline import native_blip2_imagenet_fns
+
+    zoo = (cfg.get("MODEL") or {}).get("ZOO", "blip2")
+    zoo_path = (cfg.get("MODEL") or {}).get("ZOO_PATH")
+    limit = int(cfg.get("LIMIT", 0)) or None
+    results = {}
+    for ds_name in _dataset_names(cfg):
+        class_names = get_metadata(ds_name).get("class_names") or []
+        embed_fn, class_embeds = native_blip2_imagenet_fns(
+            hf_model_dir=zoo_path, class_names=class_names,
+            kind="instructblip" if zoo == "instructblip" else "flant5")
+        S = embed_fn.image_size
+        pipe = ImageNetPipeline(cfg, embed_fn, class_embeds, class_names,
+                                batch_size=int(cfg.get("BATCH_SIZE", 64)))
+
+        def rows():
+            for rec in get_dataset(ds_name):
+                img = load_image_rgb(rec["file_name"])
+                yield {"pixel_values": preprocess_numpy([img], S)[0],
+                       "label": rec["label"]}
+        results[ds_name] = pipe.evaluate_model(rows(), limit=limit,
+                                               out_dir=cfg.get("SAVE_DIR"))
+    return results
+
+
 def _eval_step2_pre(cfg) -> dict:
     """cullavo_step2_pre workload: model-in-the-loop dataset generation
     (run:25-44 template; CuLLaVOPipeline.py:95-133)."""
@@ -779,13 +821,16 @@ def evaluate(cfg):
     name = cfg.get("NAME", "")
     if "step2_pre" in name:
         results = _eval_step2_pre(cfg)
+    elif "imagenet" in name:
+        results = _eval_imagenet(cfg)
     elif "vl_test" in name or "vl" == name:
         results = _eval_vl(cfg)
     elif "xdecoder" in name:
         results = _eval_xdecoder(cfg)
     else:
         print(f"[entry] unknown eval workload {name!r} (expect one of "
-              "xdecoder_test / vl_test / cullavo_step2_pre)", file=sys.stderr)
+              "xdecoder_test / vl_test / imagenet_test / cullavo_step2_pre)",
+              file=sys.stderr)
         raise SystemExit(2)
     print(json.dumps(results, default=float))
     return results

@@ -196,37 +196,69 @@ class COCOCaptionPipeline:
         return self.evaluator.results()
 
 
-def native_blip2_imagenet_fns(hf_model_dir: str, class_names: list,
+def native_blip2_imagenet_fns(hf_model_dir: Optional[str] = None,
+                              class_names: list = (),
                               kind: str = "flant5"):
     """(image_embed_fn, class_embeds) for ImageNetPipeline — the TPU-native
     equivalent of BLIP2/InstructBLIPImageNetPipeline: Q-Former 'This is
-    {class}' text encodes vs pooled image-query embeddings, cosine scored."""
+    {class}' text encodes vs pooled image-query embeddings, cosine scored.
+
+    Without ``hf_model_dir`` a tiny random text-input Q-Former + a
+    ByteTokenizer drive the same path end-to-end (CLI smoke mode)."""
     import jax
     import jax.numpy as jnp
-    import transformers
 
-    from cullavo_tpu.models.blip2 import import_blip2_torch
     from cullavo_tpu.models.blip2.modeling import (blip2_image_embed,
                                                    blip2_text_embed)
 
-    cfg, cls = _blip2_cfg_cls(kind)
-    cfg = dataclasses.replace(
-        cfg, qformer=dataclasses.replace(cfg.qformer, use_text_input=True))
-    hf = getattr(transformers, cls).from_pretrained(hf_model_dir)
-    params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
-    proc = transformers.AutoProcessor.from_pretrained(hf_model_dir)
-    del hf
+    if hf_model_dir is None:
+        from cullavo_tpu.data.tokenizer import ByteTokenizer
+        from cullavo_tpu.models.blip2 import tiny_blip2_config
+        from cullavo_tpu.models.blip2.modeling import init_blip2_params
 
-    tok = getattr(proc, "qformer_tokenizer", None) or proc.tokenizer
-    enc = tok([f"This is {c}" for c in class_names], padding=True,
-              return_tensors="np")
-    class_embeds = blip2_text_embed(
-        params, cfg, jnp.asarray(enc["input_ids"].astype(np.int32)),
-        jnp.asarray(enc["attention_mask"].astype(np.int32)))
+        # "llama_text" tiny = the only tiny config with text-input Q-Former
+        # weights (what blip2_text_embed needs)
+        cfg = tiny_blip2_config("llama_text")
+        params = init_blip2_params(cfg, jax.random.PRNGKey(0))
+        bt = ByteTokenizer()
+        qv = cfg.qformer.vocab_size
+        rows = [np.asarray(bt.encode(f"This is {c}"), np.int32)
+                for c in class_names]
+        rows = [np.where(r >= qv, 4 + r % max(qv - 4, 1), r) for r in rows]
+        W = max(len(r) for r in rows)
+        ids = np.zeros((len(rows), W), np.int32)
+        mask = np.zeros((len(rows), W), np.int32)
+        for i, r in enumerate(rows):
+            ids[i, :len(r)] = r
+            mask[i, :len(r)] = 1
+        class_embeds = blip2_text_embed(params, cfg, jnp.asarray(ids),
+                                        jnp.asarray(mask))
+    else:
+        import transformers
+
+        from cullavo_tpu.models.blip2 import import_blip2_torch
+
+        cfg, cls = _blip2_cfg_cls(kind)
+        cfg = dataclasses.replace(
+            cfg, qformer=dataclasses.replace(cfg.qformer, use_text_input=True))
+        hf = getattr(transformers, cls).from_pretrained(hf_model_dir)
+        params = jax.tree.map(jnp.asarray, import_blip2_torch(hf, cfg))
+        proc = transformers.AutoProcessor.from_pretrained(hf_model_dir)
+        del hf
+
+        tok = getattr(proc, "qformer_tokenizer", None) or proc.tokenizer
+        enc = tok([f"This is {c}" for c in class_names], padding=True,
+                  return_tensors="np")
+        class_embeds = blip2_text_embed(
+            params, cfg, jnp.asarray(enc["input_ids"].astype(np.int32)),
+            jnp.asarray(enc["attention_mask"].astype(np.int32)))
+
+    image_size = cfg.vision.image_size
 
     def image_embed_fn(pixel_values):
         return blip2_image_embed(params, cfg, pixel_values)
 
+    image_embed_fn.image_size = image_size
     return image_embed_fn, class_embeds
 
 

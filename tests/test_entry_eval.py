@@ -571,3 +571,41 @@ DATASETS:
     res = _run_eval(capsys, conf)
     m = res["fix_vqa_ib"]
     assert m["n"] == 1 and 0.0 <= m["overall"] <= 100.0
+
+
+def test_eval_cli_imagenet_zero_shot(tmp_path, capsys):
+    """imagenet_test workload: KIND: imagenet folder-scan registration +
+    the zero-shot Q-Former classification pipeline
+    (BLIP2ImageNetPipeline.py semantics) end-to-end from the CLI."""
+    root = tmp_path / "in1k"
+    rng = np.random.default_rng(11)
+    for syn in ("n01440764", "n01443537"):       # tench, goldfish
+        d = root / syn
+        d.mkdir(parents=True)
+        for i in range(2):
+            _save_png(d / f"{syn}_{i}.JPEG",
+                      rng.integers(0, 255, (36, 36, 3), dtype=np.uint8))
+    out_dir = tmp_path / "out"
+    conf = _write_yaml(tmp_path / "conf.yaml", f"""
+NAME: imagenet_test
+MODEL:
+  TINY: true
+  ZOO: blip2
+BATCH_SIZE: 2
+SAVE_DIR: {out_dir}
+DATASETS:
+  TEST: [fix_in1k]
+  REGISTER:
+    fix_in1k:
+      KIND: imagenet
+      ROOT: {root}
+      FOLDERS: [n01440764, n01443537]
+""")
+    res = _run_eval(capsys, conf)
+    m = res["fix_in1k"]
+    assert m["n"] == 4
+    assert 0.0 <= m["top1"] <= 100.0 and m["top5"] == 100.0  # 2 classes ⊂ top5
+    per_class = out_dir / "imagenet_per_class.csv"
+    assert per_class.exists()
+    body = per_class.read_text()
+    assert "tench" in body and "goldfish" in body  # synset → human labels
