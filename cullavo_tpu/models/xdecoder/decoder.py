@@ -282,6 +282,7 @@ def xdecoder_forward(
     text_class_embeds=None,       # [C, dim_proj] cached class embeddings
     logit_scale=None,
     grounding_tokens=None,        # [B, G, D] (task='seg' train / grounding_eval)
+    grounding_token_mask=None,    # [B, G] bool; False = padded token slot
     caption_tokens=None,          # [B, contxt_len, D] (task='vlp' train)
     task: str = "seg",
     is_train: bool = False,
@@ -315,6 +316,16 @@ def xdecoder_forward(
         output = jnp.concatenate([output, output[:, :-1]], axis=1)
         query_pos = jnp.concatenate([query_pos, query_pos[:, :-1]], axis=1)
         self_allowed = grounding_self_attn_allowed(cfg, (nq - 1) + G)[None]
+        if grounding_token_mask is not None:
+            # padded grounding slots are invisible to every query: the
+            # reference packs only attention_mask-true token embeds
+            # (xdecoder_model.py:609-611); a static-shape column mask is
+            # the jit-friendly equivalent
+            K = nq + (nq - 1) + G
+            col = jnp.concatenate(
+                [jnp.ones((grounding_token_mask.shape[0], K - G), bool),
+                 grounding_token_mask.astype(bool)], axis=1)
+            self_allowed = self_allowed & col[:, None, :]
         g_tokens = jax.lax.stop_gradient(grounding_tokens)
     else:
         self_allowed = structured_self_attn_allowed(cfg, with_caption=False)[None]

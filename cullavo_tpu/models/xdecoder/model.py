@@ -550,6 +550,7 @@ def evaluate_grounding(params, cfg: XDecoderModelConfig, images,
     mask_features, pyramid = backbone_and_pixel_decoder(params, cfg, images)
     out = xdecoder_forward(params["decoder"], cfg.decoder, pyramid, mask_features,
                            grounding_tokens=grounding_tokens,
+                           grounding_token_mask=text_mask.reshape(B, -1),
                            task="grounding_eval", is_train=False)
     nq = cfg.decoder.num_queries
     # grounding-conditioned outputs live at slots [nq : 2nq-1]

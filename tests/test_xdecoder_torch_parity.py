@@ -913,28 +913,17 @@ def test_panoptic_and_instance_inference_match_reference():
 # Full-stack evaluate() parity
 # ---------------------------------------------------------------------------
 
-def test_full_stack_evaluate_matches_reference():
-    """END-TO-END eval parity: the reference's own
-    ``GeneralizedXdecoder.evaluate`` wiring (normalize → ImageList →
-    backbone → XdecoderHead(FPN + predictor) → bicubic upsample →
-    semantic_inference, xdecoder_model.py:436-505) run on a stub ``self``
-    with REAL submodules, vs the repo's ``normalize_images + forward_eval +
-    semantic_inference`` through the checkpoint importers.  Every component
-    is individually parity-tested above; this catches the WIRING (query
-    slicing, normalization constants, padding, upsample, softmax-sigmoid
-    composition)."""
-    import types
-
+def _tiny_ref_full_stack():
+    """Tiny but REAL reference stack (FocalNet + FPN + lang + XDecoder head)
+    plus the repo-side config and imported params — shared by the full-stack
+    evaluate / evaluate_grounding parity tests."""
     from cullavo_tpu.checkpoint.xdecoder_import import (
         import_focalnet, import_fpn, import_text_encoder,
         import_xdecoder_predictor)
     from cullavo_tpu.models.xdecoder.decoder import XDecoderConfig
     from cullavo_tpu.models.xdecoder.focalnet import FocalNetConfig
     from cullavo_tpu.models.xdecoder.fpn import FPNConfig
-    from cullavo_tpu.models.xdecoder.model import (XDecoderModelConfig,
-                                                   forward_eval,
-                                                   normalize_images,
-                                                   semantic_inference)
+    from cullavo_tpu.models.xdecoder.model import XDecoderModelConfig
     from cullavo_tpu.models.xdecoder.text_encoder import TextEncoderConfig
 
     _seed_all()
@@ -986,29 +975,6 @@ def test_full_stack_evaluate_matches_reference():
         transformer_in_feature="multi_scale_pixel_decoder")
     head.eval()
 
-    self_stub = types.SimpleNamespace(
-        device="cpu",
-        pixel_mean=torch.tensor([123.675, 116.280, 103.530]).view(3, 1, 1),
-        pixel_std=torch.tensor([58.395, 57.120, 57.375]).view(3, 1, 1),
-        size_divisibility=32, backbone=bb, sem_seg_head=head,
-        task_switch=task_switch, metadata=types.SimpleNamespace(),
-        sem_seg_postprocess_before_inference=False,
-        semantic_on=True, panoptic_on=False, instance_on=False,
-    )
-    self_stub.semantic_inference = \
-        lambda *a, **k: xm.GeneralizedXdecoder.semantic_inference(
-            self_stub, *a, **k)
-
-    rng = np.random.default_rng(29)
-    raw = rng.uniform(0, 255, size=(64, 64, 3)).astype(np.float32)
-    with torch.no_grad():
-        out = xm.GeneralizedXdecoder.evaluate(
-            self_stub,
-            [{"image": torch.from_numpy(raw.transpose(2, 0, 1)),
-              "height": 64, "width": 64}])
-    sem_t = out[0]["sem_seg"].numpy()
-
-    # -- repo side through the importers
     cfg = XDecoderModelConfig(
         backbone=FocalNetConfig(embed_dim=16, depths=(1, 1, 1, 1),
                                 focal_levels=(2, 2, 2, 2),
@@ -1036,6 +1002,53 @@ def test_full_stack_evaluate_matches_reference():
                                     prefix="le."),
     }
     params = jax.tree.map(jnp.asarray, params)
+    return xm, bb, le, head, task_switch, cfg, params, table
+
+
+def _eval_self_stub(xm, bb, head, task_switch):
+    import types
+
+    self_stub = types.SimpleNamespace(
+        device="cpu",
+        pixel_mean=torch.tensor([123.675, 116.280, 103.530]).view(3, 1, 1),
+        pixel_std=torch.tensor([58.395, 57.120, 57.375]).view(3, 1, 1),
+        size_divisibility=32, backbone=bb, sem_seg_head=head,
+        task_switch=task_switch, metadata=types.SimpleNamespace(),
+        sem_seg_postprocess_before_inference=False,
+        semantic_on=True, panoptic_on=False, instance_on=False,
+        num_queries=head.predictor.num_queries,
+    )
+    self_stub.semantic_inference = \
+        lambda *a, **k: xm.GeneralizedXdecoder.semantic_inference(
+            self_stub, *a, **k)
+    return self_stub
+
+
+def test_full_stack_evaluate_matches_reference():
+    """END-TO-END eval parity: the reference's own
+    ``GeneralizedXdecoder.evaluate`` wiring (normalize → ImageList →
+    backbone → XdecoderHead(FPN + predictor) → bicubic upsample →
+    semantic_inference, xdecoder_model.py:436-505) run on a stub ``self``
+    with REAL submodules, vs the repo's ``normalize_images + forward_eval +
+    semantic_inference`` through the checkpoint importers.  Every component
+    is individually parity-tested above; this catches the WIRING (query
+    slicing, normalization constants, padding, upsample, softmax-sigmoid
+    composition)."""
+    from cullavo_tpu.models.xdecoder.model import (forward_eval,
+                                                   normalize_images,
+                                                   semantic_inference)
+
+    xm, bb, le, head, task_switch, cfg, params, table = _tiny_ref_full_stack()
+    self_stub = _eval_self_stub(xm, bb, head, task_switch)
+
+    rng = np.random.default_rng(29)
+    raw = rng.uniform(0, 255, size=(64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = xm.GeneralizedXdecoder.evaluate(
+            self_stub,
+            [{"image": torch.from_numpy(raw.transpose(2, 0, 1)),
+              "height": 64, "width": 64}])
+    sem_t = out[0]["sem_seg"].numpy()
 
     img = normalize_images(jnp.asarray(raw[None]))         # [1, H, W, 3]
     mask_cls, mask_pred, _ = forward_eval(
@@ -1046,6 +1059,57 @@ def test_full_stack_evaluate_matches_reference():
     np.testing.assert_allclose(sem_j, sem_t, atol=2e-3, rtol=1e-2)
     # and the class-assignment map itself agrees everywhere
     np.testing.assert_array_equal(sem_j.argmax(0), sem_t.argmax(0))
+
+
+def test_full_stack_evaluate_grounding_matches_reference(monkeypatch):
+    """Referring-segmentation eval parity: the reference's own
+    ``GeneralizedXdecoder.evaluate_grounding`` (xdecoder_model.py:595-662 —
+    per-text token embeds as grounding tokens, vl-similarity matched-query
+    mask selection, bicubic+antialias upsample) vs the repo's
+    ``evaluate_grounding``.  The text is PADDED (5 real tokens of 8): the
+    reference packs only attention_mask-true embeds, the repo keeps static
+    shapes and masks the padded grounding slots out of self-attention —
+    both must produce the same mask."""
+    from cullavo_tpu.models.xdecoder.model import (evaluate_grounding,
+                                                   normalize_images)
+
+    xm, bb, le, head, task_switch, cfg, params, table = _tiny_ref_full_stack()
+    self_stub = _eval_self_stub(xm, bb, head, task_switch)
+
+    # pinned "tokenization": 5 real tokens (EOT = max id at slot 4), 3 pad
+    ids_np = np.array([[7, 13, 21, 5, 63, 0, 0, 0]], np.int64)
+    mask_np = np.array([[1, 1, 1, 1, 1, 0, 0, 0]], np.int64)
+
+    class _FakeTok:
+        def __call__(self, txts, padding=None, truncation=None,
+                     max_length=None, return_tensors=None):
+            assert max_length == 8
+            return {"input_ids": torch.from_numpy(ids_np),
+                    "attention_mask": torch.from_numpy(mask_np)}
+
+    le.tokenizer = _FakeTok()
+    # the reference hardcodes .cuda() on the token tensors
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    rng = np.random.default_rng(31)
+    raw = rng.uniform(0, 255, size=(64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = xm.GeneralizedXdecoder.evaluate_grounding(
+            self_stub,
+            [{"image": torch.from_numpy(raw.transpose(2, 0, 1)),
+              "height": 64, "width": 64,
+              "groundings": {"texts": [("a cat",)]}}])
+    mask_t = out[0]["grounding_mask"].numpy()            # [1, 64, 64] logits
+
+    img = normalize_images(jnp.asarray(raw[None]))
+    mask_j = np.asarray(evaluate_grounding(
+        params, cfg, img, jnp.asarray(ids_np.astype(np.int32))[None],
+        jnp.asarray(mask_np.astype(np.int32))[None], out_size=(64, 64)))
+
+    assert mask_j.shape == (1, 64, 64) and mask_t.shape == (1, 64, 64)
+    np.testing.assert_allclose(mask_j[0], mask_t[0], atol=5e-3, rtol=1e-2)
+    # the binarized referring mask agrees everywhere
+    np.testing.assert_array_equal(mask_j[0] > 0, mask_t[0] > 0)
 
 
 def test_set_criterion_forward_deep_supervised_matches_reference():
