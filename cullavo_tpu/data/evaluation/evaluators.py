@@ -223,14 +223,21 @@ class RetrievalEvaluator:
     def __init__(self, ks=(1, 5, 10)):
         self.ks = ks
         self.image_embs: list = []
+        self.image_embs2: list = []       # backbone-ensemble embeddings
         self.image_ids: list = []
         self.text_embs: list = []
         self.text_img_ids: list = []
 
-    def add(self, image_emb: np.ndarray, text_embs: np.ndarray, image_id=None):
+    def add(self, image_emb: np.ndarray, text_embs: np.ndarray, image_id=None,
+            image_emb2: np.ndarray = None):
+        """``image_emb2``: optional second (backbone) embedding — the
+        reference's retrieval_emsemble averages its normalized score matrix
+        0.5/0.5 with the class-token one (retrieval_evaluation.py:160-166)."""
         if image_id is None:
             image_id = len(self.image_embs)
         self.image_embs.append(np.asarray(image_emb))
+        if image_emb2 is not None:
+            self.image_embs2.append(np.asarray(image_emb2))
         self.image_ids.append(image_id)
         for t in np.atleast_2d(np.asarray(text_embs)):
             self.text_embs.append(t)
@@ -242,6 +249,12 @@ class RetrievalEvaluator:
         img = img / (np.linalg.norm(img, axis=-1, keepdims=True) + 1e-7)
         txt = txt / (np.linalg.norm(txt, axis=-1, keepdims=True) + 1e-7)
         sim = img @ txt.T                                   # [N_img, N_txt]
+        if self.image_embs2:
+            assert len(self.image_embs2) == len(self.image_embs), \
+                "image_emb2 must be given for every image or none"
+            img2 = np.stack(self.image_embs2)
+            img2 = img2 / (np.linalg.norm(img2, axis=-1, keepdims=True) + 1e-7)
+            sim = 0.5 * sim + 0.5 * (img2 @ txt.T)
         img_ids = np.asarray(self.image_ids)
         txt_ids = np.asarray(self.text_img_ids)
         kmax = max(self.ks)

@@ -621,18 +621,32 @@ def evaluate_classification(params, cfg: XDecoderModelConfig, images,
                            text_class_embeds=text_class_embeds,
                            logit_scale=params["text"]["logit_scale"],
                            task="eval", is_train=False)
-    return out["pred_logits"][:, -1, :-1]   # class-token row, drop background
+    # full class-token row INCLUDING the background column — the reference
+    # feeds pred_logits[idx, -1] to its top-1/5 accuracy unmodified
+    # (xdecoder_model.py:592, classification_evaluation.py:48)
+    return out["pred_logits"][:, -1]
 
 
-def evaluate_retrieval_embedding(params, cfg: XDecoderModelConfig, images):
-    """Image embedding for retrieval eval (xdecoder_model.py:507-550): the
-    class-token caption embedding, normalized."""
-    mask_features, pyramid = backbone_and_pixel_decoder(params, cfg, images)
+def evaluate_retrieval_embedding(params, cfg: XDecoderModelConfig, images,
+                                 ensemble: bool = True):
+    """Image embeddings for retrieval eval (xdecoder_model.py:507-550):
+    ``(class_token_emb, backbone_emb_or_None)``, each normalized.  The
+    second embedding is the reference's retrieval_emsemble branch (:519-523,
+    ENSEMBLE: True in the headline configs): res5 globally average-pooled
+    through ``backbone_proj``; the evaluator averages the two score
+    matrices 0.5/0.5 (retrieval_evaluation.py:160-166)."""
+    feats = _backbone_apply(params["backbone"], cfg, images)
+    mask_features, _, pyramid = _encoder_apply(params["fpn"], cfg, feats)
     out = xdecoder_forward(params["decoder"], cfg.decoder, pyramid, mask_features,
                            task="eval", is_train=False)
     nq = cfg.decoder.num_queries
     emb = out["pred_captions"][:, nq - 1]
-    return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-7)
+    emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-7)
+    emb2 = None
+    if ensemble and "backbone_proj" in params:
+        v5 = jnp.mean(feats["res5"], axis=(1, 2)) @ params["backbone_proj"]
+        emb2 = v5 / (jnp.linalg.norm(v5, axis=-1, keepdims=True) + 1e-7)
+    return emb, emb2
 
 
 def evaluate_dispatch(params, cfg: XDecoderModelConfig, images, mode: str = "default",

@@ -69,7 +69,9 @@ class VLPRetrievalPipeline:
             chunk = rows[i:i + B]
             imgs = np.stack([_prep_image(self.image_loader(r), self.image_size)
                              for r in chunk])
-            img_emb = np.asarray(self._embed(self.params, jnp.asarray(imgs)))
+            img_emb, img_emb2 = self._embed(self.params, jnp.asarray(imgs))
+            img_emb = np.asarray(img_emb)
+            img_emb2 = np.asarray(img_emb2) if img_emb2 is not None else None
             # karpathy protocol (xdecoder_model.py:507-550): EVERY caption of
             # an image joins the text pool (some karpathy-test images carry
             # 6-7), grouped by image_id — recall@k is computed over image_id
@@ -93,7 +95,9 @@ class VLPRetrievalPipeline:
             for b, r in enumerate(chunk):
                 sel = [j for j, o in enumerate(owner) if o == b]
                 ev.add(img_emb[b], t_emb[sel],
-                       image_id=r.get("image_id", i + b))
+                       image_id=r.get("image_id", i + b),
+                       image_emb2=(img_emb2[b] if img_emb2 is not None
+                                   else None))
         return ev.results()
 
 

@@ -1112,6 +1112,111 @@ def test_full_stack_evaluate_grounding_matches_reference(monkeypatch):
     np.testing.assert_array_equal(mask_j[0] > 0, mask_t[0] > 0)
 
 
+def test_full_stack_evaluate_classification_matches_reference():
+    """Zero-shot classification eval parity: the reference's
+    ``evaluate_classification`` (xdecoder_model.py:579-593) returns the
+    class-token row of pred_logits UNMODIFIED — background column included —
+    straight into top-1/5 accuracy; the repo must match that row exactly."""
+    from cullavo_tpu.models.xdecoder.model import (evaluate_classification,
+                                                   normalize_images)
+
+    xm, bb, le, head, task_switch, cfg, params, table = _tiny_ref_full_stack()
+    self_stub = _eval_self_stub(xm, bb, head, task_switch)
+
+    rng = np.random.default_rng(37)
+    raw = rng.uniform(0, 255, size=(64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = xm.GeneralizedXdecoder.evaluate_classification(
+            self_stub,
+            [{"image": torch.from_numpy(raw.transpose(2, 0, 1)),
+              "height": 64, "width": 64}])
+    logits_t = out[0]["pred_class"].numpy()
+
+    img = normalize_images(jnp.asarray(raw[None]))
+    logits_j = np.asarray(evaluate_classification(
+        params, cfg, img, jnp.asarray(table.numpy())))[0]
+
+    assert logits_j.shape == logits_t.shape            # background included
+    np.testing.assert_allclose(logits_j, logits_t, atol=2e-3, rtol=1e-2)
+    assert int(logits_j.argmax()) == int(logits_t.argmax())
+
+
+def test_full_stack_evaluate_retrieval_matches_reference(monkeypatch):
+    """Retrieval eval parity incl. the backbone ensemble: the reference's
+    ``evaluate_retrieval`` (xdecoder_model.py:507-550) emits the class-token
+    caption embedding AND (retrieval_emsemble, :519-523) res5 avg-pooled
+    through backbone_proj; its evaluator normalizes each and averages the
+    score matrices 0.5/0.5 (retrieval_evaluation.py:156-166).  The repo's
+    ``evaluate_retrieval_embedding`` + RetrievalEvaluator must reproduce
+    both embeddings and the ensembled scores."""
+    from cullavo_tpu.data.evaluation.evaluators import RetrievalEvaluator
+    from cullavo_tpu.models.xdecoder.model import (
+        evaluate_retrieval_embedding, normalize_images)
+
+    xm, bb, le, head, task_switch, cfg, params, table = _tiny_ref_full_stack()
+    self_stub = _eval_self_stub(xm, bb, head, task_switch)
+    self_stub.retrieval_emsemble = True
+    bproj = torch.randn(128, 64) * 0.05                 # res5 ch → dim_proj
+    self_stub.backbone_proj = bproj
+
+    # two captions with pinned "tokenization"
+    tok_table = {
+        "a cat": (np.array([[9, 17, 63, 0, 0, 0, 0, 0]], np.int64),
+                  np.array([[1, 1, 1, 0, 0, 0, 0, 0]], np.int64)),
+        "a dog": (np.array([[9, 30, 44, 63, 0, 0, 0, 0]], np.int64),
+                  np.array([[1, 1, 1, 1, 0, 0, 0, 0]], np.int64)),
+    }
+
+    class _FakeTok:
+        def __call__(self, txts, padding=None, truncation=None,
+                     max_length=None, return_tensors=None):
+            if isinstance(txts, str):
+                txts = [txts]
+            ids = np.concatenate([tok_table[t][0] for t in txts])
+            m = np.concatenate([tok_table[t][1] for t in txts])
+            return {"input_ids": torch.from_numpy(ids),
+                    "attention_mask": torch.from_numpy(m)}
+
+    le.tokenizer = _FakeTok()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    rng = np.random.default_rng(41)
+    raw = rng.uniform(0, 255, size=(64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = xm.GeneralizedXdecoder.evaluate_retrieval(
+            self_stub,
+            [{"image": torch.from_numpy(raw.transpose(2, 0, 1)),
+              "height": 64, "width": 64, "captions": ["a cat", "a dog"],
+              "image_id": 5}])
+    cap = out[0]["caption"]
+    v_t = cap["image_embeds"][0].numpy()                # [1, D] un-normalized
+    v2_t = cap["image_embeds"][1].numpy()
+    t_t = cap["text_embeds"].numpy()                    # [2, D]
+
+    params = dict(params)
+    params["backbone_proj"] = jnp.asarray(bproj.numpy())
+    img = normalize_images(jnp.asarray(raw[None]))
+    emb_j, emb2_j = evaluate_retrieval_embedding(params, cfg, img)
+    emb_j, emb2_j = np.asarray(emb_j), np.asarray(emb2_j)
+
+    def _n(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-7)
+
+    np.testing.assert_allclose(emb_j[0], _n(v_t)[0], atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(emb2_j[0], _n(v2_t)[0], atol=2e-3, rtol=1e-2)
+
+    # ensembled score parity through the repo evaluator
+    ev = RetrievalEvaluator(ks=(1,))
+    ev.add(emb_j[0], _n(t_t), image_id=5, image_emb2=emb2_j[0])
+    sim_ref = 0.5 * (_n(v_t) @ _n(t_t).T) + 0.5 * (_n(v2_t) @ _n(t_t).T)
+    img_n = _n(np.stack(ev.image_embs))
+    img2_n = _n(np.stack(ev.image_embs2))
+    txt_n = _n(np.stack(ev.text_embs))
+    sim_repo = 0.5 * (img_n @ txt_n.T) + 0.5 * (img2_n @ txt_n.T)
+    np.testing.assert_allclose(sim_repo, sim_ref, atol=2e-3, rtol=1e-2)
+    assert set(ev.results()) == {"ir@1", "tr@1"}
+
+
 def test_set_criterion_forward_deep_supervised_matches_reference():
     """FULL SetCriterion.forward parity: per-layer Hungarian matching,
     deep-supervised labels/masks/boxes losses, num_masks normalization and
