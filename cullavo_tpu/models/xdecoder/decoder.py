@@ -284,6 +284,8 @@ def xdecoder_forward(
     grounding_tokens=None,        # [B, G, D] (task='seg' train / grounding_eval)
     grounding_token_mask=None,    # [B, G] bool; False = padded token slot
     caption_tokens=None,          # [B, contxt_len, D] (task='vlp' train)
+    captioning_spatial_mask=None,  # [B, H, W] bool; True = region caption
+                                   # tokens must NOT attend (xdecoder.py:372-378)
     task: str = "seg",
     is_train: bool = False,
 ):
@@ -343,8 +345,16 @@ def xdecoder_forward(
 
         ca_allowed = attn_allowed
         if use_caption:
-            # caption tokens attend the full memory
+            # caption tokens attend the full memory — except an optional
+            # excluded region (referring captioning, xdecoder.py:372-378:
+            # the reference nearest-resizes the mask per level and marks
+            # those memory positions disallowed for rows >= num_queries)
             extra = jnp.ones((B, cfg.contxt_len, ca_allowed.shape[-1]), bool)
+            if captioning_spatial_mask is not None:
+                m = jax.image.resize(
+                    captioning_spatial_mask.astype(jnp.float32),
+                    (B, *size), method="nearest") > 0.5
+                extra = extra & ~m.reshape(B, 1, -1)
             ca_allowed = jnp.concatenate([ca_allowed, extra], axis=1)
         output = _post_norm_attn(lw["cross"], output, src, cfg.nheads,
                                  ca_allowed, query_pos, pos, eps)
@@ -391,7 +401,8 @@ def xdecoder_forward(
 
 
 def forward_captioning(params, cfg: XDecoderConfig, features, mask_features,
-                       token_embedding_fn, vocab_embs, token_ids_start):
+                       token_embedding_fn, vocab_embs, token_ids_start,
+                       captioning_mask=None):
     """Greedy autoregressive captioning (xdecoder.py:325-420): run the decoder
     with caption slots, take the captioning embedding at step t, pick the
     vocabulary token with the largest raw dot product, feed back.
@@ -404,7 +415,9 @@ def forward_captioning(params, cfg: XDecoderConfig, features, mask_features,
     is the RAW token-embedding table: the reference scores with an
     unnormalized, unprojected dot against ``token_embedding.weight``
     (xdecoder.py:351-353,405-407 — the norm line is commented out there).
-    Returns [B, contxt_len] token ids.
+    ``captioning_mask`` [B, H, W] bool (True = excluded region) enables the
+    reference's referring captioning: caption tokens cannot cross-attend the
+    masked region (xdecoder.py:372-378).  Returns [B, contxt_len] token ids.
     """
     cl = cfg.contxt_len
     steps = min(cfg.captioning_step, cl - 1)   # reference loops captioning_step
@@ -413,7 +426,9 @@ def forward_captioning(params, cfg: XDecoderConfig, features, mask_features,
         ids = carry
         cap_emb = token_embedding_fn(ids)
         out = xdecoder_forward(params, cfg, features, mask_features,
-                               caption_tokens=cap_emb, task="vlp", is_train=True)
+                               caption_tokens=cap_emb,
+                               captioning_spatial_mask=captioning_mask,
+                               task="vlp", is_train=True)
         cap_logits = out["pred_captionings"]          # [B, cl, dim_proj]
         logits_t = jnp.take_along_axis(
             cap_logits, jnp.full((cap_logits.shape[0], 1, 1), t), axis=1)[:, 0]

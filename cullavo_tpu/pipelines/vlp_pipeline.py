@@ -124,7 +124,7 @@ class VLPCaptioningPipeline:
 
         cfgm = model_cfg
 
-        def run(params, images):
+        def run(params, images, captioning_mask=None):
             mask_features, pyramid = backbone_and_pixel_decoder(params, cfgm, images)
             tp = params["text"]
             # raw, unprojected token-embedding table — the reference scores with
@@ -146,9 +146,14 @@ class VLPCaptioningPipeline:
 
             return forward_captioning(params["decoder"], cfgm.decoder, pyramid,
                                       mask_features, token_embedding_fn, vocab,
-                                      self.start_token_id)
+                                      self.start_token_id,
+                                      captioning_mask=captioning_mask)
 
         self._decode = jax.jit(run)
+        # referring captioning (rows carrying a 'captioning_mask' [H, W]
+        # bool excluded-region map, xdecoder_model.py:565-567): separate jit
+        # so mask-less batches keep the mask-free program
+        self._decode_masked = jax.jit(run)
 
     def evaluate_model(self, dataset: Iterable[dict],
                        limit: Optional[int] = None,
@@ -162,7 +167,21 @@ class VLPCaptioningPipeline:
             chunk = rows[i:i + B]
             imgs = np.stack([_prep_image(self.image_loader(r), self.image_size)
                              for r in chunk])
-            ids = np.asarray(self._decode(self.params, jnp.asarray(imgs)))
+            if any("captioning_mask" in r for r in chunk):
+                # referring captioning: excluded-region map per row (rows
+                # without one get an all-False mask — a no-op)
+                S = self.image_size
+                cm = np.zeros((len(chunk), S, S), bool)
+                for b, r in enumerate(chunk):
+                    if "captioning_mask" in r:
+                        m = np.asarray(r["captioning_mask"], bool)
+                        ri = np.linspace(0, m.shape[0] - 1, S).astype(int)
+                        ci = np.linspace(0, m.shape[1] - 1, S).astype(int)
+                        cm[b] = m[ri][:, ci]
+                ids = np.asarray(self._decode_masked(
+                    self.params, jnp.asarray(imgs), jnp.asarray(cm)))
+            else:
+                ids = np.asarray(self._decode(self.params, jnp.asarray(imgs)))
             for b, r in enumerate(chunk):
                 ev.add(r["image_id"], self.decode_text(ids[b].tolist()),
                        r["captions"])

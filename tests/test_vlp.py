@@ -178,3 +178,11 @@ def test_vlp_captioning_pipeline(tmp_path):
     assert {"Bleu_4", "METEOR_approx", "ROUGE_L", "CIDEr"} <= set(out)
     assert out["SPICE"] is None
     assert os.path.exists(tmp_path / "captions.json")
+
+    # referring captioning: a row-level excluded-region mask routes through
+    # the masked decode program (xdecoder_model.py:565-567 capability)
+    masked = [dict(r) for r in records]
+    masked[0]["captioning_mask"] = np.zeros((32, 32), bool)
+    masked[0]["captioning_mask"][:, 16:] = True
+    out2 = pipe.evaluate_model(masked)
+    assert out2["n"] == 2

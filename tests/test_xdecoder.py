@@ -384,6 +384,20 @@ def test_forward_captioning_greedy():
                               token_embedding_fn, vocab_embs, 49)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))  # greedy deterministic
 
+    # referring captioning (xdecoder.py:372-378): an all-False exclusion
+    # mask is a no-op; excluding half the image changes what caption
+    # tokens can see (and, with random weights, the decoded ids)
+    no_mask = jnp.zeros((1, 64, 64), bool)
+    ids3 = forward_captioning(dec_p, dec_cfg, pyramid, mask_features,
+                              token_embedding_fn, vocab_embs, 49,
+                              captioning_mask=no_mask)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids3))
+    half = jnp.zeros((1, 64, 64), bool).at[:, :, 32:].set(True)
+    ids4 = forward_captioning(dec_p, dec_cfg, pyramid, mask_features,
+                              token_embedding_fn, vocab_embs, 49,
+                              captioning_mask=half)
+    assert not np.array_equal(np.asarray(ids), np.asarray(ids4))
+
 
 def test_misc_utils():
     from cullavo_tpu.utils.misc import (ExponentialSmoothing,
