@@ -229,7 +229,9 @@ def run_quant_mode(quant_mode: str, kv_quant: Optional[str] = None) -> dict:
     spec_k = int(os.environ.get("BENCH_SPEC_K", 0))
     if spec_k:
         from cullavo_tpu.models.llava.modeling import generate_decode_spec
-        max_len = T_padded + DECODE_TOKENS + spec_k
+        # round the cache to the wwin kernel's 128-slot blocks (extra slots
+        # are masked; llama._wwin_ok falls back to XLA otherwise)
+        max_len = -(-(T_padded + DECODE_TOKENS + spec_k) // 128) * 128
         plen = jnp.sum(jnp.asarray(mask), axis=1)
 
     def run():

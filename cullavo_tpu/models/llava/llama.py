@@ -120,6 +120,30 @@ def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     return jnp.repeat(x, n_rep, axis=1)
 
 
+def _wwin_ok(T: int, S: int, hd: int) -> bool:
+    """Gate for the fused W-window flash-decode kernel (ops/wwin_decode.py).
+
+    The kernel replaces the XLA cache part of the speculative-verification
+    forward (stale_cache, T > 1): it reads the full stacked [L, S, B, KV, hd]
+    cache directly (no per-layer slice copy) and keeps the [.., W, S]
+    probabilities in VMEM.  Preconditions: S a multiple of the 128 kv-block
+    (spec callers round their cache length up — bench.py / vqa_pipeline /
+    serving engine) and, on a real TPU, a lane-aligned head dim.  Default ON
+    for TPU (chip A/B in STATUS r4: W=4 verification forward 34-37 ms →
+    ~21 ms at 7B shapes); CULLAVO_WWIN=0 forces the XLA path, =1 forces the
+    kernel (CPU tests run it in interpret mode)."""
+    import os
+
+    if T <= 1 or S % 128 != 0:
+        return False
+    env = os.environ.get("CULLAVO_WWIN", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() == "tpu" and hd % 128 == 0
+
+
 def sdpa_decode_stale(q, k_cache, v_cache, k_cur, v_cur, bias,
                       self_bias=None, scale=None):
     """One-token decode attention over a READ-ONLY cache plus the current
@@ -711,16 +735,26 @@ def llama_forward(
                 attn = sdpa(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
         elif stale_cache and kv_q8:
             li = scanned["li"]
-            k_buf = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
-            v_buf = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
-            ks_buf = jax.lax.dynamic_index_in_dim(ksc, li, 0, keepdims=False)
-            vs_buf = jax.lax.dynamic_index_in_dim(vsc, li, 0, keepdims=False)
             kq, ks = quantize_kv(k.transpose(2, 0, 1, 3))   # [T, B, KV, hd]
             vq, vs = quantize_kv(v.transpose(2, 0, 1, 3))
-            attn = sdpa_decode_stale_smajor_q8(
-                q, k_buf, ks_buf, v_buf, vs_buf,
-                repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep,
-                win_q8=(kq, ks, vq, vs) if T > 1 else None)
+            if _wwin_ok(T, kc.shape[1], hd):
+                # fused W-window flash decode over the FULL stacked cache —
+                # no per-layer slice copy, probabilities stay in VMEM
+                from cullavo_tpu.ops.wwin_decode import wwin_decode_smajor_q8
+
+                attn = wwin_decode_smajor_q8(
+                    q, kc, ksc, vc, vsc, li,
+                    repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias,
+                    n_rep=n_rep, win_q8=(kq, ks, vq, vs))
+            else:
+                k_buf = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
+                v_buf = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
+                ks_buf = jax.lax.dynamic_index_in_dim(ksc, li, 0, keepdims=False)
+                vs_buf = jax.lax.dynamic_index_in_dim(vsc, li, 0, keepdims=False)
+                attn = sdpa_decode_stale_smajor_q8(
+                    q, k_buf, ks_buf, v_buf, vs_buf,
+                    repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep,
+                    win_q8=(kq, ks, vq, vs) if T > 1 else None)
             if per_row_idx and T == 1:
                 # the production T=1 serving write — keep this EXACT index
                 # pattern: both the T-unrolled 1-D form and the [B, T] 2-D
@@ -747,11 +781,18 @@ def llama_forward(
                 vsc = jax.lax.dynamic_update_slice(vsc, vs[None], (li, cache_index, 0, 0))
         elif stale_cache:
             li = scanned["li"]
-            k_buf = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
-            v_buf = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
-            attn = sdpa_decode_stale_smajor(
-                q, k_buf.astype(compute_dtype), v_buf.astype(compute_dtype),
-                repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep)
+            if _wwin_ok(T, kc.shape[1], hd):
+                from cullavo_tpu.ops.wwin_decode import wwin_decode_smajor
+
+                attn = wwin_decode_smajor(
+                    q, kc, vc, li, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
+                    bias, n_rep=n_rep)
+            else:
+                k_buf = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
+                v_buf = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
+                attn = sdpa_decode_stale_smajor(
+                    q, k_buf.astype(compute_dtype), v_buf.astype(compute_dtype),
+                    repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias, n_rep=n_rep)
             if per_row_idx and T == 1:
                 # production T=1 pattern — see the kv_q8 branch note
                 rows = jnp.arange(B)[:, None]

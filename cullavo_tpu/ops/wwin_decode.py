@@ -60,14 +60,23 @@ def _cache_kernel(li_ref, q_ref, k_ref, v_ref, bias_ref,
         acc_sc[...] = jnp.zeros_like(acc_sc)
 
     q = q_ref[0]                         # [KV, Wq, hd]
-    k = k_ref[0, :, 0]                   # [bs, KV, hd]
-    v = v_ref[0, :, 0]
+    # match the XLA path's cache.astype(compute_dtype) semantics (a bf16
+    # cache under f32 compute — CPU tests; on-chip both are bf16, a no-op).
+    # Mosaic rejects kv-batched dots unless both batch dims sit at position
+    # 0 ("batch dims must be equal"), and transposing the cache block into
+    # that form relayouts the whole stream through the VPU (measured 50 ms
+    # vs the 48.8 ms XLA forward it should beat) — so contract per kv head
+    # with 2-D dots on STATIC slices: q[i]·k[:, i]ᵀ is tpu.matmul's native
+    # transpose_rhs form and the [bs, KV, hd] block is never relayouted.
+    k = k_ref[0, :, 0].astype(q.dtype)   # [bs, KV, hd]
+    v = v_ref[0, :, 0].astype(q.dtype)
     bias = bias_ref[0]                   # [Wq, bs]
+    KV = q.shape[0]
 
-    # scores for every kv group at once: batch dim KV at lhs pos 0 / rhs pos 1
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (1,))),
-        preferred_element_type=jnp.float32)            # [KV, Wq, bs]
+    s = jnp.stack([
+        jax.lax.dot_general(q[i], k[:, i], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for i in range(KV)])                           # [KV, Wq, bs]
     s = s * scale + bias[None]
 
     m_prev = m_sc[...]
@@ -77,9 +86,11 @@ def _cache_kernel(li_ref, q_ref, k_ref, v_ref, bias_ref,
     # all-masked blocks: s == m_new == NEG_INF would exp to 1 — gate them
     p = jnp.where(s > _VALID_FLOOR, jnp.exp(s - m_new[..., None]), 0.0)
     l_sc[...] = l_sc[...] * alpha + jnp.sum(p, axis=-1)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (0,)), ((0,), (1,))),
-        preferred_element_type=jnp.float32)            # [KV, Wq, hd]
+    p8 = p.astype(v.dtype)
+    pv = jnp.stack([
+        jax.lax.dot_general(p8[i], v[:, i], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for i in range(KV)])                           # [KV, Wq, hd]
     acc_sc[...] = acc_sc[...] * alpha[..., None] + pv
     m_sc[...] = m_new
 
@@ -101,17 +112,31 @@ def _cache_kernel_q8(li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref,
         acc_sc[...] = jnp.zeros_like(acc_sc)
 
     q = q_ref[0]                                        # [KV, Wq, hd]
+    # per-head 2-D dots on static slices — see _cache_kernel for why the
+    # batched form can't be used on Mosaic without relayouting the stream
     k = kq_ref[0, :, 0].astype(q.dtype)                 # [bs, KV, hd]
     v = vq_ref[0, :, 0].astype(q.dtype)
-    k_s = ks_ref[0, :, 0].astype(jnp.float32)           # [bs, KV]
-    v_s = vs_ref[0, :, 0].astype(jnp.float32)
+    # scale planes arrive as FULL [bs, B, KV] tiles (a per-b block of the
+    # [L, S, B, KV] plane would put a 1-sized block on the sublane-tiled B
+    # axis — rejected by the TPU lowering — and an in-kernel ref[.., b, ..]
+    # slice is a dynamic-sublane read, which crashes the axon helper).  The
+    # tile is ~100 KB; select batch b with a one-hot multiply-reduce.
+    b = pl.program_id(0)
+    oh_b = (jax.lax.broadcasted_iota(jnp.int32, ks_ref.shape[2:4], 0)
+            == b)[None, :, :]                           # [1, B, KV]
+    k_s = jnp.swapaxes(jnp.sum(jnp.where(
+        oh_b, ks_ref[0].astype(jnp.float32), 0.0), axis=1), 0, 1)  # [KV, bs]
+    v_s = jnp.swapaxes(jnp.sum(jnp.where(
+        oh_b, vs_ref[0].astype(jnp.float32), 0.0), axis=1), 0, 1)
     bias = bias_ref[0]                                  # [Wq, bs]
+    KV = q.shape[0]
 
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (1,))),
-        preferred_element_type=jnp.float32)             # [KV, Wq, bs]
+    s = jnp.stack([
+        jax.lax.dot_general(q[i], k[:, i], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for i in range(KV)])                            # [KV, Wq, bs]
     # fold the per-key scales outside the dot (scores = (q·k_int8)·k_s)
-    s = s * (jnp.swapaxes(k_s, 0, 1)[:, None, :] * scale) + bias[None]
+    s = s * (k_s[:, None, :] * scale) + bias[None]
 
     m_prev = m_sc[...]
     m_cur = jnp.max(s, axis=-1)
@@ -120,10 +145,11 @@ def _cache_kernel_q8(li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref,
     p = jnp.where(s > _VALID_FLOOR, jnp.exp(s - m_new[..., None]), 0.0)
     l_sc[...] = l_sc[...] * alpha + jnp.sum(p, axis=-1)
     # fold the value scales into p (out = (p·v_s)·v_int8)
-    p = p * jnp.swapaxes(v_s, 0, 1)[:, None, :]
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (0,)), ((0,), (1,))),
-        preferred_element_type=jnp.float32)             # [KV, Wq, hd]
+    p8 = (p * v_s[:, None, :]).astype(v.dtype)
+    pv = jnp.stack([
+        jax.lax.dot_general(p8[i], v[:, i], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for i in range(KV)])                            # [KV, Wq, hd]
     acc_sc[...] = acc_sc[...] * alpha[..., None] + pv
     m_sc[...] = m_new
 
@@ -145,12 +171,18 @@ def _run_cache_part(li, q, bias, cache_operands, kernel, block_s):
     nsb = S // block_s
 
     def cache_spec(op):
-        # [L, S, B, KV(, hd)] → block (1, bs, 1, KV(, hd)) at (li, sb, b)
+        # [L, S, B, KV, hd] → block (1, bs, 1, KV, hd) at (li, sb, b); the
+        # 4-D scale planes [L, S, B, KV] ship FULL (B, KV) tiles instead —
+        # a 1-sized block on the sublane-tiled B axis is rejected by the
+        # TPU lowering (the kernel one-hot-selects its batch row)
         nd = op.ndim
-        blk = (1, block_s, 1, KV) + ((hd,) if nd == 5 else ())
+        if nd == 5:
+            return pl.BlockSpec(
+                (1, block_s, 1, KV, hd),
+                lambda b, sb, li_ref: (li_ref[0], sb, b, 0, 0))
         return pl.BlockSpec(
-            blk, lambda b, sb, li_ref: (li_ref[0], sb, b, 0) +
-            ((0,) if nd == 5 else ()))
+            (1, block_s, op.shape[2], op.shape[3]),
+            lambda b, sb, li_ref: (li_ref[0], sb, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

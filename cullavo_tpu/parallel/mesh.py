@@ -130,12 +130,29 @@ class ParallelContext:
             multihost_utils.sync_global_devices(name)
 
     def allgather_objects(self, obj):
-        """Gather a python object from every process (≈ dist.all_gather_object,
-        pipeline/CuLLaVOPipeline.py:65-69)."""
+        """Gather an ARBITRARY python object from every process
+        (≈ dist.all_gather_object, pipeline/CuLLaVOPipeline.py:65-69).
+
+        ``process_allgather`` alone only gathers array pytrees leaf-wise —
+        the step2_pre JSON rows (strings) the pipeline merges would mangle
+        (caught by the 2-process dryrun, parallel/multihost_dryrun.py) — so
+        objects travel pickled as padded uint8 payloads: one tiny gather for
+        the lengths, one for the max-padded buffers."""
         if jax.process_count() == 1:
             return [obj]
+        import pickle
+
+        import numpy as np
         from jax.experimental import multihost_utils
-        return list(multihost_utils.process_allgather(obj, tiled=False))
+
+        payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+        lens = np.asarray(multihost_utils.process_allgather(
+            np.asarray([payload.size], np.int32), tiled=False)).reshape(-1)
+        buf = np.zeros((int(lens.max()),), np.uint8)
+        buf[:payload.size] = payload
+        bufs = np.asarray(multihost_utils.process_allgather(buf, tiled=False))
+        return [pickle.loads(bufs[i, :int(lens[i])].tobytes())
+                for i in range(len(lens))]
 
 
 def initialize_distributed(coordinator: Optional[str] = None,

@@ -1,0 +1,189 @@
+"""Two-process ``jax.distributed`` dryrun — the multi-node DP rendezvous path.
+
+The reference demonstrably ran 2-machine launches via ``accelerate launch
+--num_machines 2 --machine_rank --main_process_ip/port`` (node_run:22-43)
+with NCCL rendezvous and ``dist.all_gather_object`` eval merges
+(utils/distributed.py:16-56, pipeline/CuLLaVOPipeline.py:65-69).  Our
+equivalents (``initialize_distributed``, ``ParallelContext.allgather_objects``
+/ ``barrier``, scripts/node_run.sh) existed but nothing ever launched a
+second process — this module is the executable proof, runnable on CPU:
+
+  * rank driver (``main``): reads the EXACT node_run.sh env contract
+    (CULLAVO_COORDINATOR / CULLAVO_NUM_PROCS / CULLAVO_PROC_ID) through the
+    entry's ``_maybe_init_distributed``, joins the coordinator, builds ONE
+    global mesh spanning both processes, runs a real DP Q-LoRA train step
+    with per-process input shards (``jax.make_array_from_process_local_data``
+    — the pattern a data-parallel pod uses), then a sharded "eval" whose
+    per-rank result lists merge via ``process_allgather`` between
+    ``sync_global_devices`` barriers.
+  * launcher (``launch``): spawns N rank subprocesses with a localhost
+    coordinator and asserts every rank exits 0 with consistent metrics
+    (called by ``__graft_entry__.dryrun_multihost`` and the pytest).
+"""
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+MARK = "MULTIHOST_DRYRUN_RESULT "
+
+
+def main() -> None:
+    """Rank driver — run in a subprocess per rank (see module docstring)."""
+    import jax
+
+    # the axon plugin ignores the JAX_PLATFORMS env var (STATUS.md); force
+    # the CPU backend before any device query so the virtual-device flag and
+    # the distributed CPU rendezvous take effect
+    jax.config.update("jax_platforms", "cpu")
+
+    from cullavo_tpu.entry import _maybe_init_distributed
+
+    _maybe_init_distributed()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    num = int(os.environ["CULLAVO_NUM_PROCS"])
+    pid = int(os.environ["CULLAVO_PROC_ID"])
+    assert jax.process_count() == num, (jax.process_count(), num)
+    assert jax.process_index() == pid
+
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.lora import (LoraConfig, init_lora_params,
+                                               strip_trainable,
+                                               trainable_partition)
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+    from cullavo_tpu.parallel.mesh import (MeshConfig, ParallelContext,
+                                           batch_sharding, make_mesh)
+    from cullavo_tpu.trainer.optimizer import cullavo_optimizer
+    from cullavo_tpu.trainer.step import (TrainState, make_train_step,
+                                          shard_train_step)
+    from __graft_entry__ import _tiny_batch
+
+    n_devices = jax.device_count()
+    mesh = make_mesh(MeshConfig(data=-1))          # pure-DP mesh, all procs
+    ctx = ParallelContext(mesh)
+    ctx.barrier("dryrun_start")
+
+    # identical seeds on every process → identical replicated params, the
+    # multi-host contract jax.device_put relies on
+    cfg = tiny_llava_config(128)
+    lora_cfg = LoraConfig(r=8, vision_layer_start=1, vision_layer_stop=2)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    lora_params = init_lora_params(params, cfg, lora_cfg, jax.random.PRNGKey(1))
+    trainable = trainable_partition(params, lora_params)
+    frozen = strip_trainable(params)
+    tx = cullavo_optimizer(base_lr=2e-5, total_steps=100, grad_clip=10.0)
+    state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(cfg, lora_cfg, tx)
+    jitted = shard_train_step(step_fn, mesh, state, frozen)
+
+    # per-process LOCAL batch shard -> one global array (each rank feeds a
+    # DIFFERENT slice, stitched by sharding — the DP input pattern)
+    b_sh = batch_sharding(mesh)
+    global_batch = _tiny_batch(cfg, batch=n_devices, seed=7)
+    rows = n_devices // num
+
+    def to_global(a):
+        local = np.asarray(a)[pid * rows:(pid + 1) * rows]
+        return jax.make_array_from_process_local_data(b_sh, local)
+
+    batch = {k: to_global(v) for k, v in global_batch.items()}
+    losses = []
+    for i in range(2):
+        state, metrics = jitted(state, frozen, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss_llm"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert int(state.step) == 2
+
+    # the replicated loss must agree across processes (grad psum over DCN
+    # happened); process_allgather is the dist.all_gather_object equivalent
+    gathered_losses = ctx.allgather_objects(losses[-1])
+    assert len(gathered_losses) == num
+    assert max(gathered_losses) - min(gathered_losses) < 1e-6, gathered_losses
+
+    # sharded eval: each rank evaluates its own shard of a 2*num-item set,
+    # merges python-object results through process_allgather (the
+    # CuLLaVOPipeline.evaluate_model:65-69 merge), barrier-bracketed
+    ctx.barrier("eval_start")
+    my_items = [pid * 2, pid * 2 + 1]
+    my_results = [{"rank": pid, "idx": i, "val": i * i} for i in my_items]
+    merged = [r for shard in ctx.allgather_objects(my_results) for r in shard]
+    assert len(merged) == 2 * num
+    assert sorted(r["idx"] for r in merged) == list(range(2 * num))
+    ctx.barrier("eval_end")
+
+    if ctx.is_main:
+        print(MARK + json.dumps({
+            "n_procs": num, "devices": n_devices,
+            "local_devices": jax.local_device_count(),
+            "loss0": round(losses[0], 6), "loss1": round(losses[1], 6),
+            "gathered": len(merged)}), flush=True)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def launch(n_procs: int = 2, local_devices: int = 4,
+           timeout_s: float = 600.0) -> dict:
+    """Spawn ``n_procs`` rank subprocesses with a localhost coordinator
+    (node_run.sh env semantics) and return rank0's result dict."""
+    coord = f"127.0.0.1:{_free_port()}"
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    procs = []
+    for pid in range(n_procs):
+        env = dict(os.environ)
+        env.update({
+            "CULLAVO_COORDINATOR": coord,
+            "CULLAVO_NUM_PROCS": str(n_procs),
+            "CULLAVO_PROC_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": (env.get("XLA_FLAGS", "").replace(
+                "--xla_force_host_platform_device_count=8", "").strip()
+                + f" --xla_force_host_platform_device_count={local_devices}"
+            ).strip(),
+            "PYTHONPATH": repo + os.pathsep + env.get("PYTHONPATH", ""),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "cullavo_tpu.parallel.multihost_dryrun"],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout_s)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"rank {procs.index(p)} exited {p.returncode}:\n{out[-4000:]}")
+    result = None
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith(MARK):
+                result = json.loads(line[len(MARK):])
+    if result is None:
+        raise RuntimeError("no result line from rank 0:\n"
+                           + "\n---\n".join(o[-2000:] for o in outs))
+    assert result["n_procs"] == n_procs
+    assert result["devices"] == n_procs * local_devices
+    return result
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "launch":
+        print(launch(int(sys.argv[2]) if len(sys.argv) > 2 else 2))
+    else:
+        main()

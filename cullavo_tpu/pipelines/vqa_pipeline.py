@@ -100,10 +100,15 @@ class VQAPipeline:
                 generate_decode, generate_decode_spec,
                 generate_prefill_chunked)
 
+            # spec cache lengths round to the wwin kernel's 128-slot blocks
+            # (extra slots masked; llama._wwin_ok falls back to XLA otherwise)
+            cache_len = (L + self.max_new_tokens if not self.spec_k
+                         else -(-(L + self.max_new_tokens
+                                  + self.spec_k) // 128) * 128)
             state = generate_prefill_chunked(
                 self.params, self.model_cfg, jnp.asarray(ids),
                 jnp.asarray(pixel_values), jnp.asarray(mask),
-                L + self.max_new_tokens, self.prefill_chunk or B,
+                cache_len, self.prefill_chunk or B,
                 compute_dtype=jnp.bfloat16, kv_quant=self.kv_quant,
                 lora=self.lora, lora_scaling=self.lora_scaling)
             if self.spec_k:

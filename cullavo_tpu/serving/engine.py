@@ -123,6 +123,11 @@ class ServingEngine:
         self.spec_k = int(spec_k) if spec_k else None
         if self.spec_k is not None and gen.do_sample:
             raise ValueError("spec_k requires greedy generation")
+        if self.spec_k is not None:
+            # round the pool cache to the wwin flash-decode kernel's 128-slot
+            # blocks (capacity only grows; extra slots stay masked — without
+            # this llama._wwin_ok falls back to the unfused XLA window path)
+            self.max_len = -(-(self.max_len + self.spec_k) // 128) * 128
         self.hist: Optional[dict] = None
         self.kv_quant = kv_quant
         self.compute_dtype = compute_dtype

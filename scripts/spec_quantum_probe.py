@@ -36,7 +36,9 @@ def main():
     params = build_llava7b_params(quant, cfg)
     n_img = cfg.num_image_tokens
     T = 648
-    max_len = T + 64
+    # 128-rounded so the wwin flash-decode kernel engages (CULLAVO_WWIN=0
+    # A/Bs the unfused XLA window path at the same cache length)
+    max_len = -(-(T + 64) // 128) * 128
     rng = np.random.default_rng(0)
     ids = rng.integers(4, 32000, size=(slots, T)).astype(np.int32)
     ids[:, 1:1 + n_img] = cfg.image_token_id
