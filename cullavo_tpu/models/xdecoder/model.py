@@ -528,6 +528,138 @@ def panoptic_inference_host(mask_cls: np.ndarray, mask_pred: np.ndarray,
     return panoptic, segments
 
 
+def panoptic_inference_device(mask_cls, mask_pred, object_mask_threshold=0.8,
+                              valid_hw=None):
+    """Device part of the stuff-merge panoptic assembly
+    (xdecoder_model.py:774-829) — everything per-PIXEL stays on device, so
+    only two [H, W] maps and Q-sized vectors leave the chip instead of the
+    [Q, H, W] f32 logits (101 × 512² × 4 B ≈ 106 MB/image on the old
+    host path).
+
+    Outputs: ``mask_ids`` [H, W] winner query id (argmax over kept queries'
+    score-weighted sigmoid masks), ``winner_ok`` [H, W] (winner's own
+    sigmoid ≥ 0.5 — the host's ``cur_masks[k] >= 0.5`` term evaluated at
+    the winner), per-query ``mask_area``/``original_area`` (counts the
+    overlap filter needs, restricted to ``valid_hw`` so padded margins
+    never vote), and ``scores``/``labels``/``keep``.
+    ``panoptic_assemble_host`` turns these into the id map + segment list
+    with a Q-scalar loop + one LUT application."""
+    Q, H, W = mask_pred.shape
+    C = mask_cls.shape[-1] - 1
+    probs = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)
+    scores = jnp.max(probs, axis=-1)
+    labels = jnp.argmax(probs, axis=-1)
+    keep = (labels != C) & (scores > object_mask_threshold)
+    sig = jax.nn.sigmoid(mask_pred.astype(jnp.float32)).reshape(Q, H * W)
+    prob_masks = jnp.where(keep[:, None], scores[:, None] * sig, -1.0)
+    mask_ids = jnp.argmax(prob_masks, axis=0)                  # [H*W]
+    winner_sig = jnp.take_along_axis(sig, mask_ids[None], 0)[0]
+    if valid_hw is None:
+        valid = jnp.ones((H * W,), bool)
+    else:
+        row = jnp.arange(H)[:, None]
+        col = jnp.arange(W)[None, :]
+        valid = ((row < valid_hw[0]) & (col < valid_hw[1])).reshape(H * W)
+    winner_ok = (winner_sig >= 0.5) & valid
+    mask_area = jax.ops.segment_sum(winner_ok.astype(jnp.int32), mask_ids,
+                                    num_segments=Q)
+    original_area = jnp.sum((sig >= 0.5) & valid[None], axis=1)
+    return {"mask_ids": mask_ids.reshape(H, W).astype(jnp.int32),
+            "winner_ok": winner_ok.reshape(H, W),
+            "mask_area": mask_area.astype(jnp.int32),
+            "original_area": original_area.astype(jnp.int32),
+            "scores": scores, "labels": labels.astype(jnp.int32),
+            "keep": keep}
+
+
+def panoptic_assemble_host(dev: dict, thing_ids,
+                           overlap_threshold=0.8):
+    """Host tail of the device-fused panoptic inference: the sequential
+    seg-id / stuff-merge / overlap-filter loop over Q scalars, then one
+    vectorized LUT application.  Identical output contract to
+    ``panoptic_inference_host`` (winner masks partition the pixels, so the
+    host's progressive ``panoptic[mask] = seg_id`` writes are
+    order-independent and a query→seg_id LUT reproduces them exactly)."""
+    mask_ids = np.asarray(dev["mask_ids"], np.int64)
+    winner_ok = np.asarray(dev["winner_ok"], bool)
+    mask_area = np.asarray(dev["mask_area"])
+    original_area = np.asarray(dev["original_area"])
+    labels = np.asarray(dev["labels"])
+    keep = np.asarray(dev["keep"], bool)
+    Q = mask_area.shape[0]
+    lut = np.zeros((Q,), np.int32)
+    segments: list = []
+    seg_id = 0
+    stuff_memory: dict[int, int] = {}
+    for k in np.nonzero(keep)[0]:
+        cls = int(labels[k])
+        isthing = cls in thing_ids
+        ma, oa = int(mask_area[k]), int(original_area[k])
+        if ma > 0 and oa > 0:
+            if ma / oa < overlap_threshold:
+                continue
+            if not isthing and cls in stuff_memory:
+                lut[k] = stuff_memory[cls]
+                continue
+            seg_id += 1
+            if not isthing:
+                stuff_memory[cls] = seg_id
+            lut[k] = seg_id
+            segments.append({"id": seg_id, "isthing": isthing,
+                             "category_id": cls})
+    panoptic = lut[mask_ids] * winner_ok
+    return panoptic.astype(np.int32), segments
+
+
+def instance_inference_device(mask_cls, mask_pred, num_classes: int,
+                              topk: int, thing_mask=None, valid_hw=None):
+    """Device-fused ``instance_inference`` emitting COMPACT outputs: the
+    top-k binary masks leave the chip bit-packed into int32 planes
+    ([ceil(K/32), H, W] — 32× less transfer than f32 masks; uint8 ops crash
+    the axon compile helper, int32 shifts compile).  ``valid_hw`` restricts
+    the mask-score statistics to the unpadded image region (the host path
+    computed them on cropped masks)."""
+    Q = mask_cls.shape[0]
+    H, W = mask_pred.shape[-2:]
+    scores = jax.nn.softmax(mask_cls, axis=-1)[:, :-1]        # [Q, C]
+    flat = scores.reshape(-1)
+    if thing_mask is not None:
+        flat = flat * jnp.tile(thing_mask.astype(flat.dtype), (Q,))
+    K = min(topk, flat.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat, K)
+    labels = top_idx % num_classes
+    query_idx = top_idx // num_classes
+    masks = mask_pred[query_idx]                              # [K, H, W]
+    if valid_hw is None:
+        valid = jnp.ones((H, W), bool)
+    else:
+        valid = ((jnp.arange(H)[:, None] < valid_hw[0])
+                 & (jnp.arange(W)[None, :] < valid_hw[1]))
+    binary = (masks > 0) & valid[None]
+    binf = binary.astype(jnp.float32)
+    mask_score = jnp.sum(jax.nn.sigmoid(masks.astype(jnp.float32)) * binf,
+                         axis=(1, 2)) / (jnp.sum(binf, axis=(1, 2)) + 1e-6)
+    n_planes = -(-K // 32)
+    pad = n_planes * 32 - K
+    bits = jnp.pad(binary, ((0, pad), (0, 0), (0, 0))).reshape(
+        n_planes, 32, H, W).astype(jnp.int32)
+    planes = jnp.sum(bits << jnp.arange(32, dtype=jnp.int32)[None, :, None, None],
+                     axis=1)                                  # [n_planes, H, W]
+    return {"mask_planes": planes, "scores": top_scores * mask_score,
+            "classes": labels.astype(jnp.int32)}
+
+
+def unpack_mask_planes(planes: np.ndarray, k: int) -> np.ndarray:
+    """[ceil(K/32), H, W] int32 bit planes → [K, H, W] bool (host tail of
+    ``instance_inference_device``)."""
+    planes = np.asarray(planes)
+    n, H, W = planes.shape
+    out = np.zeros((k, H, W), bool)
+    for i in range(k):
+        out[i] = (planes[i // 32] >> (i % 32)) & 1
+    return out
+
+
 def evaluate_grounding(params, cfg: XDecoderModelConfig, images,
                        text_ids, text_mask, out_size=None):
     """Referring segmentation (xdecoder_model.py:595-662): per-text token

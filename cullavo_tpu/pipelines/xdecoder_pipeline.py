@@ -21,9 +21,11 @@ import numpy as np
 
 from cullavo_tpu.models.xdecoder.model import (XDecoderModelConfig,
                                                evaluate_grounding, forward_eval,
-                                               instance_inference,
-                                               panoptic_inference_host,
-                                               semantic_inference_argmax)
+                                               instance_inference_device,
+                                               panoptic_assemble_host,
+                                               panoptic_inference_device,
+                                               semantic_inference_argmax,
+                                               unpack_mask_planes)
 from cullavo_tpu.pipelines.base import register_pipeline
 
 
@@ -157,34 +159,51 @@ class XDecoderPipeline:
     def _fn_for(self, out_size):
         if out_size not in self._eval_fns:
             cfgm = self.model_cfg
-            if self.tasks.semantic and not (self.tasks.panoptic
-                                            or self.tasks.instance):
-                # semantic-only (the bulk of the reference's seg evals):
-                # fuse the per-image argmax INTO the batched program — the
-                # [B, Q, H, W] upsampled logits never fully materialize and
-                # only [B, H, W] int32 maps leave the device.  Measured on
-                # chip: 3.9 → 30+ img/s through the product pipeline (the
-                # unfused form paid ~0.85 GB of f32 mask materialization
-                # per batch plus 8 separate argmax dispatches)
-                def fused(p, im, t):
-                    mask_cls, mask_pred, _ = forward_eval(
-                        p, cfgm, im, t, out_size=out_size)
+            tasks = self.tasks
+
+            # every enabled inference fuses INTO the batched program — the
+            # [B, Q, H, W] upsampled logits never fully materialize and only
+            # compact per-image artifacts leave the device:
+            #   semantic  → [H, W] argmax id map (bf16 when C < 256)
+            #   panoptic  → winner id map + validity map + Q-sized stats
+            #               (panoptic_inference_device; the Q-scalar seg-id /
+            #               stuff-merge loop stays on host) instead of the
+            #               [Q, H, W] f32 logits (~106 MB/image at 512²)
+            #   instance  → top-k masks as int32 BIT PLANES (32× less
+            #               transfer) + scores/classes
+            # Measured on chip for semantic: 3.9 → 9.4 img/s through the
+            # product pipeline (round 3); panoptic/instance fused in round 4
+            # (the r3 path still shipped full mask tensors for those).
+            def fused(p, im, t, hw):
+                mask_cls, mask_pred, _ = forward_eval(
+                    p, cfgm, im, t, out_size=out_size)
+                out = {}
+                if tasks.semantic:
                     sem = jax.vmap(semantic_inference_argmax)(mask_cls,
                                                               mask_pred)
                     if cfgm.num_classes <= 256:
-                        # ship the id map as bf16 (exact integers < 256):
-                        # halves the host transfer, which dominates on a
-                        # remote-tunnel attachment (int32 [8, 512, 512] is
-                        # 8 MB/batch; uint8 would be ideal but uint8 ops
-                        # crash the axon compile helper)
+                        # bf16 id map (exact integers < 256) halves the
+                        # host transfer, which dominates on a remote-tunnel
+                        # attachment; uint8 ops crash the axon helper
                         sem = sem.astype(jnp.bfloat16)
-                    return sem
+                    out["sem"] = sem
+                if tasks.panoptic:
+                    pan = jax.vmap(lambda c, m, v: panoptic_inference_device(
+                        c, m, cfgm.object_mask_threshold, valid_hw=v))(
+                            mask_cls, mask_pred, hw)
+                    if mask_cls.shape[1] <= 256:
+                        pan["mask_ids"] = pan["mask_ids"].astype(jnp.bfloat16)
+                        pan["winner_ok"] = pan["winner_ok"].astype(jnp.bfloat16)
+                    out["pan"] = pan
+                if tasks.instance:
+                    out["inst"] = jax.vmap(
+                        lambda c, m, v: instance_inference_device(
+                            c, m, cfgm.num_classes,
+                            cfgm.test_topk_per_image, valid_hw=v))(
+                                mask_cls, mask_pred, hw)
+                return out
 
-                self._eval_fns[out_size] = jax.jit(fused)
-            else:
-                self._eval_fns[out_size] = jax.jit(
-                    lambda p, im, t: forward_eval(p, cfgm, im, t,
-                                                  out_size=out_size))
+            self._eval_fns[out_size] = jax.jit(fused)
         return self._eval_fns[out_size]
 
     def evaluate_model(self, dataset: Iterable[dict], limit: Optional[int] = None,
@@ -229,42 +248,32 @@ class XDecoderPipeline:
                 for j, i in enumerate(group):
                     r = rows[i]["image"]
                     img[j, :r.shape[0], :r.shape[1]] = r
+                hw = np.zeros((B, 2), np.int32)
+                for j, i in enumerate(group):
+                    hw[j] = rows[i]["image"].shape[:2]
                 t0 = time.perf_counter()
                 data_t.append(t0 - t_last)
-                sem_only = (self.tasks.semantic
-                            and not (self.tasks.panoptic or self.tasks.instance))
-                if sem_only:
-                    sem_maps = np.asarray(fn(
-                        self.params, jnp.asarray(img),
-                        self.text_class_embeds)).astype(np.int64)
-                else:
-                    mask_cls, mask_pred, boxes = fn(
-                        self.params, jnp.asarray(img), self.text_class_embeds)
-                    mask_cls.block_until_ready()
+                out_dev = fn(self.params, jnp.asarray(img),
+                             self.text_class_embeds, jnp.asarray(hw))
+                # device→host transfer is part of the compute window (it is
+                # exactly what the device-side fusion shrinks)
+                out_host = jax.tree.map(np.asarray, out_dev)
                 t1 = time.perf_counter()
                 compute_t.append(t1 - t0)
                 n_images += len(group)
+                sem_maps = (out_host["sem"].astype(np.int64)
+                            if "sem" in out_host else None)
                 for j, i in enumerate(group):
                     row = rows[i]
                     h, w = row["image"].shape[:2]
-                    if sem_only:
-                        if "sem_seg" in row:
-                            sem_metrics.add(sem_maps[j][:h, :w],
-                                            row["sem_seg"])
-                        continue
-                    # crop the padded margin back off before any metric
-                    mc, mp = mask_cls[j], mask_pred[j][:, :h, :w]
-                    if self.tasks.semantic and "sem_seg" in row:
-                        # fused matmul+argmax (equal to
-                        # argmax(semantic_inference); ~10x faster at 512²
-                        # and skips the [C, H, W] fp32 map)
-                        pred = np.asarray(semantic_inference_argmax(mc, mp))
-                        sem_metrics.add(pred, row["sem_seg"])
+                    if sem_maps is not None and "sem_seg" in row:
+                        sem_metrics.add(sem_maps[j][:h, :w], row["sem_seg"])
                     if self.tasks.panoptic:
-                        pan, segs = panoptic_inference_host(
-                            np.asarray(mc), np.asarray(mp), thing_ids,
-                            self.model_cfg.object_mask_threshold,
+                        dev_j = {k: v[j] for k, v in out_host["pan"].items()}
+                        pan, segs = panoptic_assemble_host(
+                            dev_j, thing_ids,
                             self.model_cfg.overlap_threshold)
+                        pan = pan[:h, :w]
                         pan_outputs.append({"image_id": row.get("image_id"),
                                             "panoptic": pan, "segments": segs})
                         if pan_metrics is not None and "pan_seg_gt" in row:
@@ -274,21 +283,20 @@ class XDecoderPipeline:
                             pan_metrics.add(pan, segs, row["pan_seg_gt"],
                                             row["segments_gt"])
                     if self.tasks.instance:
-                        inst = instance_inference(
-                            mc, mp, self.model_cfg.num_classes,
-                            self.model_cfg.test_topk_per_image)
+                        inst = out_host["inst"]
+                        masks = unpack_mask_planes(
+                            inst["mask_planes"][j],
+                            inst["scores"].shape[1])[:, :h, :w]
                         inst_outputs.append({
                             "image_id": row.get("image_id"),
-                            "scores": np.asarray(inst["scores"]),
-                            "classes": np.asarray(inst["classes"]),
-                            "masks": np.asarray(inst["masks"]),
+                            "scores": inst["scores"][j],
+                            "classes": inst["classes"][j],
+                            "masks": masks,
                         })
                         if inst_metrics is not None and "instances_gt" in row:
                             gt = row["instances_gt"]
                             inst_metrics.add(
-                                np.asarray(inst["masks"]) > 0.5,
-                                np.asarray(inst["classes"]),
-                                np.asarray(inst["scores"]),
+                                masks, inst["classes"][j], inst["scores"][j],
                                 np.asarray(gt["masks"]).astype(bool),
                                 np.asarray(gt["classes"]))
                 t_last = time.perf_counter()

@@ -44,12 +44,24 @@ def main():
              "sem_seg": rng.integers(0, cfg.num_classes, (S, S)).astype(np.int64)}
             for i in range(N)]
 
+    # SEG_PIPE_TASKS: semantic (default) | panoptic | instance | all — the
+    # panoptic/instance modes exercise the round-4 device-fused inference
+    # (compact id maps / bit-packed instance planes instead of [Q, H, W])
+    mode = os.environ.get("SEG_PIPE_TASKS", "semantic")
+    tasks = {
+        "semantic": EvalTasks(semantic=True),
+        "panoptic": EvalTasks(semantic=True, panoptic=True),
+        "instance": EvalTasks(semantic=False, instance=True),
+        "all": EvalTasks(semantic=True, panoptic=True, instance=True),
+    }[mode]
     pipe = XDecoderPipeline(opt, cfg, params, text_embeds,
-                            tasks=EvalTasks(semantic=True), eval_batch=B)
-    out = pipe.evaluate_model(list(rows), warmup=1)
+                            tasks=tasks, eval_batch=B)
+    out = pipe.evaluate_model(list(rows), warmup=1,
+                              thing_ids=frozenset(range(54)))
     t = out["timing"]
     print(json.dumps({
         "metric": "xdecoder_pipeline_eval_images_per_s",
+        "tasks": mode,
         "value": round(t.get("images_per_s", 0.0), 2),
         "unit": "images/s", "eval_batch": B, "n_images": N,
         "image_size": S,

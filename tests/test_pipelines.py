@@ -283,3 +283,62 @@ def test_refcoco_eval_batched_matches_batch1():
 
     a, b = run(1), run(3)
     assert a == b, (a, b)
+
+
+def test_xdecoder_eval_device_fusion_matches_host_path():
+    """The round-4 device-fused panoptic/instance eval (compact id maps +
+    bit-packed instance planes leaving the device) must produce EXACTLY the
+    round-3 host-path results: per-image panoptic id maps + segment lists
+    via panoptic_inference_host on cropped logits, and instance
+    masks/scores/classes via instance_inference on cropped logits."""
+    import jax
+
+    from cullavo_tpu.models.xdecoder.model import (forward_eval,
+                                                   init_xdecoder_model_params,
+                                                   instance_inference,
+                                                   panoptic_inference_host,
+                                                   tiny_xdecoder_config)
+    from cullavo_tpu.pipelines.xdecoder_pipeline import (EvalTasks,
+                                                         XDecoderPipeline)
+
+    cfg = tiny_xdecoder_config()
+    params = init_xdecoder_model_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    text_embeds = jnp.asarray(
+        rng.normal(size=(cfg.num_classes + 1, cfg.text.dim_lang))
+        .astype(np.float32))
+    thing_ids = frozenset({0, 2})
+    rows = [{"image_id": i,
+             "image": rng.normal(size=(h, w, 3)).astype(np.float32)}
+            for i, (h, w) in enumerate([(32, 40), (27, 33), (48, 32)])]
+
+    pipe = XDecoderPipeline(
+        Config({}), cfg, params, text_embeds,
+        tasks=EvalTasks(semantic=False, instance=True, panoptic=True),
+        bucket_step=32, eval_batch=2)
+    out = pipe.evaluate_model(list(rows), thing_ids=thing_ids)
+
+    for i, row in enumerate(rows):
+        h, w = row["image"].shape[:2]
+        bh, bw = -(-h // 32) * 32, -(-w // 32) * 32
+        img = np.zeros((1, bh, bw, 3), np.float32)
+        img[0, :h, :w] = row["image"]
+        mc, mp, _ = forward_eval(params, cfg, jnp.asarray(img), text_embeds,
+                                 out_size=(bh, bw))
+        mc, mp = mc[0], mp[0][:, :h, :w]          # r3 semantics: crop first
+        ref_pan, ref_segs = panoptic_inference_host(
+            np.asarray(mc), np.asarray(mp), thing_ids,
+            cfg.object_mask_threshold, cfg.overlap_threshold)
+        got = out["panoptic_outputs"][i]
+        np.testing.assert_array_equal(got["panoptic"], ref_pan, err_msg=str(i))
+        assert got["segments"] == ref_segs, i
+
+        ref_inst = instance_inference(mc, mp, cfg.num_classes,
+                                      cfg.test_topk_per_image)
+        got_i = out["instance_outputs"][i]
+        np.testing.assert_array_equal(got_i["masks"],
+                                      np.asarray(ref_inst["masks"]) > 0.5)
+        np.testing.assert_allclose(got_i["scores"],
+                                   np.asarray(ref_inst["scores"]), rtol=1e-4)
+        np.testing.assert_array_equal(got_i["classes"],
+                                      np.asarray(ref_inst["classes"]))

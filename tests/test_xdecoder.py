@@ -519,3 +519,100 @@ def test_lap_jv_matches_scipy():
         ref_total = cost[b][r, c].sum()
         total = cost[b][rows_d[b, :n], np.arange(n)].sum()
         np.testing.assert_allclose(total, ref_total, rtol=1e-5)
+
+
+def test_panoptic_device_fusion_matches_host():
+    """panoptic_inference_device + panoptic_assemble_host must reproduce
+    panoptic_inference_host exactly (id maps up to identical seg-id
+    assignment, identical segment lists) — the device-fused eval path ships
+    two [H, W] maps + Q vectors instead of the [Q, H, W] logits."""
+    from cullavo_tpu.models.xdecoder.model import (panoptic_assemble_host,
+                                                   panoptic_inference_device,
+                                                   panoptic_inference_host)
+
+    rng = np.random.default_rng(3)
+    Q, C, H, W = 12, 7, 24, 32
+    thing_ids = {0, 2, 5}
+    for trial in range(5):
+        # pointy logits so several queries pass the keep threshold and
+        # stuff classes repeat (exercising the stuff-merge path)
+        mask_cls = np.asarray(rng.normal(size=(Q, C + 1)) * 4, np.float32)
+        mask_pred = np.asarray(rng.normal(size=(Q, H, W)) * 2, np.float32)
+        ref_pan, ref_segs = panoptic_inference_host(
+            mask_cls, mask_pred, thing_ids, object_mask_threshold=0.3,
+            overlap_threshold=0.6)
+        dev = jax.jit(lambda c, m: panoptic_inference_device(
+            c, m, object_mask_threshold=0.3))(jnp.asarray(mask_cls),
+                                              jnp.asarray(mask_pred))
+        pan, segs = panoptic_assemble_host(dev, thing_ids,
+                                           overlap_threshold=0.6)
+        np.testing.assert_array_equal(pan, ref_pan, err_msg=f"trial {trial}")
+        assert segs == ref_segs, trial
+
+
+def test_panoptic_device_valid_hw_restricts_areas():
+    """With valid_hw the padded margin neither votes into the areas nor the
+    id map — matching the host path's pre-cropped inputs."""
+    from cullavo_tpu.models.xdecoder.model import (panoptic_assemble_host,
+                                                   panoptic_inference_device,
+                                                   panoptic_inference_host)
+
+    rng = np.random.default_rng(4)
+    Q, C, H, W, h, w = 8, 5, 32, 32, 20, 26
+    thing_ids = {1}
+    mask_cls = np.asarray(rng.normal(size=(Q, C + 1)) * 4, np.float32)
+    full = np.asarray(rng.normal(size=(Q, H, W)) * 2, np.float32)
+    ref_pan, ref_segs = panoptic_inference_host(
+        mask_cls, full[:, :h, :w], thing_ids, object_mask_threshold=0.3,
+        overlap_threshold=0.6)
+    dev = panoptic_inference_device(jnp.asarray(mask_cls), jnp.asarray(full),
+                                    object_mask_threshold=0.3,
+                                    valid_hw=jnp.asarray([h, w]))
+    pan, segs = panoptic_assemble_host(dev, thing_ids, overlap_threshold=0.6)
+    np.testing.assert_array_equal(pan[:h, :w], ref_pan)
+    assert segs == ref_segs
+    assert (pan[h:, :] == 0).all() and (pan[:, w:] == 0).all()
+
+
+def test_instance_device_fusion_matches_host():
+    """instance_inference_device's bit-packed planes unpack to exactly the
+    dense instance_inference outputs (masks, combined scores, classes)."""
+    from cullavo_tpu.models.xdecoder.model import (instance_inference,
+                                                   instance_inference_device,
+                                                   unpack_mask_planes)
+
+    rng = np.random.default_rng(5)
+    Q, C, H, W, K = 10, 6, 16, 24, 37   # K spans >1 int32 plane
+    mask_cls = np.asarray(rng.normal(size=(Q, C + 1)) * 2, np.float32)
+    mask_pred = np.asarray(rng.normal(size=(Q, H, W)), np.float32)
+    ref = instance_inference(jnp.asarray(mask_cls), jnp.asarray(mask_pred),
+                             C, topk=K)
+    dev = jax.jit(lambda c, m: instance_inference_device(
+        c, m, C, topk=K))(jnp.asarray(mask_cls), jnp.asarray(mask_pred))
+    masks = unpack_mask_planes(dev["mask_planes"], K)
+    np.testing.assert_array_equal(masks, np.asarray(ref["masks"]) > 0.5)
+    np.testing.assert_allclose(np.asarray(dev["scores"]),
+                               np.asarray(ref["scores"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dev["classes"]),
+                                  np.asarray(ref["classes"]))
+
+
+def test_instance_device_valid_hw_matches_cropped_host():
+    from cullavo_tpu.models.xdecoder.model import (instance_inference,
+                                                   instance_inference_device,
+                                                   unpack_mask_planes)
+
+    rng = np.random.default_rng(6)
+    Q, C, H, W, h, w, K = 9, 5, 32, 32, 21, 27, 8
+    mask_cls = np.asarray(rng.normal(size=(Q, C + 1)) * 2, np.float32)
+    full = np.asarray(rng.normal(size=(Q, H, W)), np.float32)
+    ref = instance_inference(jnp.asarray(mask_cls),
+                             jnp.asarray(full[:, :h, :w]), C, topk=K)
+    dev = instance_inference_device(jnp.asarray(mask_cls), jnp.asarray(full),
+                                    C, topk=K, valid_hw=jnp.asarray([h, w]))
+    masks = unpack_mask_planes(dev["mask_planes"], K)
+    np.testing.assert_array_equal(masks[:, :h, :w],
+                                  np.asarray(ref["masks"]) > 0.5)
+    assert not masks[:, h:, :].any() and not masks[:, :, w:].any()
+    np.testing.assert_allclose(np.asarray(dev["scores"]),
+                               np.asarray(ref["scores"]), rtol=1e-5)
