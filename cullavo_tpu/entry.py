@@ -208,6 +208,23 @@ def train(cfg):
                           params=params, mesh=mesh)
     state = pipe.initialize_model()
 
+    resume = cfg.get("RESUME_FROM")
+    if resume:
+        # the reference's step1→step2 resume points RESUME_FROM at
+        # epoch{N}/CuLLaVO.pt with the 'cullavo' adapter tree next to it
+        # (BaseModel.from_pretrained:71-136); load it into the trainable
+        # partition (reference-layout export below writes the same tree)
+        import jax.numpy as jnp
+
+        from cullavo_tpu.checkpoint.reference_layout import load_reference_layout
+        from cullavo_tpu.trainer.step import TrainState
+
+        trainable = jax.tree.map(
+            jnp.asarray, load_reference_layout(resume, state.trainable))
+        state = TrainState(trainable, state.opt_state, state.step)
+        pipe.state = state
+        print(f"[entry] resumed trainable state from {resume}", file=sys.stderr)
+
     dataset_name = cfg.get("DATASETS", {}).get("TRAIN") if "DATASETS" in cfg else None
     if not dataset_name:
         print("[entry] no DATASETS.TRAIN configured — smoke step only",
@@ -218,29 +235,65 @@ def train(cfg):
         print({k: float(v) for k, v in metrics.items()})
         return
 
+    from cullavo_tpu.data.coco_panoptic import PanopticMapper
     from cullavo_tpu.data.registry import get_dataset
 
     records = get_dataset(dataset_name)
     batch_size = int(cfg.get("BATCH_SIZE", 8))
+    # registered datasets (KIND: coco_panoptic, DETECTRON2_DATASETS bulk)
+    # yield RAW records (file_name/pan_seg_file_name/segments); the step1
+    # synthesis consumes the MAPPED format ({"image","classes","boxes",
+    # "is_thing"}) — map lazily per batch so images load on demand, and
+    # buffer past unmappable records (no instances) to keep a constant
+    # batch shape, as train_xdecoder does
+    mapper = PanopticMapper(image_size=model_cfg.vision.image_size)
+
+    def _mapped(rec):
+        if "is_thing" in rec:
+            return rec
+        return mapper(rec)
 
     def data_iter(epoch):
         order = np.random.default_rng(epoch).permutation(len(records))
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            chunk = [records[j] for j in order[i:i + batch_size]]
-            yield pipe.make_batch(chunk)
+        buf = []
+        for j in order:
+            rec = _mapped(records[j])
+            if rec is not None:
+                buf.append(rec)
+            if len(buf) == batch_size:
+                yield pipe.make_batch(buf)
+                buf = []
+
+    save_fn = None
+    if hasattr(pipe, "lora_cfg"):
+        from cullavo_tpu.checkpoint.reference_layout import save_reference_layout
+        from cullavo_tpu.checkpoint.store import save_checkpoint
+
+        def save_fn(save_dir, global_step, st, epoch):
+            save_checkpoint(save_dir, global_step, st)
+            ep = save_reference_layout(save_dir, epoch, st.trainable,
+                                       pipe.lora_cfg)
+            print(f"[entry] reference-layout checkpoint at {ep}",
+                  file=sys.stderr)
 
     loop_cfg = LoopConfig(max_epochs=int(cfg.get("EPOCHS", 1)),
                           checkpoint_period=int(cfg.get("PERIOD", 0)),
+                          log_every=int(cfg.get("LOG_EVERY", 10)),
                           save_dir=cfg.get("SAVE_DIR"))
     train_loop(state, pipe.frozen, pipe.step_fn, data_iter,
                steps_per_epoch=len(records) // batch_size, cfg=loop_cfg,
-               rng=jax.random.PRNGKey(0), log_fn=lambda d: print(d, file=sys.stderr))
+               rng=jax.random.PRNGKey(0),
+               log_fn=lambda d: print(d, file=sys.stderr), save_fn=save_fn)
 
 
 def _smoke_records(model_cfg):
+    import jax
+
     rng = np.random.default_rng(0)
     recs = []
-    for _ in range(2):
+    # batch must divide over the configured mesh (MESH_DATA: -1 spans all
+    # devices — 8 on the virtual-CPU test mesh)
+    for _ in range(max(2, jax.device_count())):
         recs.append({
             "image": rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
             "classes": np.asarray([0, 2]),

@@ -65,9 +65,15 @@ class CuLLaVOPipeline:
                     return src.get(key)
             return default
 
-        lora_cfg = LoraConfig(r=int(_opt_get("LORA_R", 64)),
-                              alpha=float(_opt_get("LORA_ALPHA", 16)),
-                              dropout=0.05)
+        lora_cfg = LoraConfig(
+            r=int(_opt_get("LORA_R", 64)),
+            alpha=float(_opt_get("LORA_ALPHA", 16)),
+            dropout=0.05,
+            # the reference pins range(12, 23) of the 24-layer CLIP tower
+            # (load_cullavo.py:106); configurable so tiny towers can carry
+            # adapters too (real-layout train drill)
+            vision_layer_start=int(_opt_get("LORA_VISION_START", 12)),
+            vision_layer_stop=int(_opt_get("LORA_VISION_STOP", 23)))
         lora = init_lora_params(self.params, self.model_cfg, lora_cfg,
                                 jax.random.PRNGKey(1))
         trainable = trainable_partition(self.params, lora)

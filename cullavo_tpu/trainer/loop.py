@@ -66,8 +66,14 @@ def train_loop(
     cfg: LoopConfig,
     rng: jax.Array,
     log_fn: Callable[[dict], None] = None,
+    save_fn: Callable = None,       # (save_dir, global_step, state, epoch)
 ):
-    """Runs the loop; returns the final state and the loss history."""
+    """Runs the loop; returns the final state and the loss history.
+
+    ``save_fn`` overrides the default npz ``save_checkpoint`` at the same
+    call points (periodic + end of epoch) — the CuLLaVO entry passes one
+    that additionally exports the reference ``epoch{N}`` adapter layout
+    (BaseModel.save_pretrained parity, checkpoint/reference_layout.py)."""
     history = []
     loss_meter = AverageMeter()
     data_time = AverageMeter()
@@ -135,9 +141,11 @@ def train_loop(
                         "loss_avg": loss_meter.avg,
                         "data_s": data_time.avg, "step_s": step_time.avg})
             if ckpt_every and cfg.save_dir and (i + 1) % ckpt_every == 0:
-                save_checkpoint(cfg.save_dir, global_step, state)
+                (save_fn or (lambda d, s, st, e: save_checkpoint(d, s, st)))(
+                    cfg.save_dir, global_step, state, epoch)
         if cfg.save_dir:
-            save_checkpoint(cfg.save_dir, global_step, state)
+            (save_fn or (lambda d, s, st, e: save_checkpoint(d, s, st)))(
+                cfg.save_dir, global_step, state, epoch)
     if profiling:
         # the loop ended inside the capture window — flush the trace so it
         # is not lost and a later start_trace does not raise

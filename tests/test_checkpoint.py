@@ -157,3 +157,42 @@ def test_export_hf_roundtrip_through_entry_build(tmp_path):
     # NF4 is lossy, but the quantized logits must track the originals
     c = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
     assert c > 0.95, f"quantized logits decorrelated: r={c}"
+
+
+def test_reference_layout_roundtrip():
+    """save_reference_layout → load_reference_layout reproduces the trainable
+    partition exactly (real PEFT key names + torch .pt extras — the
+    BaseModel.save_pretrained/from_pretrained tree, modeling/BaseModel.py:20-136)."""
+    import jax
+    import numpy as np
+
+    from cullavo_tpu.checkpoint.reference_layout import (load_reference_layout,
+                                                         save_reference_layout)
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.lora import (LoraConfig, init_lora_params,
+                                               trainable_partition)
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+
+    import tempfile
+
+    cfg = tiny_llava_config(128)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    lora_cfg = LoraConfig(r=4, vision_layer_start=1, vision_layer_stop=2)
+    lora = init_lora_params(params, cfg, lora_cfg, jax.random.PRNGKey(1))
+    # make B nonzero so the round-trip is non-trivial
+    lora = jax.tree.map(lambda a: a + 0.25, lora)
+    trainable = trainable_partition(params, lora)
+
+    with tempfile.TemporaryDirectory() as d:
+        ep = save_reference_layout(d, 3, trainable, lora_cfg)
+        assert ep.endswith("epoch3")
+        # the reference's RESUME_FROM points at the CuLLaVO.pt inside
+        loaded = load_reference_layout(ep + "/CuLLaVO.pt", trainable)
+
+    flat_a = {"/".join(map(str, p)): np.asarray(v)
+              for p, v in jax.tree_util.tree_flatten_with_path(trainable)[0]}
+    flat_b = {"/".join(map(str, p)): np.asarray(v)
+              for p, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k], err_msg=k)

@@ -192,7 +192,7 @@ DATASETS:
     assert os.path.exists(tmp_path / "out" / "vqa_results.json")
 
 
-def _write_coco_panoptic_tree(tmp_path):
+def _write_coco_panoptic_tree(tmp_path, n_images=2):
     """Real-format COCO panoptic mini: panoptic_val2017.json + id-encoded
     PNGs + images."""
     img_dir = tmp_path / "coco" / "val2017"
@@ -203,7 +203,7 @@ def _write_coco_panoptic_tree(tmp_path):
     rng = np.random.default_rng(6)
     H = W = 64
     images, annotations = [], []
-    for image_id in (7, 9):
+    for image_id in (7, 9, 11, 13, 15, 17, 19, 21)[:n_images]:
         fname = f"{image_id:012d}"
         _save_png(img_dir / f"{fname}.jpg",
                   rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
@@ -321,3 +321,95 @@ DATASETS:
     m = res["coco_2017_val_panoptic"]
     assert "mIoU" in m.get("sem_seg", {}), m
     assert "PQ" in m.get("panoptic", {}), m
+
+
+def test_step1_train_real_commands_run_unmodified(tmp_path, capsys):
+    """docs/REAL_CHECKPOINTS.md step1 training section, verbatim:
+    ``train --conf_files configs/cullavo_step1.yaml step1_real.yaml`` against
+    an HF-layout snapshot + real-format COCO panoptic annotations.  Proves:
+    the registered raw records map through PanopticMapper into the step1
+    synthesis (previously the entry fed raw records straight in — KeyError
+    on any real dataset), the loss decreases over 3 steps, every epoch
+    exports the reference ``epoch{N}`` adapter layout
+    (BaseModel.save_pretrained parity: real PEFT key names, torch ``.pt``
+    extras), and RESUME_FROM on ``epoch{N}/CuLLaVO.pt`` loads it back."""
+    import re
+
+    torch = pytest.importorskip("torch")
+    model_dir = _write_hf_llava_tree(tmp_path, "new")
+    ann, img_dir, pan_dir = _write_coco_panoptic_tree(tmp_path, n_images=8)
+    out_dir = tmp_path / "step1_out"
+    merge = tmp_path / "step1_real.yaml"
+    with open(merge, "w") as f:
+        f.write(f"""
+MODEL: {{LLM: {{LOAD_PATH: {model_dir}, LORA_VISION_START: 1, LORA_VISION_STOP: 2}}}}
+SAVE_DIR: {out_dir}
+EPOCHS: 3
+BATCH_SIZE: 8
+LR: 1.0e-3
+LOG_EVERY: 1
+DATASETS:
+  TRAIN: coco_2017_train_panoptic_drill
+  REGISTER:
+    coco_2017_train_panoptic_drill:
+      KIND: coco_panoptic
+      JSON: {ann}
+      IMAGE_DIR: {img_dir}
+      PANOPTIC_DIR: {pan_dir}
+""")
+    from cullavo_tpu.entry import main
+
+    old = sys.argv
+    sys.argv = ["cullavo-tpu", "train", "--conf_files",
+                "configs/cullavo_step1.yaml", str(merge)]
+    try:
+        main()
+    finally:
+        sys.argv = old
+    err = capsys.readouterr().err
+    losses = [float(m.group(1)) for m in
+              re.finditer(r"'loss_avg': ([0-9.e+-]+)", err)]
+    assert len(losses) >= 3, err[-2000:]
+    assert losses[-1] < losses[0], losses
+
+    # reference epoch layout: real PEFT adapter names + torch extras
+    ep = out_dir / "epoch2"
+    assert (ep / "CuLLaVO.pt").exists()
+    from safetensors import safe_open
+
+    with safe_open(str(ep / "cullavo" / "language_model"
+                       / "adapter_model.safetensors"), framework="np") as f:
+        keys = list(f.keys())
+    assert ("base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"
+            in keys), keys[:5]
+    assert ("base_model.model.model.layers.1.mlp.down_proj.lora_B.weight"
+            in keys)
+    proj = torch.load(str(ep / "cullavo" / "multi_modal_projector.pt"),
+                      map_location="cpu", weights_only=True)
+    assert set(proj) == {"linear_1.weight", "linear_1.bias",
+                         "linear_2.weight", "linear_2.bias"}
+    # torch convention: [out, in]
+    assert proj["linear_1.weight"].shape[0] == proj["linear_1.bias"].shape[0]
+    # vision adapters restricted to layers_to_transform (tiny cfg: layer 1)
+    with safe_open(str(ep / "cullavo" / "vision_tower"
+                       / "adapter_model.safetensors"), framework="np") as f:
+        vkeys = list(f.keys())
+    assert all(".layers.1." in k for k in vkeys) and vkeys, vkeys[:5]
+
+    # resume drill: the reference's RESUME_FROM points at epoch{N}/CuLLaVO.pt
+    resume_merge = tmp_path / "step1_resume.yaml"
+    with open(resume_merge, "w") as f:
+        f.write(f"""
+MODEL: {{LLM: {{LOAD_PATH: {model_dir}, LORA_VISION_START: 1, LORA_VISION_STOP: 2}}}}
+RESUME_FROM: {ep / 'CuLLaVO.pt'}
+""")
+    sys.argv = ["cullavo-tpu", "train", "--conf_files",
+                "configs/cullavo_step1.yaml", str(resume_merge)]
+    try:
+        main()
+    finally:
+        sys.argv = old
+    cap = capsys.readouterr()
+    assert "resumed trainable state" in cap.err
+    metrics = eval(cap.out.strip().splitlines()[-1])
+    assert np.isfinite(metrics["loss_llm"])
