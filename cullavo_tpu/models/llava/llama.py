@@ -144,6 +144,15 @@ def _wwin_ok(T: int, S: int, hd: int) -> bool:
     return jax.default_backend() == "tpu" and hd % 128 == 0
 
 
+def _wwin_block(S: int) -> int:
+    """kv-block size for the wwin kernel: CULLAVO_WWIN_BLOCK (chip tuning
+    knob) when it divides S, else the 128 default."""
+    import os
+
+    bs = int(os.environ.get("CULLAVO_WWIN_BLOCK", 128))
+    return bs if (bs % 128 == 0 and S % bs == 0) else 128
+
+
 def sdpa_decode_stale(q, k_cache, v_cache, k_cur, v_cur, bias,
                       self_bias=None, scale=None):
     """One-token decode attention over a READ-ONLY cache plus the current
@@ -745,7 +754,8 @@ def llama_forward(
                 attn = wwin_decode_smajor_q8(
                     q, kc, ksc, vc, vsc, li,
                     repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias,
-                    n_rep=n_rep, win_q8=(kq, ks, vq, vs))
+                    n_rep=n_rep, win_q8=(kq, ks, vq, vs),
+                    block_s=_wwin_block(kc.shape[1]))
             else:
                 k_buf = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
                 v_buf = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
@@ -786,7 +796,7 @@ def llama_forward(
 
                 attn = wwin_decode_smajor(
                     q, kc, vc, li, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
-                    bias, n_rep=n_rep)
+                    bias, n_rep=n_rep, block_s=_wwin_block(kc.shape[1]))
             else:
                 k_buf = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
                 v_buf = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
