@@ -852,6 +852,21 @@ def _eval_step2_pre(cfg) -> dict:
                 img = load_image_rgb(r["image_path"])
             return np.asarray(img)
 
+    # multi-process: each rank generates its own contiguous shard and the
+    # pipeline merges via process_allgather (the reference's
+    # all_gather_object merge, CuLLaVOPipeline.py:124-127) — without the
+    # shard every rank would redundantly generate ALL rows
+    import jax
+
+    ctx = None
+    if jax.process_count() > 1:
+        from cullavo_tpu.parallel.mesh import ParallelContext
+
+        ctx = ParallelContext(mesh=None)
+        n, p = jax.process_count(), jax.process_index()
+        per = -(-len(keep) // n)
+        keep = keep[p * per:(p + 1) * per]
+
     rows_u8 = _LazyImages()
     B = len(rows_u8)
     ids = np.tile(ids_row[None], (B, 1))
@@ -861,7 +876,7 @@ def _eval_step2_pre(cfg) -> dict:
     rows = pipe.generate_step2_rows(
         rows_u8, ids, mask, out_dir, None,
         max_new_tokens=int(cfg.get("MAX_NEW_TOKENS", 256)),
-        batch_size=int(cfg.get("BATCH_SIZE", 8)))
+        batch_size=int(cfg.get("BATCH_SIZE", 8)), parallel_ctx=ctx)
     return {"rows": len(rows), "out_dir": out_dir}
 
 
