@@ -335,8 +335,11 @@ def main():
 
             cfg = LlavaConfig()
             params = build_llava7b_params("int8", cfg)
-            # best measured serving point (STATUS): 16 slots + int8 KV cache
-            # (9.44 req/s = 1.17x static batching on the 48-request stream)
+            # best measured serving point (STATUS r4): 16 slots + int8 KV
+            # cache + spec_k=4 prompt-lookup windows through the wwin
+            # flash-decode kernel — same-day A/B: 7.28 req/s vs 6.62
+            # (spec, unfused XLA windows) vs 5.19 (plain);
+            # BENCH_SERVE_SPEC_K=0 reverts to plain quanta
             serving = measure_serving(
                 params, cfg,
                 synth_requests(cfg, int(os.environ.get("BENCH_SERVE_N", 48))),
@@ -344,7 +347,7 @@ def main():
                 kv_quant=os.environ.get("BENCH_SERVE_KV", "int8") or None,
                 reps=int(os.environ.get("BENCH_SERVE_REPS", 3)),
                 arrival_rate=float(os.environ.get("BENCH_SERVE_RATE", 6)),
-                spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K", 0)) or None)
+                spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K", 4)) or None)
             del params
             log(f"serving: {serving}")
         except Exception as e:  # noqa: BLE001

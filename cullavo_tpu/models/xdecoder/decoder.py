@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import functools
 from typing import Optional
 
 import jax
@@ -288,9 +289,16 @@ def xdecoder_forward(
                                    # tokens must NOT attend (xdecoder.py:372-378)
     task: str = "seg",
     is_train: bool = False,
+    remat: bool = False,
 ):
     """Main decoder loop (xdecoder.py:193-323).  Returns dict with
-    pred_logits / pred_masks / pred_boxes / pred_captions (+ aux_outputs)."""
+    pred_logits / pred_masks / pred_boxes / pred_captions (+ aux_outputs).
+
+    ``remat=True`` checkpoints each decoder layer (cross/self-attn + FFN +
+    prediction head): the per-layer attention probability tensors
+    ([B, h, Q', HW] over the finest level) are recomputed in the backward
+    instead of saved — the deep-supervision predictions themselves stay
+    live (the loss consumes every layer's outputs)."""
     mems = _prepare_memories(params, cfg, features)
     B = features[0].shape[0]
     nq = cfg.num_queries
@@ -332,6 +340,7 @@ def xdecoder_forward(
     else:
         self_allowed = structured_self_attn_allowed(cfg, with_caption=False)[None]
 
+    g_tokens = g_tokens if use_grounding else None
     preds = []
     results = forward_prediction_heads(params, cfg, output, mask_features,
                                        mems[0][2], text_class_embeds,
@@ -339,7 +348,7 @@ def xdecoder_forward(
     preds.append(results)
     attn_allowed = results["attn_allowed"]
 
-    for i, lw in enumerate(params["layers"]):
+    def layer_step(i, lw, output, g_tokens, attn_allowed):
         level = i % cfg.num_feature_levels
         src, pos, size = mems[level]
 
@@ -377,6 +386,14 @@ def xdecoder_forward(
         results = forward_prediction_heads(params, cfg, output, mask_features,
                                            next_size, text_class_embeds,
                                            num_grounding, logit_scale)
+        return output, g_tokens, results
+
+    for i, lw in enumerate(params["layers"]):
+        fn = (jax.checkpoint(
+                  functools.partial(layer_step, i),
+                  policy=jax.checkpoint_policies.nothing_saveable)
+              if remat else functools.partial(layer_step, i))
+        output, g_tokens, results = fn(lw, output, g_tokens, attn_allowed)
         preds.append(results)
         attn_allowed = results["attn_allowed"]
 

@@ -186,7 +186,7 @@ def forward_seg_train(params, cfg: XDecoderModelConfig, images, targets,
                            text_class_embeds=text_class_embeds,
                            logit_scale=params["text"]["logit_scale"],
                            grounding_tokens=grounding_tokens,
-                           task="seg", is_train=True)
+                           task="seg", is_train=True, remat=remat)
     nq = cfg.decoder.num_queries
 
     # criterion sees OBJECT queries only ([:nq-1]) — the class token and any
@@ -252,21 +252,24 @@ def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
     tp, tc = params["text"], cfg.text
     # -- text side (trained end-to-end)
     class_embs = te.forward_language(tp, tc, batch["class_ids"],
-                                     batch["class_mask"], norm=True)
+                                     batch["class_mask"], norm=True,
+                                     remat=remat)
     B, P, T = batch["caption_ids"].shape
     cap_embs = te.forward_language(
         tp, tc, batch["caption_ids"].reshape(B * P, T),
-        batch["caption_mask"].reshape(B * P, T)).reshape(B, P, -1)
+        batch["caption_mask"].reshape(B * P, T),
+        remat=remat).reshape(B, P, -1)
     G = batch["grounding_ids"].shape[1]
     _, g_cls = te.forward_language_token(
         tp, tc, batch["grounding_ids"].reshape(B * G, T),
-        batch["grounding_token_mask"].reshape(B * G, T))
+        batch["grounding_token_mask"].reshape(B * G, T), remat=remat)
     # zero padded phrase slots: their EOT embeddings are garbage (all-zero
     # ids) and would otherwise inject noise into query self-attention
     grounding_tokens = (g_cls.reshape(B, G, -1)
                         * batch["grounding_valid"][:, :, None].astype(g_cls.dtype))
     cap_tok, cap_sent = te.forward_language_token(
-        tp, tc, batch["caption_text_ids"], batch["caption_text_mask"])
+        tp, tc, batch["caption_text_ids"], batch["caption_text_mask"],
+        remat=remat)
     vocab_embs = tp["token_embedding"] @ tp["lang_proj"]
     logit_scale = tp["logit_scale"]
 
@@ -279,7 +282,7 @@ def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
                            mask_features, text_class_embeds=class_embs,
                            logit_scale=logit_scale,
                            grounding_tokens=grounding_tokens,
-                           task="seg", is_train=True)
+                           task="seg", is_train=True, remat=remat)
     targets = {k: batch[k] for k in ("classes", "masks", "boxes", "valid")}
     rng, r_crit, r_ground = jax.random.split(rng, 3)
     # Hungarian matching over OBJECT queries only ([:nq-1]) — the class token
@@ -359,7 +362,7 @@ def forward_joint_train(params, cfg: XDecoderModelConfig, batch, rng,
     # -- vlp pass: captioning token CE + retrieval ITC (decoder + backbone)
     out_vlp = xdecoder_forward(params["decoder"], cfg.decoder, pyramid,
                                mask_features, caption_tokens=cap_tok,
-                               task="vlp", is_train=True)
+                               task="vlp", is_train=True, remat=remat)
     aux_vlp = out_vlp.get("aux_outputs", [])
     Lv = len(aux_vlp) + 1
 

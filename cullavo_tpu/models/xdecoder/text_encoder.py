@@ -67,8 +67,16 @@ def init_text_encoder_params(cfg: TextEncoderConfig, key: jax.Array, dtype=jnp.f
     }
 
 
-def text_transformer_forward(params, cfg: TextEncoderConfig, input_ids, attention_mask):
-    """[B, T] ids → last hidden state [B, T, W]."""
+def text_transformer_forward(params, cfg: TextEncoderConfig, input_ids,
+                             attention_mask, remat: bool = False):
+    """[B, T] ids → last hidden state [B, T, W].
+
+    ``remat=True`` checkpoints each scan layer: the joint train step encodes
+    134 class names + B·P captions + B·G phrases through this tower WITH
+    gradients, and the saved per-layer FFN activations
+    ([12, 134, 77, 2048] bf16) + attention probabilities
+    ([12, 134, 8, 77, 77] f32) were the LARGEST allocations in the b4 OOM
+    dump (~1.5 GB, image-batch-independent)."""
     B, T = input_ids.shape
     W, H = cfg.width, cfg.heads
     hd = W // H
@@ -106,13 +114,18 @@ def text_transformer_forward(params, cfg: TextEncoderConfig, input_ids, attentio
         h = h + (y @ w["proj_w"] + w["proj_b"])
         return h, None
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+    layer_fn = (jax.checkpoint(layer,
+                               policy=jax.checkpoint_policies.nothing_saveable)
+                if remat else layer)
+    x, _ = jax.lax.scan(layer_fn, x, params["layers"])
     return layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"], eps)
 
 
-def forward_language(params, cfg, input_ids, attention_mask, norm=True):
+def forward_language(params, cfg, input_ids, attention_mask, norm=True,
+                     remat=False):
     """Sentence embeddings [B, dim_lang] at the argmax-id (EOT) position."""
-    hidden = text_transformer_forward(params, cfg, input_ids, attention_mask)
+    hidden = text_transformer_forward(params, cfg, input_ids, attention_mask,
+                                      remat=remat)
     eot = jnp.argmax(input_ids, axis=-1)
     cls = jnp.take_along_axis(hidden, eot[:, None, None], axis=1)[:, 0]
     cls = cls @ params["lang_proj"]
@@ -121,9 +134,11 @@ def forward_language(params, cfg, input_ids, attention_mask, norm=True):
     return cls
 
 
-def forward_language_token(params, cfg, input_ids, attention_mask, norm=False):
+def forward_language_token(params, cfg, input_ids, attention_mask, norm=False,
+                           remat=False):
     """(token_emb [B, T, D], class_emb [B, D]) — both through lang_proj."""
-    hidden = text_transformer_forward(params, cfg, input_ids, attention_mask)
+    hidden = text_transformer_forward(params, cfg, input_ids, attention_mask,
+                                      remat=remat)
     eot = jnp.argmax(input_ids, axis=-1)
     cls = jnp.take_along_axis(hidden, eot[:, None, None], axis=1)[:, 0]
     token = hidden @ params["lang_proj"]

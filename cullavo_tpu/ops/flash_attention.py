@@ -578,6 +578,31 @@ def _packed_fwd_core(q, k, v, H, causal, block_q, block_k):
     d = Hd // H
     block_q = _fit_block(block_q, T, 8)
     block_k = _fit_block(block_k, S, 8)
+    if os.environ.get("CULLAVO_FLASH_PACKED_BG", "1") == "1":
+        # batch-grouped variant: ONE head per program delivered as a
+        # BlockSpec LANE-OFFSET block (1 head = d lanes, statically
+        # 128-aligned — the DMA does the head split, nothing is sliced
+        # in-kernel), program overhead amortized by grouping Gb BATCH rows
+        # per program (leading-dim ref reads, same shape contract as the
+        # standard _fwd_kernel_iota — reused verbatim).  The head-grouped
+        # form below pays in-kernel 128-lane slices of the [T, G·d] blocks,
+        # which measured SLOWER than the transposes they remove
+        # (15.00 vs 16.10 img/s, STATUS r2); this layout removes the
+        # transposes without introducing any slice.
+        Gb = _flash_group(B, T, S, d, need_lse=False, has_bias=False)
+        kernel = functools.partial(
+            _fwd_kernel_iota, block_q=block_q, block_k=block_k,
+            causal=causal, sm_scale=d ** -0.5, has_bias=False, group=Gb)
+        return pl.pallas_call(
+            kernel,
+            grid=(B // Gb, H),
+            in_specs=[pl.BlockSpec((Gb, T, d), lambda bg, h: (bg, 0, h)),
+                      pl.BlockSpec((Gb, S, d), lambda bg, h: (bg, 0, h)),
+                      pl.BlockSpec((Gb, S, d), lambda bg, h: (bg, 0, h))],
+            out_specs=pl.BlockSpec((Gb, T, d), lambda bg, h: (bg, 0, h)),
+            out_shape=jax.ShapeDtypeStruct((B, T, Hd), q.dtype),
+            interpret=jax.default_backend() == "cpu",
+        )(q, k, v)
     # heads per program under the shared VMEM budget rule
     G = _flash_group(H, T, S, d, need_lse=False, has_bias=False)
     kernel = functools.partial(

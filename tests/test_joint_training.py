@@ -268,3 +268,35 @@ def test_match_groundings_recovers_permutation():
     bad = float(loss_grounding_ce(sim, jnp.asarray(wrong), match_valid,
                                   jnp.asarray(rng.integers(1, 99, (B, G)))))
     assert good < bad
+
+
+def test_joint_forward_remat_matches_norematerialization():
+    """remat=True (backbone blocks + decoder layers + text-tower layers
+    checkpointed) must be a pure memory lever: identical losses to
+    remat=False."""
+    import jax
+
+    from cullavo_tpu.models.xdecoder.model import (forward_joint_train,
+                                                   init_xdecoder_model_params,
+                                                   tiny_xdecoder_config)
+
+    cfg = tiny_xdecoder_config()
+    params = init_xdecoder_model_params(cfg, jax.random.PRNGKey(0))
+    batch = _make_batch(np.random.default_rng(3))
+    rng = jax.random.PRNGKey(5)
+
+    losses_a = jax.jit(lambda p, b: forward_joint_train(p, cfg, b, rng,
+                                                        remat=False))(params, batch)
+    losses_b = jax.jit(lambda p, b: forward_joint_train(p, cfg, b, rng,
+                                                        remat=True))(params, batch)
+    assert set(losses_a) == set(losses_b)
+    for k in losses_a:
+        np.testing.assert_allclose(np.asarray(losses_a[k]),
+                                   np.asarray(losses_b[k]), rtol=2e-5,
+                                   atol=1e-6, err_msg=k)
+    # gradients flow through the checkpointed layers too
+    g = jax.grad(lambda p: sum(
+        jax.tree.leaves(forward_joint_train(p, cfg, batch, rng,
+                                            remat=True))))(params)
+    gn = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g)))
+    assert np.isfinite(gn) and gn > 0
