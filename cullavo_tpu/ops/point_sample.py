@@ -63,6 +63,28 @@ def point_sample_matmul(features: jax.Array, coords: jax.Array,
     the seg train step; this form cut the step 5.37 → 0.85 s-class.
     """
     C, H, W = features.shape
+    P = coords.shape[0]
+    # the [C, P, W] intermediate of the first tent matmul is the criterion's
+    # biggest liability (201 queries × 12544 points × W f32 ≈ 1.3 GB per
+    # image at 512² — the single largest allocation in the joint-train b8
+    # OOM dump): chunk the points through a REMATERIALIZED scan so only one
+    # [C, chunk, W] block is ever live (forward and backward).  Padded
+    # chunk-fill coords sit far outside the grid → zero tent weight → exact.
+    import os
+
+    target = int(os.environ.get("CULLAVO_POINT_CHUNK", 2048))
+    if 0 < target < P:
+        n = -(-P // target)
+        pad = n * target - P
+        coords_p = jnp.concatenate(
+            [coords, jnp.full((pad, 2), -10.0, coords.dtype)]) if pad else coords
+
+        def do(c):
+            return point_sample_matmul(features, c, align_corners=align_corners)
+
+        out = jax.lax.map(jax.checkpoint(do),
+                          coords_p.reshape(n, target, 2))     # [n, C, target]
+        return out.transpose(1, 0, 2).reshape(C, n * target)[:, :P]
     if align_corners:
         y = coords[:, 1] * (H - 1)
         x = coords[:, 0] * (W - 1)
