@@ -230,9 +230,8 @@ def run_quant_mode(quant_mode: str, kv_quant: Optional[str] = None,
     spec_k = int(os.environ.get("BENCH_SPEC_K", 0)) if spec_k is None else spec_k
     if spec_k:
         from cullavo_tpu.models.llava.modeling import generate_decode_spec
-        # round the cache to the wwin kernel's 128-slot blocks (extra slots
-        # are masked; llama._wwin_ok falls back to XLA otherwise)
-        max_len = -(-(T_padded + DECODE_TOKENS + spec_k) // 128) * 128
+        from cullavo_tpu.models.llava.llama import round_cache_len
+        max_len = round_cache_len(T_padded + DECODE_TOKENS + spec_k)
         plen = jnp.sum(jnp.asarray(mask), axis=1)
 
     spec_stats = {}
@@ -253,11 +252,13 @@ def run_quant_mode(quant_mode: str, kv_quant: Optional[str] = None,
             # often degenerate/repetitive, which INFLATES prompt-lookup
             # acceptance — tokens/forward must be quoted next to the number
             st = jax.device_get(stats)
-            # emitted counts tokens over ALL rows; windows counts batched
-            # verification forwards — per-row tokens/forward is the
+            # emitted counts tokens over ALL rows INCLUDING each row's
+            # prefill-sampled first token, which no window produced
+            # (generate_decode_spec docstring) — subtract B before dividing
+            # by the batched window count; per-row tokens/forward is the
             # break-even-comparable number (wwin break-even ~1.26)
             spec_stats["tokens_per_forward"] = round(
-                float(st["emitted"])
+                (float(st["emitted"]) - B)
                 / max(float(st["windows"]) * B, 1.0), 3)
         else:
             out, _ = generate_decode(params, cfg, state, gen,
@@ -375,7 +376,12 @@ def main():
             log(f"serving: {serving}")
         except Exception as e:  # noqa: BLE001
             log(f"bench mode serving FAILED: {type(e).__name__}: {e}")
-    line = res.get("int8") or res.get("kv_int8") or res["nf4"]
+    # headline preference order; fall back to ANY surviving mode so a
+    # partial-failure run still emits its measured numbers (the per-mode
+    # try/except contract)
+    line = next((res[n] for n in ("int8", "kv_int8", "nf4", "int8_spec",
+                                  "nf4_spec") if n in res),
+                None) or next(iter(res.values()))
     for name in ("int8_spec", "nf4_spec"):
         if name in res and line is not res[name]:
             line[f"{name}_images_per_s"] = res[name]["value"]

@@ -859,12 +859,14 @@ def _eval_step2_pre(cfg) -> dict:
     import jax
 
     ctx = None
+    shard_offset = 0
     if jax.process_count() > 1:
         from cullavo_tpu.parallel.mesh import ParallelContext
 
         ctx = ParallelContext(mesh=None)
         n, p = jax.process_count(), jax.process_index()
         per = -(-len(keep) // n)
+        shard_offset = p * per
         keep = keep[p * per:(p + 1) * per]
 
     rows_u8 = _LazyImages()
@@ -876,7 +878,8 @@ def _eval_step2_pre(cfg) -> dict:
     rows = pipe.generate_step2_rows(
         rows_u8, ids, mask, out_dir, None,
         max_new_tokens=int(cfg.get("MAX_NEW_TOKENS", 256)),
-        batch_size=int(cfg.get("BATCH_SIZE", 8)), parallel_ctx=ctx)
+        batch_size=int(cfg.get("BATCH_SIZE", 8)), parallel_ctx=ctx,
+        index_offset=shard_offset)
     return {"rows": len(rows), "out_dir": out_dir}
 
 

@@ -153,6 +153,16 @@ def _wwin_block(S: int) -> int:
     return bs if (bs % 128 == 0 and S % bs == 0) else 128
 
 
+def round_cache_len(n: int) -> int:
+    """Round a KV-cache length up to the wwin kernel's 128-slot block
+    granularity (extra slots stay masked).  The ONE place the kernel's
+    cache-length contract lives — every speculative caller (bench, VQA
+    pipeline, serving engine, probes) rounds through this, so a future
+    block-granularity change cannot silently drop one of them back to the
+    unfused XLA window path (``_wwin_ok`` falls back when S % 128 != 0)."""
+    return -(-n // 128) * 128
+
+
 def sdpa_decode_stale(q, k_cache, v_cache, k_cur, v_cur, bias,
                       self_bias=None, scale=None):
     """One-token decode attention over a READ-ONLY cache plus the current

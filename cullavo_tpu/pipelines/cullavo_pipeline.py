@@ -116,7 +116,8 @@ class CuLLaVOPipeline:
     def generate_step2_rows(self, images_u8: np.ndarray, prompts_ids: np.ndarray,
                             attention_mask: np.ndarray, out_dir: str,
                             pixel_values: np.ndarray, max_new_tokens: int = 256,
-                            parallel_ctx=None, batch_size: Optional[int] = None):
+                            parallel_ctx=None, batch_size: Optional[int] = None,
+                            index_offset: int = 0):
         """Model-in-the-loop enrichment (arch_cullavo.py:341-543): sample a
         caption+boxes continuation, parse, rasterize, emit dataset rows.
 
@@ -125,7 +126,11 @@ class CuLLaVOPipeline:
         would allocate a KV cache of hundreds of GB.  The final short chunk
         is padded by repetition so every chunk reuses ONE compiled program.
         ``pixel_values=None`` preprocesses each chunk from ``images_u8``
-        lazily (full-dataset [N,3,336,336] fp32 is ~1.5 MB/image host RAM)."""
+        lazily (full-dataset [N,3,336,336] fp32 is ~1.5 MB/image host RAM).
+        ``index_offset``: this rank's global start index into the full
+        record list — image filenames are ``step2_{offset+b}.png`` so a
+        multi-process run (each rank generating its shard into a shared
+        out_dir) never collides."""
         gen = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=True,
                                temperature=0.9, top_k=50, top_p=0.95,
                                eos_token_id=self.tokenizer.eos_token_id)
@@ -159,7 +164,7 @@ class CuLLaVOPipeline:
                 abs_boxes = boxes * np.asarray([W, H, W, H], np.float32)
                 colors = COLOR_LIST[:len(boxes)]
                 drawn = draw_boxes(images_u8[b], abs_boxes, colors)
-                img_name = f"step2_{b}.png"
+                img_name = f"step2_{index_offset + b}.png"
                 self._save_png(os.path.join(out_dir, img_name), drawn)
                 rows.append({"image": img_name, "boxes": boxes.tolist(),
                              "classes": classes, "text": text})

@@ -100,11 +100,12 @@ class VQAPipeline:
                 generate_decode, generate_decode_spec,
                 generate_prefill_chunked)
 
-            # spec cache lengths round to the wwin kernel's 128-slot blocks
-            # (extra slots masked; llama._wwin_ok falls back to XLA otherwise)
+            from cullavo_tpu.models.llava.llama import round_cache_len
+
+            # spec cache lengths round to the wwin kernel's block granularity
             cache_len = (L + self.max_new_tokens if not self.spec_k
-                         else -(-(L + self.max_new_tokens
-                                  + self.spec_k) // 128) * 128)
+                         else round_cache_len(L + self.max_new_tokens
+                                              + self.spec_k))
             state = generate_prefill_chunked(
                 self.params, self.model_cfg, jnp.asarray(ids),
                 jnp.asarray(pixel_values), jnp.asarray(mask),

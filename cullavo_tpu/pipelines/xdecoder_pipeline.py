@@ -192,8 +192,9 @@ class XDecoderPipeline:
                         c, m, cfgm.object_mask_threshold, valid_hw=v))(
                             mask_cls, mask_pred, hw)
                     if mask_cls.shape[1] <= 256:
+                        # bf16 halves the int32 id map; winner_ok stays bool
+                        # (1 byte — a bf16 cast would DOUBLE that transfer)
                         pan["mask_ids"] = pan["mask_ids"].astype(jnp.bfloat16)
-                        pan["winner_ok"] = pan["winner_ok"].astype(jnp.bfloat16)
                     out["pan"] = pan
                 if tasks.instance:
                     out["inst"] = jax.vmap(

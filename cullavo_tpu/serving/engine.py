@@ -124,10 +124,11 @@ class ServingEngine:
         if self.spec_k is not None and gen.do_sample:
             raise ValueError("spec_k requires greedy generation")
         if self.spec_k is not None:
-            # round the pool cache to the wwin flash-decode kernel's 128-slot
-            # blocks (capacity only grows; extra slots stay masked — without
-            # this llama._wwin_ok falls back to the unfused XLA window path)
-            self.max_len = -(-(self.max_len + self.spec_k) // 128) * 128
+            # round the pool cache to the wwin flash-decode kernel's block
+            # granularity (capacity only grows; extra slots stay masked)
+            from cullavo_tpu.models.llava.llama import round_cache_len
+
+            self.max_len = round_cache_len(self.max_len + self.spec_k)
         self.hist: Optional[dict] = None
         self.kv_quant = kv_quant
         self.compute_dtype = compute_dtype

@@ -36,9 +36,11 @@ def main():
     params = build_llava7b_params(quant, cfg)
     n_img = cfg.num_image_tokens
     T = 648
-    # 128-rounded so the wwin flash-decode kernel engages (CULLAVO_WWIN=0
+    from cullavo_tpu.models.llava.llama import round_cache_len
+
+    # rounded so the wwin flash-decode kernel engages (CULLAVO_WWIN=0
     # A/Bs the unfused XLA window path at the same cache length)
-    max_len = -(-(T + 64) // 128) * 128
+    max_len = round_cache_len(T + 64)
     rng = np.random.default_rng(0)
     ids = rng.integers(4, 32000, size=(slots, T)).astype(np.int32)
     ids[:, 1:1 + n_img] = cfg.image_token_id
