@@ -74,21 +74,32 @@ def _adapter_flat(lora_tree: dict, modules: dict, prefix: str) -> dict:
 
 
 def _adapter_unflat(flat: dict, template: dict, modules: dict,
-                    prefix: str) -> dict:
+                    prefix: str, target_modules=None) -> dict:
     """Inverse of ``_adapter_flat`` against a template tree (for shapes,
-    dtypes, and the vision layer mask)."""
+    dtypes, and the vision layer mask).
+
+    ``target_modules``: the checkpoint's ``adapter_config.json``
+    ``target_modules`` list, when available.  Reference trainings do not
+    always transform every module our template carries — e.g. the step2
+    vision adapter omits ``out_proj`` (add_adapter_for_step2,
+    cullavo/load_cullavo.py:23-32) — so a template target whose module is
+    absent from ``target_modules`` is left zeroed (``lora_B = 0`` makes the
+    adapter an identity) instead of raising.  Missing keys for modules the
+    config DOES claim to transform still raise."""
     out = {}
     for t, ad in template.items():
         a = np.zeros_like(np.asarray(ad["a"]))
         b = np.zeros_like(np.asarray(ad["b"]))
         mask = np.asarray(ad["mask"]).reshape(-1) if "mask" in ad else None
+        short = modules[t].split(".")[-1]
+        transformed = target_modules is None or short in target_modules
         for i in range(a.shape[0]):
             mod = f"{prefix}.{i}.{modules[t]}"
             ka, kb = f"{mod}.lora_A.weight", f"{mod}.lora_B.weight"
             if ka in flat:
                 a[i] = np.asarray(flat[ka]).T
                 b[i] = np.asarray(flat[kb]).T
-            elif mask is None or mask[i] != 0:
+            elif transformed and (mask is None or mask[i] != 0):
                 raise KeyError(f"adapter key {ka} missing from checkpoint")
         out[t] = {"a": a, "b": b}
         if "mask" in ad:
@@ -185,14 +196,23 @@ def load_reference_layout(path: str, trainable_template: dict) -> dict:
                 flat[k] = f.get_tensor(k)
         return flat
 
+    def read_targets(d):
+        cfg_path = os.path.join(d, "adapter_config.json")
+        if not os.path.isfile(cfg_path):
+            return None
+        with open(cfg_path) as f:
+            return set(json.load(f).get("target_modules") or []) or None
+
     tmpl = jax.tree.map(np.asarray, jax.device_get(trainable_template))
+    llm_dir = os.path.join(cullavo, "language_model")
+    vis_dir = os.path.join(cullavo, "vision_tower")
     lora = {
         "language_model": _adapter_unflat(
-            read_st(os.path.join(cullavo, "language_model")),
-            tmpl["lora"].get("language_model", {}), _LLM_MODULES, _LLM_PREFIX),
+            read_st(llm_dir), tmpl["lora"].get("language_model", {}),
+            _LLM_MODULES, _LLM_PREFIX, read_targets(llm_dir)),
         "vision_tower": _adapter_unflat(
-            read_st(os.path.join(cullavo, "vision_tower")),
-            tmpl["lora"].get("vision_tower", {}), _VIS_MODULES, _VIS_PREFIX),
+            read_st(vis_dir), tmpl["lora"].get("vision_tower", {}),
+            _VIS_MODULES, _VIS_PREFIX, read_targets(vis_dir)),
     }
     proj_sd = _torch_load(os.path.join(cullavo, "multi_modal_projector.pt"))
     projector = {lin: {"kernel": proj_sd[f"{lin}.weight"].T,

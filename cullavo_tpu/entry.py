@@ -865,9 +865,13 @@ def _eval_step2_pre(cfg) -> dict:
 
         ctx = ParallelContext(mesh=None)
         n, p = jax.process_count(), jax.process_index()
-        per = -(-len(keep) // n)
-        shard_offset = p * per
-        keep = keep[p * per:(p + 1) * per]
+        # balanced split (np.array_split semantics): ceil-division could hand
+        # trailing ranks EMPTY shards, which only works while allgather is
+        # the sole collective — a second collective inside the chunk loop
+        # would deadlock on uneven chunk counts
+        idx = np.array_split(np.arange(len(keep)), n)[p]
+        shard_offset = int(idx[0]) if idx.size else len(keep)
+        keep = [keep[int(i)] for i in idx]
 
     rows_u8 = _LazyImages()
     B = len(rows_u8)

@@ -122,7 +122,15 @@ class ServingEngine:
         # admission with the prompt + first token
         self.spec_k = int(spec_k) if spec_k else None
         if self.spec_k is not None and gen.do_sample:
-            raise ValueError("spec_k requires greedy generation")
+            # spec is greedy-only (a draft survives only when it equals the
+            # argmax); serve.yaml ships SPEC_K 4 by default, so a config that
+            # merely flips DO_SAMPLE must not crash — disable spec instead
+            import sys
+
+            print("[engine] do_sample=True disables speculative decoding "
+                  "(spec_k is greedy-only); continuing with plain quanta",
+                  file=sys.stderr)
+            self.spec_k = None
         if self.spec_k is not None:
             # round the pool cache to the wwin flash-decode kernel's block
             # granularity (capacity only grows; extra slots stay masked)
@@ -132,6 +140,7 @@ class ServingEngine:
         self.hist: Optional[dict] = None
         self.kv_quant = kv_quant
         self.compute_dtype = compute_dtype
+        self._fit_slots_to_hbm()
         self._rng = jax.random.PRNGKey(seed)
         # one write_slots dispatch per admission group instead of per-slot
         # write_slot calls — measured slower on a v5e (see _admit), opt-in
@@ -151,6 +160,65 @@ class ServingEngine:
         self.times: dict = {}
         # pixel shape for inert pad rows, learned from the first image
         self._pix_shape = (3, cfg.vision.image_size, cfg.vision.image_size)
+
+    # -- memory fit ---------------------------------------------------------
+    def _pool_bytes_per_slot(self) -> int:
+        """HBM bytes one decode-pool row costs at the (possibly spec-rounded)
+        cache length: k+v planes, plus the int8 mode's bf16 scale planes
+        ([L, S, B, KV] — llama.alloc cache layout)."""
+        t = self.cfg.text
+        kv_elems = (2 * t.num_hidden_layers * self.max_len
+                    * t.num_key_value_heads * t.head_dim)
+        if self.kv_quant == "int8":
+            scale_elems = (2 * t.num_hidden_layers * self.max_len
+                           * t.num_key_value_heads)
+            return kv_elems + scale_elems * 2
+        return kv_elems * 2
+
+    def _fit_slots_to_hbm(self) -> None:
+        """Derate ``num_slots`` (with a warning) when the decode pool cannot
+        fit next to the weights in device memory — e.g. the bf16-KV pool at
+        16 slots with spec's 128-rounded cache needs ~0.45 GB more than a
+        16 GB v5e has (STATUS round 4).  Budget: ``CULLAVO_SERVE_HBM_GB``
+        env override, else the device's ``memory_stats`` bytes_limit; when
+        neither is known (CPU tests) nothing changes.  An engine whose pool
+        cannot fit even one slot fails fast with the numbers."""
+        budget = None
+        env = os.environ.get("CULLAVO_SERVE_HBM_GB")
+        if env:
+            budget = float(env) * 1e9
+        else:
+            try:
+                stats = jax.local_devices()[0].memory_stats()
+                budget = float(stats["bytes_limit"])
+            except Exception:
+                return
+        weights = sum(
+            getattr(v, "nbytes", 0)
+            for v in jax.tree.leaves((self.params, self.lora or {})))
+        avail = budget * 0.92 - weights          # 8% workspace margin
+        per_slot = self._pool_bytes_per_slot()
+        fit = int(avail // per_slot)
+        if fit < 1:
+            raise ValueError(
+                f"decode pool cannot fit: one slot needs {per_slot/1e9:.2f} "
+                f"GB at max_len={self.max_len} kv_quant={self.kv_quant} but "
+                f"only {max(avail, 0)/1e9:.2f} GB remain of the "
+                f"{budget/1e9:.1f} GB budget after {weights/1e9:.2f} GB of "
+                f"weights (set KV_QUANT: int8, shorten MAX_LEN, or raise "
+                f"CULLAVO_SERVE_HBM_GB if the device is larger)")
+        if fit < self.num_slots:
+            import sys
+
+            print(f"[engine] derating SLOTS {self.num_slots} -> {fit}: "
+                  f"pool needs {self.num_slots * per_slot/1e9:.2f} GB "
+                  f"(kv_quant={self.kv_quant}, max_len={self.max_len}"
+                  f"{', spec-rounded' if self.spec_k else ''}) but only "
+                  f"{avail/1e9:.2f} GB fit next to {weights/1e9:.2f} GB of "
+                  f"weights in the {budget/1e9:.1f} GB budget",
+                  file=sys.stderr)
+            self.num_slots = fit
+            self.free = list(range(fit))
 
     # -- submission ---------------------------------------------------------
     def submit(self, req: Request) -> int:

@@ -78,6 +78,11 @@ def train_loop(
     loss_meter = AverageMeter()
     data_time = AverageMeter()
     step_time = AverageMeter()
+    # ``steps_per_epoch`` is an ESTIMATE (len(records) // batch): mappers can
+    # drop records (PanopticMapper → None) and tail buffers are discarded, so
+    # the real epoch can be shorter and a PERIOD derived from the estimate
+    # would silently never fire mid-epoch.  Epoch 0 uses the estimate;
+    # every later epoch re-derives ckpt_every from the ACTUAL yielded count.
     ckpt_every = (steps_per_epoch // cfg.checkpoint_period
                   if cfg.checkpoint_period else 0)
     global_step = int(state.step)
@@ -95,7 +100,9 @@ def train_loop(
     profiling = False
     for epoch in range(cfg.max_epochs):
         t_last = time.perf_counter()
+        steps_this_epoch = 0
         for i, batch in enumerate(data_iter_fn(epoch)):
+            steps_this_epoch = i + 1
             t_data = time.perf_counter()
             data_time.update(t_data - t_last)
 
@@ -146,6 +153,8 @@ def train_loop(
         if cfg.save_dir:
             (save_fn or (lambda d, s, st, e: save_checkpoint(d, s, st)))(
                 cfg.save_dir, global_step, state, epoch)
+        if cfg.checkpoint_period and steps_this_epoch:
+            ckpt_every = steps_this_epoch // cfg.checkpoint_period
     if profiling:
         # the loop ended inside the capture window — flush the trace so it
         # is not lost and a later start_trace does not raise

@@ -196,3 +196,72 @@ def test_reference_layout_roundtrip():
     assert set(flat_a) == set(flat_b)
     for k in flat_a:
         np.testing.assert_array_equal(flat_a[k], flat_b[k], err_msg=k)
+
+
+def test_reference_layout_tolerates_untransformed_modules():
+    """The reference's step2 vision adapter trains WITHOUT out_proj
+    (add_adapter_for_step2, cullavo/load_cullavo.py:23-32), so its
+    safetensors carries no out_proj keys and its adapter_config.json's
+    target_modules omits it.  load_reference_layout must load such genuine
+    step2 checkpoints, leaving the absent module's adapters zeroed
+    (lora_B=0 ⇒ identity), and still raise for keys the config claims."""
+    import json
+    import os
+    import tempfile
+
+    import jax
+    import numpy as np
+    import pytest
+
+    from cullavo_tpu.checkpoint.reference_layout import (load_reference_layout,
+                                                         save_reference_layout)
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.lora import (LoraConfig, init_lora_params,
+                                               trainable_partition)
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+
+    cfg = tiny_llava_config(128)
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    lora_cfg = LoraConfig(r=4, vision_layer_start=0, vision_layer_stop=2)
+    lora = init_lora_params(params, cfg, lora_cfg, jax.random.PRNGKey(1))
+    lora = jax.tree.map(lambda a: a + 0.25, lora)
+    trainable = trainable_partition(params, lora)
+
+    from safetensors import safe_open
+    from safetensors.numpy import save_file
+
+    with tempfile.TemporaryDirectory() as d:
+        ep = save_reference_layout(d, 1, trainable, lora_cfg)
+        vis_dir = os.path.join(ep, "cullavo", "vision_tower")
+        st_path = os.path.join(vis_dir, "adapter_model.safetensors")
+        flat = {}
+        with safe_open(st_path, framework="np") as f:
+            for k in f.keys():
+                flat[k] = f.get_tensor(k)
+        # step2-style checkpoint: out_proj never transformed
+        save_file({k: v for k, v in flat.items() if "out_proj" not in k},
+                  st_path)
+        cfg_path = os.path.join(vis_dir, "adapter_config.json")
+        with open(cfg_path) as f:
+            acfg = json.load(f)
+        acfg["target_modules"] = [m for m in acfg["target_modules"]
+                                  if m != "out_proj"]
+        with open(cfg_path, "w") as f:
+            json.dump(acfg, f)
+
+        loaded = load_reference_layout(ep, trainable)
+        np.testing.assert_array_equal(
+            np.asarray(loaded["lora"]["vision_tower"]["o"]["a"]), 0.0)
+        np.testing.assert_array_equal(
+            np.asarray(loaded["lora"]["vision_tower"]["o"]["b"]), 0.0)
+        # untouched targets still round-trip exactly
+        np.testing.assert_array_equal(
+            np.asarray(loaded["lora"]["vision_tower"]["q"]["a"]),
+            np.asarray(trainable["lora"]["vision_tower"]["q"]["a"]))
+
+        # a module the config DOES claim but whose keys are missing must
+        # still raise (corrupt checkpoint, not an untransformed module)
+        save_file({k: v for k, v in flat.items() if "q_proj" not in k},
+                  st_path)
+        with pytest.raises(KeyError):
+            load_reference_layout(ep, trainable)

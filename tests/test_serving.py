@@ -321,3 +321,60 @@ def test_serving_spec_rejects_sampling(model):
                       GenerationConfig(do_sample=True, eos_token_id=-1),
                       num_slots=2, max_len=64, prompt_buckets=(32,),
                       spec_k=3)
+
+
+def test_spec_auto_disabled_under_sampling(model, capsys):
+    """serve.yaml ships SPEC_K 4 by default, so a config that merely flips
+    DO_SAMPLE must not crash at engine init: spec (greedy-only) is
+    auto-disabled with a warning and the engine still serves."""
+    cfg, params = model
+    rng = np.random.default_rng(7)
+    buckets = _buckets(cfg)
+    gen = GenerationConfig(do_sample=True, temperature=1.0, eos_token_id=-1)
+    eng = ServingEngine(params, cfg, gen, num_slots=2,
+                        max_len=buckets[-1] + 8, prompt_buckets=buckets,
+                        prefill_chunk=1, quantum=2,
+                        compute_dtype=jnp.float32, spec_k=4)
+    assert eng.spec_k is None
+    eng.submit(_request(cfg, rng, 0, 3, 4))
+    results = eng.run()
+    assert len(results[0]) == 4
+
+
+def test_engine_derates_slots_to_hbm_budget(model, monkeypatch):
+    """A pool that cannot fit next to the weights derates num_slots with a
+    warning instead of OOMing at the first quantum (the bf16-KV + spec
+    128-rounded-cache failure mode, STATUS round 4); a budget too small for
+    even one slot fails fast with the numbers."""
+    cfg, params = model
+    rng = np.random.default_rng(9)
+    buckets = _buckets(cfg)
+    gen = GenerationConfig(do_sample=False, eos_token_id=-1)
+
+    probe = ServingEngine(params, cfg, gen, num_slots=4,
+                          max_len=buckets[-1] + 8, prompt_buckets=buckets,
+                          prefill_chunk=1, quantum=2,
+                          compute_dtype=jnp.float32)
+    per_slot = probe._pool_bytes_per_slot()
+    weights = sum(getattr(v, "nbytes", 0) for v in jax.tree.leaves(params))
+
+    # budget sized for exactly 2 slots after the 8% margin
+    monkeypatch.setenv("CULLAVO_SERVE_HBM_GB",
+                       str((weights + 2.5 * per_slot) / 0.92 / 1e9))
+    eng = ServingEngine(params, cfg, gen, num_slots=4,
+                        max_len=buckets[-1] + 8, prompt_buckets=buckets,
+                        prefill_chunk=1, quantum=2,
+                        compute_dtype=jnp.float32)
+    assert eng.num_slots == 2 and len(eng.free) == 2
+    for i in range(3):
+        eng.submit(_request(cfg, rng, i, 3, 4))
+    results = eng.run()
+    assert sorted(results) == [0, 1, 2]
+    assert all(len(v) == 4 for v in results.values())
+
+    monkeypatch.setenv("CULLAVO_SERVE_HBM_GB",
+                       str(weights / 0.92 / 1e9))
+    with pytest.raises(ValueError, match="decode pool cannot fit"):
+        ServingEngine(params, cfg, gen, num_slots=4,
+                      max_len=buckets[-1] + 8, prompt_buckets=buckets,
+                      prefill_chunk=1, quantum=2, compute_dtype=jnp.float32)
