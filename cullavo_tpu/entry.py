@@ -675,6 +675,21 @@ def _eval_vl(cfg) -> dict:
         # speculative decode window (prompt-lookup drafting, greedy-only,
         # token-exact — modeling.generate_decode_spec)
         extra["spec_k"] = int(cfg.get("SPEC_K"))
+    topic = (cfg.get("MODEL") or {}).get("TOPIC")
+    if topic:
+        # the reference's per-class CSV classifier (LLaMA-2 in-context topic
+        # word + CLIP text match, LLaVAVQAVALPipeline.py:94-169) as the
+        # default topic_fn — no injected hook needed.
+        #   MODEL.TOPIC: {LLAMA_PATH: ..., CLIP_PATH: ...}   (HF snapshots)
+        #   MODEL.TOPIC: tiny                                 (random towers)
+        from cullavo_tpu.pipelines.vqa_pipeline import (make_reference_topic_fn,
+                                                        make_tiny_topic_fn)
+
+        if isinstance(topic, str) and topic.lower() == "tiny":
+            extra["topic_fn"] = make_tiny_topic_fn()
+        else:
+            extra["topic_fn"] = make_reference_topic_fn(
+                topic["LLAMA_PATH"], topic["CLIP_PATH"])
     pipe = build_pipeline(cfg.get("PIPELINE", "LLaVAVQAVALPipeline"), cfg,
                           model_cfg=model_cfg, tokenizer=tokenizer,
                           params=params,
@@ -970,7 +985,15 @@ def _engine_from_cfg(scfg, model_cfg, params, tokenizer, buckets, max_len):
         compute_dtype=jnp.bfloat16 if str(
             scfg.get("DTYPE", "bfloat16")) == "bfloat16" else jnp.float32,
         lora=lora, lora_scaling=lora_scaling,
-        spec_k=int(scfg["SPEC_K"]) if scfg.get("SPEC_K") else None)
+        spec_k=int(scfg["SPEC_K"]) if scfg.get("SPEC_K") else None,
+        # prefix-KV reuse (registry of shared prompt heads / repeated
+        # images; see ServingEngine) — SERVE.PREFIX: false disables
+        prefix_cache=bool(scfg.get("PREFIX", True)),
+        prefix_min=int(scfg.get("PREFIX_MIN", 32)),
+        suffix_buckets=tuple(scfg.get("SUFFIX_BUCKETS") or (32, 64, 128)),
+        max_prefixes=int(scfg.get("MAX_PREFIXES", 2)),
+        admit_groups=(None if scfg.get("ADMIT_GROUPS", 1) in (None, 0)
+                      else int(scfg.get("ADMIT_GROUPS", 1))))
     return gen, eng
 
 

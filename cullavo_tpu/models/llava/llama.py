@@ -139,6 +139,12 @@ def _wwin_ok(T: int, S: int, hd: int) -> bool:
     env = os.environ.get("CULLAVO_WWIN", "")
     if env == "0":
         return False
+    # width cap: the kernel is built (and chip-validated) for speculative
+    # windows (W ≈ spec_k, ≤ ~16); prefix-cache suffix prefills reuse the
+    # same stale-cache T>1 path with W of 32-256, which stays on the XLA
+    # branch unless CULLAVO_WWIN_MAXW raises the cap
+    if T > int(os.environ.get("CULLAVO_WWIN_MAXW", 16)):
+        return False
     if env == "1":
         return True
     return jax.default_backend() == "tpu" and hd % 128 == 0

@@ -506,6 +506,90 @@ def generate_prefill_chunked(params, cfg: LlavaConfig, input_ids, pixel_values,
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("row",))
+def extract_prefix_state(state: dict, row: int) -> dict:
+    """Slice ONE row of a prefill/decode state into a reusable 1-row prefix
+    state (cache batch axis is 2 — S-major [L, S, B, ...] layout).  The
+    serving engine stores these in its prefix registry: the first request
+    with a given image/prompt head pays the full prefill, later requests
+    continue from the stored KV via ``generate_prefill_prefix``."""
+    r = row
+    return {
+        "cache": {name: jax.lax.slice_in_dim(a, r, r + 1, axis=2)
+                  for name, a in state["cache"].items()},
+        "full_mask": state["full_mask"][r:r + 1],
+        "key_pos": state["key_pos"][r:r + 1],
+        "write_idx": state["write_idx"],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def generate_prefill_prefix(params, cfg: LlavaConfig, prefix_state: dict,
+                            suffix_ids, pixel_values, suffix_mask,
+                            prefix_len, compute_dtype=jnp.bfloat16,
+                            lora: Optional[dict] = None,
+                            lora_scaling: float = 0.0,
+                            adapter_ids: Optional[jax.Array] = None):
+    """Prefill that CONTINUES from a cached KV prefix (prefix-cache reuse —
+    beyond the reference, whose eval re-prefills the full prompt per request,
+    pipeline/LLaVAVQAVALPipeline.py:171-180).
+
+    ``prefix_state``: a 1-row state (``extract_prefix_state``) whose cache
+    slots ``[0, prefix_len)`` hold the KV of tokens identical across the
+    batch (same tokens, same positions — token-exact reuse).  ``suffix_ids``
+    [B, W]: each row's REMAINING right-padded tokens; ``pixel_values`` rides
+    along when the image run lives in the suffix.  Returns a state
+    interchangeable with ``generate_prefill``'s where row b's prompt is
+    ``prefix ++ suffix_b`` laid out in slots ``[0, prefix_len + W)``.
+
+    Mechanics: the suffix runs as ONE ``stale_cache`` T=W window (the
+    speculative-verification forward generalized to prefill width): attention
+    reads the broadcast prefix cache gated to ``[0, prefix_len)`` plus the
+    intra-window causal fresh block, and each layer writes its W-slot slab at
+    ``prefix_len``.  Compute scales with W, not prefix+W — a request sharing
+    a P-token head pays P/(P+W) less prefill FLOPs.  ``prefix_len`` is a
+    DYNAMIC scalar: one compiled program per (W, cache mode), not per split
+    point."""
+    B, W = suffix_ids.shape
+    prefix_len = jnp.asarray(prefix_len, jnp.int32)
+    lm = _cast_params(params, compute_dtype, from_bf16=False)
+    lora_c = _cast_params(lora, compute_dtype, from_bf16=False) if lora else None
+    if adapter_ids is None:
+        adapter_ids = jnp.zeros((B,), jnp.int32)
+
+    # broadcast the 1-row prefix across the chunk (batch axis 2 for every
+    # cache leaf, incl. int8 scale planes)
+    cache = {name: jnp.repeat(a, B, axis=2)
+             for name, a in prefix_state["cache"].items()}
+    S = cache["k"].shape[1]
+    # prefix-only attention gate: the stale-cache contract wants the window
+    # slots NOT yet visible (fresh k/v fold in-band); stored slots past
+    # prefix_len (a longer stored prefix reused at a shorter split) stay
+    # masked too
+    pfx_valid = (jnp.arange(S)[None, :] < prefix_len).astype(jnp.int32)
+    full_mask = jnp.broadcast_to(pfx_valid, (B, S))
+    key_pos = jnp.broadcast_to(
+        jnp.where(pfx_valid > 0, jnp.arange(S)[None, :], 0), (B, S))
+
+    suffix_pos = prefix_len + jnp.maximum(
+        jnp.cumsum(suffix_mask, axis=1) - 1, 0)               # [B, W]
+    logits, cache = llava_forward(
+        lm, cfg, suffix_ids, pixel_values, suffix_mask, suffix_pos,
+        cache, prefix_len, full_mask, key_pos,
+        stale_cache=True, last_logit_only=True,
+        lora=lora_c, lora_scaling=lora_scaling, adapter_ids=adapter_ids)
+
+    sufl = jnp.sum(suffix_mask, axis=1).astype(jnp.int32)     # [B]
+    full_mask = jax.lax.dynamic_update_slice(
+        full_mask, suffix_mask.astype(jnp.int32), (0, prefix_len))
+    key_pos = jax.lax.dynamic_update_slice(key_pos, suffix_pos,
+                                           (0, prefix_len))
+    return {"logits": logits[:, 0], "cache": cache, "full_mask": full_mask,
+            "key_pos": key_pos, "cur_pos": prefix_len + sufl,
+            "write_idx": (prefix_len + W).astype(jnp.int32),
+            "adapter_ids": jnp.asarray(adapter_ids, jnp.int32)}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "gen", "num_steps",
                                              "compute_dtype"),
                    donate_argnums=(2,))

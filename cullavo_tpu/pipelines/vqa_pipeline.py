@@ -203,32 +203,102 @@ class VQATestPipeline(VQAPipeline):
         return {"n": len(self.evaluator.results), "submission": True}
 
 
+def topic_prompt(question: str) -> str:
+    """The reference's EXACT in-context topic-word prompt
+    (LLaVAVQAVALPipeline.py:147-153 — note the missing period/space after
+    'asks', reproduced verbatim)."""
+    return ("Choose object the question asks" +
+            "ex) what color is the man's shirt? shirt. " +
+            "ex) how many bikes have helmets? helmets. " +
+            "ex) were there any books on the table? books. " +
+            "ex) what is he on top of? he. " +
+            f"ex) where are the dogs looking at? dogs. ex) {question}")
+
+
+def make_topic_fn(llama_params, llava_cfg, llama_tok, clip_params, clip_cfg,
+                  clip_tok, class_names=None, seed: int = 0,
+                  max_new_tokens: int = 10):
+    """Core of the reference's question-topic classifier over ALREADY-BUILT
+    native towers: LLaMA picks the object word via in-context sampling
+    (LLaVAVQAVALPipeline.py:147-158, temp 0.9 / top-p 0.9 / ≤10 new tokens,
+    decoded text split at the first '.'), then the CLIP text tower embeds
+    'a photo of {word}' and buckets to the argmax-cosine class vs the
+    precomputed 'a photo of {class}' embeddings (:113-116, :159-169 — the
+    reference's topk(k=1) over a [1, C] score row IS the argmax).
+
+    ``llama_tok``: HF-tokenizer-like (callable → {"input_ids"} and
+    ``.decode``); ``clip_tok``: callable(texts, padding=True,
+    return_tensors="np") → {"input_ids", "attention_mask"}.
+    Returns ``topic_fn(question) -> class_name``."""
+    import jax
+
+    from cullavo_tpu.models.xdecoder.text_encoder import forward_language
+    from cullavo_tpu.utils import constants
+
+    # the reference buckets over COCO_SEMANTIC_CLASSES (91 names,
+    # LLaVAVQAVALPipeline.py:36,113)
+    class_names = class_names or list(constants.COCO_SEMANTIC_CLASSES)
+
+    enc = clip_tok([f"a photo of {cl}" for cl in class_names], padding=True,
+                   return_tensors="np")
+    class_embeds = forward_language(clip_params, clip_cfg,
+                                    jnp.asarray(enc["input_ids"]),
+                                    jnp.asarray(enc["attention_mask"]))
+
+    gen = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=True,
+                           temperature=0.9, top_p=0.9, top_k=0,
+                           eos_token_id=getattr(llama_tok, "eos_token_id", 2)
+                           or 2)
+    rng_holder = {"key": jax.random.PRNGKey(seed)}
+
+    def topic_fn(question: str) -> str:
+        prompt = topic_prompt(question)
+        ids = llama_tok(prompt, return_tensors="np")
+        rng_holder["key"], sub = jax.random.split(rng_holder["key"])
+        # pad the prompt to a bucketed length so `generate` (static shapes)
+        # compiles once per bucket, not once per question length
+        n = ids["input_ids"].shape[1]
+        L = _bucket(n)
+        row = np.zeros((1, L), np.int32)
+        row[0, :n] = ids["input_ids"][0]
+        m = np.zeros((1, L), np.int32)
+        m[0, :n] = 1
+        out = generate(llama_params, llava_cfg, jnp.asarray(row), None,
+                       jnp.asarray(m), gen, max_len=L + max_new_tokens,
+                       rng=sub)
+        toks = np.asarray(out)[0].tolist()
+        if gen.eos_token_id in toks:
+            toks = toks[:toks.index(gen.eos_token_id)]
+        # ours decodes only NEW tokens == the reference's [len(prompt):]
+        # slice (LLaVAVQAVALPipeline.py:158)
+        word = llama_tok.decode(toks,
+                                skip_special_tokens=True).strip().split(".")[0]
+        q = clip_tok([f"a photo of {word}"], padding=True,
+                     return_tensors="np")
+        emb = forward_language(clip_params, clip_cfg,
+                               jnp.asarray(q["input_ids"]),
+                               jnp.asarray(q["attention_mask"]))
+        idx = int(jnp.argmax(class_embeds @ emb[0]))
+        return class_names[idx]
+
+    return topic_fn
+
+
 def make_reference_topic_fn(llama_model_dir: str, clip_model_dir: str,
                             class_names=None, seed: int = 0,
                             max_new_tokens: int = 10):
-    """The reference's question-topic classifier, TPU-native: LLaMA-2 picks
-    the object word via in-context sampling (LLaVAVQAVALPipeline.py:147-158,
-    temp 0.9, top-p 0.9, ≤10 new tokens), then CLIP-L text embeds
-    'a photo of {word}' and buckets to the nearest class by cosine vs the
-    precomputed 'a photo of {class}' embeddings (:113-116, :159-169).
-
-    Returns ``topic_fn(question) -> class_name`` for VQAPipeline's per-class
-    accuracy CSV.  Model dirs are HF checkpoints (LLaMA-2-7b-chat and
-    CLIP-L/336 in the reference, cullavo/utils/utils.py:3-10)."""
+    """The reference's question-topic classifier from HF checkpoint dirs
+    (LLaMA-2-7b-chat + CLIP-L/336 in the reference,
+    cullavo/utils/utils.py:3-10); see ``make_topic_fn`` for the semantics.
+    Wired as the default ``topic_fn`` via the ``MODEL.TOPIC`` config block
+    (entry._eval_vl)."""
     import jax
-    import jax.numpy as jnp
     import transformers
 
     from cullavo_tpu.checkpoint.hf_import import llama_from_causal_lm_state_dict
     from cullavo_tpu.models.llava.config import LlamaConfig, LlavaConfig
-    from cullavo_tpu.models.llava.modeling import GenerationConfig, generate
     from cullavo_tpu.models.xdecoder.text_encoder import (clip_text_config,
-                                                          forward_language,
                                                           import_hf_clip_text)
-    from cullavo_tpu.utils import constants
-
-    class_names = class_names or [c.split("-")[0] for c in
-                                  constants.COCO_PANOPTIC_CLASSES]
 
     lt = transformers.AutoTokenizer.from_pretrained(llama_model_dir)
     lm_hf = transformers.AutoModelForCausalLM.from_pretrained(llama_model_dir)
@@ -260,43 +330,73 @@ def make_reference_topic_fn(llama_model_dir: str, clip_model_dir: str,
     cparams = import_hf_clip_text(
         {k: v.detach().cpu().numpy() for k, v in clip_hf.state_dict().items()}, ccfg)
     del clip_hf
+    return make_topic_fn(lparams, cfg, lt, cparams, ccfg, ct,
+                         class_names=class_names, seed=seed,
+                         max_new_tokens=max_new_tokens)
 
-    enc = ct([f"a photo of {cl}" for cl in class_names], padding=True,
-             return_tensors="np")
-    class_embeds = forward_language(cparams, ccfg,
-                                    jnp.asarray(enc["input_ids"]),
-                                    jnp.asarray(enc["attention_mask"]))
 
-    gen = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=True,
-                           temperature=0.9, top_p=0.9, top_k=0,
-                           eos_token_id=lt.eos_token_id or 2)
-    rng_holder = {"key": jax.random.PRNGKey(seed)}
+class _ByteHFTok:
+    """ByteTokenizer dressed in the HF tokenizer calling convention, for the
+    checkpoint-free tiny topic classifier (``MODEL.TOPIC: tiny``).  The CLIP
+    side's EOT position is ``argmax(input_ids)`` (text_encoder
+    forward_language), so with ``eot_is_max`` every row ends with the top
+    vocab id."""
 
-    def topic_fn(question: str) -> str:
-        prompt = ("Choose object the question asks. "
-                  "ex) what color is the man's shirt? shirt. "
-                  "ex) how many bikes have helmets? helmets. "
-                  "ex) were there any books on the table? books. "
-                  "ex) what is he on top of? he. "
-                  f"ex) where are the dogs looking at? dogs. ex) {question}")
-        ids = lt(prompt, return_tensors="np")
-        rng_holder["key"], sub = jax.random.split(rng_holder["key"])
-        # pad the prompt to a bucketed length so `generate` (static shapes)
-        # compiles once per bucket, not once per question length
-        n = ids["input_ids"].shape[1]
-        L = _bucket(n)
-        row = np.zeros((1, L), np.int32)
-        row[0, :n] = ids["input_ids"][0]
-        m = np.zeros((1, L), np.int32)
-        m[0, :n] = 1
-        out = generate(lparams, cfg, jnp.asarray(row), None, jnp.asarray(m),
-                       gen, max_len=L + max_new_tokens, rng=sub)
-        word = lt.decode(list(np.asarray(out)[0]),
-                         skip_special_tokens=True).strip().split(".")[0]
-        q = ct([f"a photo of {word}"], return_tensors="np")
-        emb = forward_language(cparams, ccfg, jnp.asarray(q["input_ids"]),
-                               jnp.asarray(q["attention_mask"]))
-        idx = int(jnp.argmax(class_embeds @ emb[0]))
-        return class_names[idx]
+    def __init__(self, vocab_size: int, max_len: int = 77,
+                 eot_is_max: bool = False):
+        from cullavo_tpu.data.tokenizer import ByteTokenizer
 
-    return topic_fn
+        self._bt = ByteTokenizer()
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+        self.eot_is_max = eot_is_max
+        self.eos_token_id = self._bt.eos_token_id
+
+    def __call__(self, texts, padding=True, return_tensors="np"):
+        if isinstance(texts, str):
+            texts = [texts]
+        rows = []
+        for t in texts:
+            ids = [i % (self.vocab_size - 1) for i in self._bt.encode(t)]
+            ids = ids[:self.max_len - 1]
+            if self.eot_is_max:
+                ids.append(self.vocab_size - 1)
+            rows.append(ids)
+        L = min(self.max_len, max(len(r) for r in rows))
+        out = np.zeros((len(rows), L), np.int32)
+        mask = np.zeros((len(rows), L), np.int32)
+        for i, r in enumerate(rows):
+            out[i, :len(r)] = r[:L]
+            mask[i, :len(r)] = 1
+        return {"input_ids": out, "attention_mask": mask}
+
+    def decode(self, ids, skip_special_tokens=True):
+        return self._bt.decode(ids, skip_special_tokens)
+
+
+def make_tiny_topic_fn(class_names=None, seed: int = 0,
+                       max_new_tokens: int = 10):
+    """Checkpoint-free topic classifier on tiny RANDOM towers (smoke/CI):
+    the same code path as ``make_reference_topic_fn`` — in-context LLaMA
+    sampling + CLIP text-match bucketing — with byte tokenizers, so the
+    ``vl_test`` per-class CSV is produced end-to-end with no real weights
+    (the tiny-model analogue of ``MODEL.TINY``)."""
+    import jax
+
+    from cullavo_tpu.models.llava.config import tiny_llava_config
+    from cullavo_tpu.models.llava.modeling import init_llava_params
+    from cullavo_tpu.models.xdecoder.text_encoder import (
+        TextEncoderConfig, init_text_encoder_params)
+
+    lcfg = tiny_llava_config(260)
+    lparams = init_llava_params(lcfg, jax.random.PRNGKey(seed))
+    lparams = {"language_model": lparams["language_model"]}
+    ccfg = TextEncoderConfig(width=32, heads=4, layers=2, dim_lang=32,
+                             vocab_size=260, context_length=64)
+    cparams = init_text_encoder_params(ccfg, jax.random.PRNGKey(seed + 1))
+    lt = _ByteHFTok(lcfg.text.vocab_size)
+    ct = _ByteHFTok(ccfg.vocab_size, max_len=ccfg.context_length,
+                    eot_is_max=True)
+    return make_topic_fn(lparams, lcfg, lt, cparams, ccfg, ct,
+                         class_names=class_names, seed=seed,
+                         max_new_tokens=max_new_tokens)

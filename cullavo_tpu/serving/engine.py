@@ -47,8 +47,10 @@ from cullavo_tpu.models.llava.modeling import (GenerationConfig,
                                                alloc_decode_state,
                                                decode_quantum,
                                                decode_quantum_spec,
-                                               generate_prefill, write_slot,
-                                               write_slots)
+                                               extract_prefix_state,
+                                               generate_prefill,
+                                               generate_prefill_prefix,
+                                               write_slot, write_slots)
 
 
 @dataclasses.dataclass
@@ -94,7 +96,10 @@ class ServingEngine:
                  kv_quant: Optional[str] = None,
                  compute_dtype=jnp.bfloat16, seed: int = 0,
                  lora: Optional[dict] = None, lora_scaling: float = 0.0,
-                 spec_k: Optional[int] = None):
+                 spec_k: Optional[int] = None,
+                 prefix_cache: bool = True, prefix_min: int = 32,
+                 suffix_buckets=(32, 64, 128), max_prefixes: int = 2,
+                 admit_groups: Optional[int] = 1):
         self.params = params
         self.cfg = cfg
         self.gen = gen
@@ -140,6 +145,29 @@ class ServingEngine:
         self.hist: Optional[dict] = None
         self.kv_quant = kv_quant
         self.compute_dtype = compute_dtype
+        # -- prefix-KV cache (beyond the reference; vLLM-style automatic
+        # prefix caching adapted to static shapes).  Requests sharing a
+        # prompt head — the system prompt across a text corpus, or the whole
+        # image run for multi-question-per-image VQA — prefill only their
+        # suffix from a stored 1-row KV prefix (generate_prefill_prefix).
+        # Registry keys: (image fingerprint | None, adapter_id), LRU-bounded;
+        # each entry costs one pool-row of HBM (counted in the fit below).
+        self.prefix_cache = bool(prefix_cache)
+        self.prefix_min = int(prefix_min)       # min shared head worth reusing
+        self.suffix_buckets = tuple(sorted(int(b) for b in suffix_buckets))
+        self.max_prefixes = int(max_prefixes)
+        self._prefix_reg: collections.OrderedDict = collections.OrderedDict()
+        self._req_keys: dict = {}               # req_id -> registry key
+        # scheduler stats (exposed via /stats and the serve bench)
+        self.counters = {"prefix_hits": 0, "prefix_misses": 0,
+                         "prefix_tokens_saved": 0, "prefill_rows": 0,
+                         "prefill_pad_rows": 0}
+        # admission pacing: at most this many prefill groups per step() while
+        # decode rows are ACTIVE (bounds how long in-flight rows stall behind
+        # prefills); an idle engine always drains its queue.  None = drain
+        # every step (the round-4 behavior).
+        self.admit_groups = admit_groups if admit_groups is None \
+            else int(admit_groups)
         self._fit_slots_to_hbm()
         self._rng = jax.random.PRNGKey(seed)
         # one write_slots dispatch per admission group instead of per-slot
@@ -198,6 +226,9 @@ class ServingEngine:
             for v in jax.tree.leaves((self.params, self.lora or {})))
         avail = budget * 0.92 - weights          # 8% workspace margin
         per_slot = self._pool_bytes_per_slot()
+        if self.prefix_cache:
+            # each registry entry holds one pool-row-sized 1-row cache
+            avail -= self.max_prefixes * per_slot
         fit = int(avail // per_slot)
         if fit < 1:
             raise ValueError(
@@ -251,29 +282,158 @@ class ServingEngine:
         raise ValueError(f"prompt length {T} exceeds the largest bucket "
                          f"{self.buckets[-1]}")
 
-    # -- admission ----------------------------------------------------------
-    def _admit(self):
-        """Prefill queued requests (grouped by bucket, fixed chunk rows) and
-        write them into free slots."""
-        while self.pending and self.free:
-            # take up to prefill_chunk pending requests sharing the first
-            # pending request's bucket, bounded by the free slots
-            lead = self._bucket(len(self.pending[0].input_ids))
-            group, rest = [], collections.deque()
-            while self.pending and len(group) < min(self.prefill_chunk,
-                                                    len(self.free)):
-                r = self.pending.popleft()
-                if self._bucket(len(r.input_ids)) == lead:
-                    group.append(r)
-                else:
-                    rest.append(r)
-            # skipped (different-bucket) requests keep their arrival order
-            while rest:
-                self.pending.appendleft(rest.pop())
+    # -- prefix registry ----------------------------------------------------
+    def _req_key(self, req: Request):
+        """Registry key: (image fingerprint | None, adapter_id).  Cached per
+        req_id (the pixel hash reads ~1.3 MB)."""
+        k = self._req_keys.get(req.req_id)
+        if k is None:
+            if req.pixel_values is not None:
+                import hashlib
 
-            chunk_b = self.prefill_chunk
-            ids = np.zeros((chunk_b, lead), np.int32)
-            mask = np.zeros((chunk_b, lead), np.int32)
+                fp = hashlib.md5(
+                    np.ascontiguousarray(req.pixel_values)).hexdigest()
+            else:
+                fp = None
+            k = (fp, int(req.adapter_id))
+            self._req_keys[req.req_id] = k
+        return k
+
+    def _plan(self, req: Request):
+        """Prefill plan for a request: ``("full", bucket)`` or
+        ``("prefix", key, P, W_b)`` — reuse the registered prefix's first P
+        tokens and prefill a W_b-bucket suffix (layout [0, P + W_b))."""
+        ids = np.asarray(req.input_ids)
+        if self.prefix_cache:
+            key = self._req_key(req)
+            entry = self._prefix_reg.get(key)
+            if entry is not None:
+                stored = entry["ids"]
+                n = min(len(stored), len(ids), len(ids) - 1)  # ≥1-token suffix
+                eq = stored[:n] == ids[:n]
+                P = int(n if eq.all() else np.argmin(eq))
+                if P >= self.prefix_min:
+                    sfx = len(ids) - P
+                    for wb in self.suffix_buckets:
+                        if (wb >= sfx and
+                                P + wb + req.max_new_tokens <= self.max_len):
+                            self._prefix_reg.move_to_end(key)   # LRU touch
+                            return ("prefix", key, P, wb)
+        return ("full", self._bucket(len(ids)))
+
+    def _maybe_register(self, group, chunk):
+        """Store new prefixes out of a finished prefill chunk: each row's
+        cache IS the full KV of its prompt, so one device slice
+        (extract_prefix_state) seeds the registry for later requests sharing
+        that image/prompt head."""
+        if not self.prefix_cache:
+            return
+        for i, r in enumerate(group):
+            key = self._req_key(r)
+            if key in self._prefix_reg or len(r.input_ids) < self.prefix_min + 1:
+                continue
+            self._prefix_reg[key] = {
+                "ids": np.asarray(r.input_ids, np.int32),
+                "state": extract_prefix_state(chunk, i)}
+            while len(self._prefix_reg) > self.max_prefixes:
+                self._prefix_reg.popitem(last=False)
+
+    @staticmethod
+    def _pow2_rows(n: int, cap: int) -> int:
+        """Smallest power-of-two chunk that fits the group (≤ cap): single
+        arrivals in open-loop serving prefill 1 row instead of padding to
+        the full chunk (which wasted chunk-1 rows of prefill compute);
+        compiles at most log2(cap) shapes per plan."""
+        if os.environ.get("CULLAVO_SERVE_POW2_CHUNKS", "1") == "0":
+            return cap
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
+    # -- admission ----------------------------------------------------------
+    def _admit(self, max_groups: Optional[int] = None):
+        """Prefill queued requests (grouped by prefill plan, right-sized
+        chunk rows) and write them into free slots.  ``max_groups`` bounds
+        the prefill programs run this call (admission pacing — see
+        ``admit_groups``)."""
+        n_groups = 0
+        while self.pending and self.free and (max_groups is None
+                                              or n_groups < max_groups):
+            self._admit_one_group()
+            n_groups += 1
+
+    def _admit_one_group(self):
+        # take up to prefill_chunk pending requests sharing the first
+        # pending request's plan, bounded by the free slots
+        lead = self._plan(self.pending[0])
+        group, rest = [], collections.deque()
+        group_keys = set()
+        while self.pending and len(group) < min(self.prefill_chunk,
+                                                len(self.free)):
+            r = self.pending.popleft()
+            if self._plan(r) != lead:
+                rest.append(r)
+                continue
+            if lead[0] == "full" and self.prefix_cache:
+                # defer same-key requests out of a full-prefill group: this
+                # chunk REGISTERS its keys, so the deferred ones re-plan as
+                # prefix hits next group instead of paying a second full
+                # prefill
+                key = self._req_key(r)
+                if key in group_keys:
+                    rest.append(r)
+                    continue
+                group_keys.add(key)
+            group.append(r)
+        # skipped (different-plan) requests keep their arrival order
+        while rest:
+            self.pending.appendleft(rest.pop())
+
+        chunk_b = self._pow2_rows(len(group), self.prefill_chunk)
+        self.counters["prefill_rows"] += chunk_b
+        self.counters["prefill_pad_rows"] += chunk_b - len(group)
+        aids = np.zeros((chunk_b,), np.int32)
+        for i, r in enumerate(group):
+            aids[i] = r.adapter_id
+
+        if lead[0] == "prefix":
+            _, key, P, wb = lead
+            self.counters["prefix_hits"] += len(group)
+            self.counters["prefix_tokens_saved"] += P * len(group)
+            sfx = np.zeros((chunk_b, wb), np.int32)
+            smask = np.zeros((chunk_b, wb), np.int32)
+            for i, r in enumerate(group):
+                row = np.asarray(r.input_ids, np.int32)[P:]
+                sfx[i, :len(row)] = row
+                smask[i, :len(row)] = 1
+            for i in range(len(group), chunk_b):
+                smask[i, 0] = 1          # inert pad rows (see full path)
+            # the suffix carries the image run only when the shared head
+            # ends before it (text-shared-prefix corpora); same-image reuse
+            # has the whole run inside the prefix
+            pix = None
+            if any((np.asarray(r.input_ids)[P:] ==
+                    self.cfg.image_token_id).any()
+                   for r in group if r.pixel_values is not None):
+                pix = np.zeros((chunk_b,) + self._pix_shape, np.float32)
+                for i, r in enumerate(group):
+                    if r.pixel_values is not None:
+                        pix[i] = r.pixel_values
+            chunk = generate_prefill_prefix(
+                self.params, self.cfg, self._prefix_reg[key]["state"],
+                jnp.asarray(sfx),
+                None if pix is None else jnp.asarray(pix),
+                jnp.asarray(smask), P,
+                compute_dtype=self.compute_dtype,
+                lora=self.lora, lora_scaling=self.lora_scaling,
+                adapter_ids=jnp.asarray(aids))
+        else:
+            bucket = lead[1]
+            if self.prefix_cache:
+                self.counters["prefix_misses"] += len(group)
+            ids = np.zeros((chunk_b, bucket), np.int32)
+            mask = np.zeros((chunk_b, bucket), np.int32)
             any_pix = any(r.pixel_values is not None for r in group)
             pix = (np.zeros((chunk_b,) + self._pix_shape, np.float32)
                    if any_pix else None)
@@ -287,10 +447,6 @@ class ServingEngine:
             # last_idx negative in generate_prefill; give them 1 valid token
             for i in range(len(group), chunk_b):
                 mask[i, 0] = 1
-
-            aids = np.zeros((chunk_b,), np.int32)
-            for i, r in enumerate(group):
-                aids[i] = r.adapter_id
             chunk = generate_prefill(
                 self.params, self.cfg, jnp.asarray(ids),
                 None if pix is None else jnp.asarray(pix),
@@ -298,83 +454,89 @@ class ServingEngine:
                 compute_dtype=self.compute_dtype, kv_quant=self.kv_quant,
                 lora=self.lora, lora_scaling=self.lora_scaling,
                 adapter_ids=jnp.asarray(aids))
-            self._rng, sub = jax.random.split(self._rng)
-            first = np.asarray(_sample_token(chunk["logits"], self.gen, sub))
-            t_first = time.perf_counter()
+        self._maybe_register(group, chunk)
+        self._rng, sub = jax.random.split(self._rng)
+        first = np.asarray(_sample_token(chunk["logits"], self.gen, sub))
+        t_first = time.perf_counter()
 
-            if self.pool is None:
-                self.pool = alloc_decode_state(chunk, self.num_slots)
-                self.pool["write_idx"] = jnp.zeros((self.num_slots,),
-                                                   jnp.int32)
-                self.pool["cur_tok"] = jnp.zeros((self.num_slots,), jnp.int32)
-                # idle rows decode as done (emit eos, write nothing useful)
-                self.pool["done"] = jnp.ones((self.num_slots,), jnp.bool_)
-            if self.spec_k is not None and self.hist is None:
-                cap = self.max_len + self.quantum + self.spec_k
-                self.hist = {
-                    "hist": jnp.zeros((self.num_slots, cap), jnp.int32),
-                    "hist_len": jnp.zeros((self.num_slots,), jnp.int32)}
+        if self.pool is None:
+            self.pool = alloc_decode_state(chunk, self.num_slots)
+            self.pool["write_idx"] = jnp.zeros((self.num_slots,),
+                                               jnp.int32)
+            self.pool["cur_tok"] = jnp.zeros((self.num_slots,), jnp.int32)
+            # idle rows decode as done (emit eos, write nothing useful)
+            self.pool["done"] = jnp.ones((self.num_slots,), jnp.bool_)
+        if self.spec_k is not None and self.hist is None:
+            cap = self.max_len + self.quantum + self.spec_k
+            self.hist = {
+                "hist": jnp.zeros((self.num_slots, cap), jnp.int32),
+                "hist_len": jnp.zeros((self.num_slots,), jnp.int32)}
 
-            # slot -1 = not admitted (pad rows, finished-at-admission)
-            slots_vec = np.full((chunk_b,), -1, np.int32)
-            for i, r in enumerate(group):
-                tok = int(first[i])
-                out = [tok]
-                self.times[r.req_id]["first_token"] = t_first
-                if tok == self.gen.eos_token_id or r.max_new_tokens <= 1:
-                    # finished at admission — never occupies a slot
-                    self.results[r.req_id] = out
-                    self.times[r.req_id]["done"] = t_first
-                    continue
-                slot = self.free.pop()
-                slots_vec[i] = slot
-                self.active[slot] = [r, out]
-            if not (slots_vec >= 0).any():
+        # slot -1 = not admitted (pad rows, finished-at-admission)
+        slots_vec = np.full((chunk_b,), -1, np.int32)
+        for i, r in enumerate(group):
+            tok = int(first[i])
+            out = [tok]
+            self.times[r.req_id]["first_token"] = t_first
+            if tok == self.gen.eos_token_id or r.max_new_tokens <= 1:
+                # finished at admission — never occupies a slot
+                self.results[r.req_id] = out
+                self.times[r.req_id]["done"] = t_first
+                self._req_keys.pop(r.req_id, None)
                 continue
-            if self._batched_admit:
-                # one donated dispatch for the whole group — measured
-                # SLOWER on a v5e (7B: 8.54→7.69 and 9.44→8.73 req/s):
-                # the advanced-index cache scatter loses to per-slot
-                # contiguous dynamic_update_slice slabs by more than the
-                # saved ~10 ms dispatches; kept opt-in for re-testing
-                # (CULLAVO_SERVE_BATCHED_ADMIT=1)
-                self.pool = write_slots(
-                    self.pool, chunk, slots_vec, first,
-                    np.zeros((chunk_b,), bool))
-            else:
-                for i in np.nonzero(slots_vec >= 0)[0]:
-                    # done0=False: eos-at-admission rows never reach a slot
-                    self.pool = write_slot(self.pool, chunk, int(i),
-                                           int(slots_vec[i]),
-                                           int(first[i]), False)
-            if self.spec_k is not None:
-                cap = self.hist["hist"].shape[1]
-                for i, r in enumerate(group):
-                    slot = int(slots_vec[i])
-                    if slot < 0:
-                        continue
-                    # lookup corpus = valid prompt tokens + the first
-                    # sampled token (current token LAST, the _ngram_draft
-                    # contract); extra_hist (e.g. retrieved text) prepends
-                    row = np.zeros((cap,), np.int32)
-                    pre = (np.asarray(r.extra_hist, np.int32)
-                           if getattr(r, "extra_hist", None) is not None
-                           else np.zeros((0,), np.int32))
-                    T = len(r.input_ids)
-                    n = len(pre) + T + 1
-                    row[:len(pre)] = pre
-                    row[len(pre):len(pre) + T] = np.asarray(r.input_ids,
-                                                            np.int32)
-                    row[len(pre) + T] = int(first[i])
-                    self.hist["hist"] = self.hist["hist"].at[slot].set(
-                        jnp.asarray(row))
-                    self.hist["hist_len"] = self.hist["hist_len"].at[slot].set(n)
+            slot = self.free.pop()
+            slots_vec[i] = slot
+            self.active[slot] = [r, out]
+        if not (slots_vec >= 0).any():
+            return
+        if self._batched_admit:
+            # one donated dispatch for the whole group — measured
+            # SLOWER on a v5e (7B: 8.54→7.69 and 9.44→8.73 req/s):
+            # the advanced-index cache scatter loses to per-slot
+            # contiguous dynamic_update_slice slabs by more than the
+            # saved ~10 ms dispatches; kept opt-in for re-testing
+            # (CULLAVO_SERVE_BATCHED_ADMIT=1)
+            self.pool = write_slots(
+                self.pool, chunk, slots_vec, first,
+                np.zeros((chunk_b,), bool))
+        else:
+            for i in np.nonzero(slots_vec >= 0)[0]:
+                # done0=False: eos-at-admission rows never reach a slot
+                self.pool = write_slot(self.pool, chunk, int(i),
+                                       int(slots_vec[i]),
+                                       int(first[i]), False)
+        if self.spec_k is not None:
+            cap = self.hist["hist"].shape[1]
+            for i, r in enumerate(group):
+                slot = int(slots_vec[i])
+                if slot < 0:
+                    continue
+                # lookup corpus = valid prompt tokens + the first
+                # sampled token (current token LAST, the _ngram_draft
+                # contract); extra_hist (e.g. retrieved text) prepends
+                row = np.zeros((cap,), np.int32)
+                pre = (np.asarray(r.extra_hist, np.int32)
+                       if getattr(r, "extra_hist", None) is not None
+                       else np.zeros((0,), np.int32))
+                T = len(r.input_ids)
+                n = len(pre) + T + 1
+                row[:len(pre)] = pre
+                row[len(pre):len(pre) + T] = np.asarray(r.input_ids,
+                                                        np.int32)
+                row[len(pre) + T] = int(first[i])
+                self.hist["hist"] = self.hist["hist"].at[slot].set(
+                    jnp.asarray(row))
+                self.hist["hist_len"] = self.hist["hist_len"].at[slot].set(n)
 
     # -- scheduling ---------------------------------------------------------
     def step(self):
         """One scheduler iteration: admit into free slots, then decode one
-        quantum over the pool and harvest finished rows."""
-        self._admit()
+        quantum over the pool and harvest finished rows.  While rows are
+        actively decoding, at most ``admit_groups`` prefill programs run per
+        step (each prefill stalls every in-flight row for its duration — the
+        open-loop TTFT/E2E tail); an idle engine drains its whole queue
+        before the first quantum."""
+        self._admit(None if not self.active else self.admit_groups)
         if not self.active:
             return
         self._rng, sub = jax.random.split(self._rng)
@@ -403,6 +565,7 @@ class ServingEngine:
                     or len(out) >= req.max_new_tokens:
                 self.results[req.req_id] = out[:req.max_new_tokens]
                 self.times[req.req_id]["done"] = time.perf_counter()
+                self._req_keys.pop(req.req_id, None)
                 del self.active[slot]
                 self.free.append(slot)
 

@@ -140,6 +140,8 @@ class EngineRunner:
                     "active_slots": len(eng.active),
                     "free_slots": len(eng.free),
                     "num_slots": eng.num_slots,
+                    # prefix-KV reuse + prefill right-sizing counters
+                    "scheduler": dict(eng.counters),
                     "quantum": eng.quantum,
                     "buckets": list(eng.buckets),
                     "ttft_s": pct(self._ttft),

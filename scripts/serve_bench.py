@@ -89,9 +89,17 @@ def main():
         lora_scaling = lcfg.scaling
         log(f"{n_adapters} adapter set(s) attached (r={lcfg.r})")
 
+    # corpus shape: SERVE_SHARED=S shares the first S text tokens across
+    # requests (the real system-prompt layout); SERVE_QPI=K reuses each
+    # image for K consecutive requests (VQAv2 ≈ 3 questions/image) — the
+    # patterns the engine's prefix-KV registry exploits (SERVE_PREFIX=0
+    # disables the registry for A/B)
+    shared = int(os.environ.get("SERVE_SHARED", 0))
+    qpi = int(os.environ.get("SERVE_QPI", 1))
     reqs = synth_requests(cfg, n_req, prompt_text_tokens=64,
                           budget_mean=16, budget_max=max_new_max, seed=0,
-                          n_adapters=max(1, n_adapters))
+                          n_adapters=max(1, n_adapters),
+                          shared_sys_tokens=shared, questions_per_image=qpi)
     total_budget = sum(r.max_new_tokens for r in reqs)
     log(f"{n_req} requests, budgets 4..{max_new_max}, "
         f"total {total_budget} tokens")
@@ -175,11 +183,19 @@ def main():
                               _np.asarray(streams[r.req_id], _np.int32)]
                          ).astype(_np.int32))
                     for r in reqs]
+        sweep = os.environ.get("SERVE_SWEEP", "")
+        sweep_rates = [float(x) for x in sweep.split(",") if x] or None
         print(json.dumps(measure_serving(
             params, cfg, reqs, slots=slots, quantum=quantum,
             prefill_chunk=chunk, kv_quant=kv_quant,
             lora=lora, lora_scaling=lora_scaling,
-            arrival_rate=rate or None, spec_k=spec_k or None)))
+            arrival_rate=rate or None, spec_k=spec_k or None,
+            prefix_cache=os.environ.get("SERVE_PREFIX", "1") != "0",
+            admit_groups=(None if os.environ.get("SERVE_ADMIT", "1")
+                          in ("0", "none") else
+                          int(os.environ.get("SERVE_ADMIT", "1"))),
+            reps=int(os.environ.get("SERVE_REPS", 3)),
+            sweep_rates=sweep_rates)))
         return
     if mode == "static":
         log("compile+warm static...")

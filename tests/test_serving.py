@@ -315,12 +315,15 @@ def test_serving_spec_k_matches_plain_engine(model):
 
 
 def test_serving_spec_rejects_sampling(model):
+    """spec + sampling no longer raises (serve.yaml ships SPEC_K by
+    default): the engine downgrades to plain quanta — see
+    test_spec_auto_disabled_under_sampling for the end-to-end check."""
     cfg, params = model
-    with pytest.raises(ValueError, match="greedy"):
-        ServingEngine(params, cfg,
-                      GenerationConfig(do_sample=True, eos_token_id=-1),
-                      num_slots=2, max_len=64, prompt_buckets=(32,),
-                      spec_k=3)
+    eng = ServingEngine(params, cfg,
+                        GenerationConfig(do_sample=True, eos_token_id=-1),
+                        num_slots=2, max_len=64, prompt_buckets=(32,),
+                        spec_k=3)
+    assert eng.spec_k is None
 
 
 def test_spec_auto_disabled_under_sampling(model, capsys):
