@@ -364,14 +364,38 @@ def main():
             # flash-decode kernel — same-day A/B: 7.28 req/s vs 6.62
             # (spec, unfused XLA windows) vs 5.19 (plain);
             # BENCH_SERVE_SPEC_K=0 reverts to plain quanta
+            # open-loop offered-rate sweep (VERDICT r4: one saturated point
+            # measures drain, not steady state): 3 points bracketing the
+            # knee; serving_knee_req_s = highest sustained offered rate.
+            # BENCH_SERVE_SWEEP="" skips; reps default 5 (r4: 3 reps left a
+            # 31% band on a degraded-tunnel day).
+            sweep_env = os.environ.get("BENCH_SERVE_SWEEP", "3,4.5,6")
             serving = measure_serving(
                 params, cfg,
                 synth_requests(cfg, int(os.environ.get("BENCH_SERVE_N", 48))),
                 slots=int(os.environ.get("BENCH_SERVE_SLOTS", 16)),
                 kv_quant=os.environ.get("BENCH_SERVE_KV", "int8") or None,
-                reps=int(os.environ.get("BENCH_SERVE_REPS", 3)),
+                reps=int(os.environ.get("BENCH_SERVE_REPS", 5)),
                 arrival_rate=float(os.environ.get("BENCH_SERVE_RATE", 6)),
-                spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K", 4)) or None)
+                spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K", 4)) or None,
+                sweep_rates=[float(x) for x in sweep_env.split(",") if x]
+                or None)
+            # prefix-KV reuse A/B on the REALISTIC corpus (shared system
+            # prompt + VQAv2-style ~3 questions/image): same requests, engine
+            # prefix registry on vs off.  BENCH_SERVE_PREFIX=0 skips.
+            if os.environ.get("BENCH_SERVE_PREFIX", "1") == "1":
+                preq = synth_requests(
+                    cfg, int(os.environ.get("BENCH_SERVE_N", 48)),
+                    shared_sys_tokens=32, questions_per_image=3, seed=1)
+                for tag, pc in (("prefix_on", True), ("prefix_off", False)):
+                    serving[tag] = measure_serving(
+                        params, cfg, preq,
+                        slots=int(os.environ.get("BENCH_SERVE_SLOTS", 16)),
+                        kv_quant=os.environ.get("BENCH_SERVE_KV", "int8")
+                        or None,
+                        reps=int(os.environ.get("BENCH_SERVE_REPS", 5)),
+                        spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K", 4))
+                        or None, prefix_cache=pc)
             del params
             log(f"serving: {serving}")
         except Exception as e:  # noqa: BLE001
@@ -414,6 +438,34 @@ def main():
                              (lat.get("ttft") or {}).get("p50"),
                          "serving_open_loop_ttft_p95_s":
                              (lat.get("ttft") or {}).get("p95")})
+        sw = serving.get("open_loop_sweep")
+        if sw:
+            line["serving_knee_req_s"] = sw["max_sustainable_req_s"]
+            line["serving_sweep"] = [
+                {"offered": p["offered_req_s"], "achieved": p["achieved_req_s"],
+                 "ttft_p95_s": (p["latency"].get("ttft") or {}).get("p95"),
+                 "e2e_p95_s": (p["latency"].get("e2e") or {}).get("p95"),
+                 "sustained": p["sustained"]} for p in sw["points"]]
+        for tag in ("prefix_on", "prefix_off"):
+            pr = serving.get(tag)
+            if pr:
+                line[f"serving_{tag}_req_s"] = pr["requests_per_s"]
+                line[f"serving_{tag}_band"] = pr["requests_per_s_band"]
+                if tag == "prefix_on":
+                    line["serving_prefix_tokens_saved"] = (
+                        pr.get("scheduler") or {}).get("prefix_tokens_saved")
+    # realistic spec acceptance (host-side, model-free — serving/spec_corpus):
+    # the defensible tokens/forward on the deployment text distribution,
+    # replacing the random-weight synthetic stat as the default's basis
+    if os.environ.get("BENCH_SPEC_CORPUS", "1") == "1":
+        try:
+            from cullavo_tpu.serving.spec_corpus import step1_acceptance
+
+            line["spec_acceptance_corpus"] = step1_acceptance(
+                spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K", 4)) or 4,
+                n_samples=32)
+        except Exception as e:  # noqa: BLE001
+            log(f"spec corpus acceptance FAILED: {type(e).__name__}: {e}")
     print(json.dumps(line))
 
 

@@ -303,3 +303,42 @@ def test_spec_wwin_engine_token_exact(model, monkeypatch):
                                         do_sample=False, eos_token_id=-1),
                        eng.max_len, spec_k)
         assert got[r.req_id] == out[0].tolist()[:r.max_new_tokens], r.req_id
+
+
+def test_spec_corpus_acceptance_bounds_and_extremes():
+    """Model-free acceptance simulation (serving/spec_corpus): bounded by
+    [1, spec_k]; an answer that copies a phrase already in the prompt is
+    drafted near-perfectly, an unrelated random answer gets ~1."""
+    import numpy as np
+
+    from cullavo_tpu.serving.spec_corpus import measure_acceptance
+
+    rng = np.random.default_rng(0)
+    phrase = rng.integers(10, 200, size=(24,)).astype(np.int32)
+    prompt = np.concatenate([rng.integers(10, 200, size=(40,)), phrase,
+                             rng.integers(10, 200, size=(8,))]).astype(np.int32)
+    copy_pair = (prompt, phrase.copy())           # answer = copy of the phrase
+    rand_pair = (prompt,
+                 rng.integers(210, 250, size=(24,)).astype(np.int32))
+
+    hi = measure_acceptance([copy_pair], spec_k=4)
+    lo = measure_acceptance([rand_pair], spec_k=4)
+    assert 1.0 <= lo["tokens_per_forward"] <= 4.0
+    assert 1.0 <= hi["tokens_per_forward"] <= 4.0
+    assert hi["tokens_per_forward"] > 2.5         # near-perfect drafting
+    assert lo["tokens_per_forward"] < 1.3         # nothing to look up
+
+
+def test_spec_corpus_step1_pairs_shape():
+    """The step1-synthesis corpus yields non-trivial (prompt, answer) pairs
+    and a deterministic acceptance for a fixed seed."""
+    from cullavo_tpu.serving.spec_corpus import measure_acceptance, step1_pairs
+
+    pairs = step1_pairs(n_samples=4, seed=3)
+    assert len(pairs) == 4
+    for p, a in pairs:
+        assert len(p) > 20 and len(a) >= 4
+    r1 = measure_acceptance(pairs, spec_k=4)
+    r2 = measure_acceptance(step1_pairs(n_samples=4, seed=3), spec_k=4)
+    assert r1 == r2
+    assert 1.0 <= r1["tokens_per_forward"] <= 4.0
