@@ -94,7 +94,17 @@ def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
         last_counters.update(eng.counters)
         return res, eng.latency()
 
-    run()                                   # compile + warm
+    # compile + warm.  Staged submits walk the power-of-two prefill-chunk
+    # ladder (1, 2, full) so open-loop passes — where single arrivals admit
+    # as 1-row chunks — never hit a fresh 7B compile mid-measurement.
+    warm = make_engine()
+    done = 0
+    for cut in (1, min(3, len(reqs)), len(reqs)):
+        for r in reqs[done:cut]:
+            warm.submit(r)
+        done = max(done, cut)
+        warm.run()
+    del warm
     # multi-run median + band: single-run serving numbers swing with the
     # remote-tunnel state (observed 7.9-9.4 req/s for one config across
     # rounds) — quote the median of `reps` timed passes and the min/max band,
