@@ -39,6 +39,15 @@ def main() -> None:
     # the CPU backend before any device query so the virtual-device flag and
     # the distributed CPU rendezvous take effect
     jax.config.update("jax_platforms", "cpu")
+    try:
+        # both ranks compile IDENTICAL programs (same mesh shape per rank) —
+        # a shared persistent cache halves the first run's compile wall on a
+        # small host and makes reruns nearly compile-free
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/cullavo_jax_cache_mh")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from cullavo_tpu.entry import _maybe_init_distributed
 
@@ -117,12 +126,113 @@ def main() -> None:
     assert sorted(r["idx"] for r in merged) == list(range(2 * num))
     ctx.barrier("eval_end")
 
+    xdec = _xdecoder_phase(ctx, num, pid, n_devices)
+
     if ctx.is_main:
         print(MARK + json.dumps({
             "n_procs": num, "devices": n_devices,
             "local_devices": jax.local_device_count(),
             "loss0": round(losses[0], 6), "loss1": round(losses[1], 6),
-            "gathered": len(merged)}), flush=True)
+            "gathered": len(merged), **xdec}), flush=True)
+
+
+def _xdecoder_phase(ctx, num: int, pid: int, n_devices: int) -> dict:
+    """The X-Decoder joint (40-term deep-supervised) train step across the
+    process boundary on a NON-trivial (data × fsdp) mesh: the data axis
+    spans the processes (grad psum rides the inter-process link, as DCN
+    would on a pod), fsdp shards params within each process (all-gathers
+    stay on the intra-process "ICI").  The reference trained the seg stack
+    under 2-machine DDP too (node_run:22-43,
+    trainer/distributed_trainer.py:15); the LLaVA phase above is pure DP,
+    so without this the joint objective never crossed ranks."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cullavo_tpu.models.xdecoder.model import (init_xdecoder_model_params,
+                                                   tiny_xdecoder_config)
+    from cullavo_tpu.parallel.mesh import (MeshConfig, batch_sharding,
+                                           make_mesh, replicated)
+    from cullavo_tpu.trainer.optimizer import xdecoder_optimizer
+    from cullavo_tpu.trainer.step import TrainState
+    from cullavo_tpu.trainer.xdecoder_step import (
+        _REPLICATED_BATCH_KEYS, make_xdecoder_joint_train_step,
+        shard_xdecoder_step)
+    from __graft_entry__ import _xdec_tiny_batch
+
+    os.environ.setdefault("CULLAVO_DEVICE_LAP", "1")  # the pod matcher path
+
+    def progress(msg: str) -> None:
+        # per-rank progress file: launch() only surfaces the FIRST failing
+        # rank's output, and a deadlocked peer shows nothing — this is the
+        # black-box flight recorder for debugging cross-rank hangs
+        with open(f"/tmp/mh_rank{pid}.progress", "a") as f:
+            import datetime
+
+            f.write(f"{datetime.datetime.now():%H:%M:%S} {msg}\n")
+
+    progress("xdec phase: barrier")
+    ctx.barrier("xdec_start")
+    local = jax.local_device_count()
+    # data axis first ⇒ C-order reshape gives each data index one process's
+    # contiguous device block; fsdp stays intra-process
+    mesh = make_mesh(MeshConfig(data=num, fsdp=local))
+    cfg = tiny_xdecoder_config()
+    params = init_xdecoder_model_params(cfg, jax.random.PRNGKey(0))
+    tx = xdecoder_optimizer(base_lr=1e-4, total_steps=100, grad_clip=1.0,
+                            warmup_steps=0)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = make_xdecoder_joint_train_step(cfg, tx)
+    global_batch = _xdec_tiny_batch(cfg, B=n_devices, seed=11)
+    jitted = shard_xdecoder_step(step_fn, mesh, state, joint=True,
+                                 batch_keys=global_batch.keys())
+
+    b_sh, r_sh = batch_sharding(mesh), replicated(mesh)
+    rows = n_devices // num
+
+    def to_global(k, a):
+        a = np.asarray(a)
+        if k in _REPLICATED_BATCH_KEYS:
+            return jax.make_array_from_process_local_data(r_sh, a)
+        return jax.make_array_from_process_local_data(
+            b_sh, a[pid * rows:(pid + 1) * rows])
+
+    batch = {k: to_global(k, v) for k, v in global_batch.items()}
+    progress("batch built; compiling joint step")
+    # AOT-compile, then a CONTROL-PLANE barrier before the first execution:
+    # the joint step compiles for ~20 min/rank on a small host and the two
+    # ranks' compiles skew — the faster rank otherwise sits in the Gloo
+    # data-plane recv, whose 30-min timeout killed a real run of this drill.
+    # sync_global_devices is itself a data-plane collective, so it cannot be
+    # the fence; the coordination-service barrier carries its own timeout.
+    jitted.lower(state, batch, jax.random.PRNGKey(10)).compile()
+    try:
+        from jax._src import distributed as _jdist
+
+        _jdist.global_state.client.wait_at_barrier("xdec_compiled",
+                                                   timeout_in_ms=3_000_000)
+    except Exception as e:  # pragma: no cover - private-API drift fallback
+        print(f"[xdec_phase] coordination barrier unavailable ({e}); "
+              "relying on Gloo timeouts", flush=True)
+    progress("compiled + barrier passed; executing")
+    losses = []
+    for i in range(2):
+        state, metrics = jitted(state, batch, jax.random.PRNGKey(10 + i))
+        losses.append(float(metrics["loss_total"]))
+        progress(f"step {i} done loss={losses[-1]:.4f}")
+    assert all(np.isfinite(l) for l in losses), losses
+    assert int(state.step) == 2
+    n_terms = sum(1 for k in metrics if k.startswith("loss_"))
+    # replicated loss must agree across ranks — proof the 40-term objective's
+    # grad psum crossed the process boundary coherently
+    gathered = ctx.allgather_objects(losses[-1])
+    assert len(gathered) == num
+    assert max(gathered) - min(gathered) < 1e-5, gathered
+    ctx.barrier("xdec_end")
+    return {"xdec_loss0": round(losses[0], 6),
+            "xdec_loss1": round(losses[1], 6),
+            "xdec_terms": n_terms,
+            "xdec_mesh": [num, local, 1]}
 
 
 def _free_port() -> int:

@@ -311,14 +311,20 @@ class ServingEngine:
                 stored = entry["ids"]
                 n = min(len(stored), len(ids), len(ids) - 1)  # ≥1-token suffix
                 eq = stored[:n] == ids[:n]
-                P = int(n if eq.all() else np.argmin(eq))
-                if P >= self.prefix_min:
-                    sfx = len(ids) - P
-                    for wb in self.suffix_buckets:
-                        if (wb >= sfx and
-                                P + wb + req.max_new_tokens <= self.max_len):
-                            self._prefix_reg.move_to_end(key)   # LRU touch
-                            return ("prefix", key, P, wb)
+                lcp = int(n if eq.all() else np.argmin(eq))
+                for wb in self.suffix_buckets:
+                    # the reuse point may sit BELOW the LCP: the layout
+                    # [0, P + wb) plus the decode budget must fit the pool
+                    # cache, and P rounds down to a 32-multiple so requests
+                    # with different question/budget lengths share one
+                    # (P, wb) admission group (identical prefix tokens make
+                    # any P ≤ LCP token-exact)
+                    p = min(lcp, self.max_len - wb - req.max_new_tokens)
+                    if p >= 64:
+                        p = (p // 32) * 32
+                    if p >= self.prefix_min and len(ids) - p <= wb:
+                        self._prefix_reg.move_to_end(key)       # LRU touch
+                        return ("prefix", key, int(p), wb)
         return ("full", self._bucket(len(ids)))
 
     def _maybe_register(self, group, chunk):
