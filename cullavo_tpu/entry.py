@@ -991,7 +991,8 @@ def _engine_from_cfg(scfg, model_cfg, params, tokenizer, buckets, max_len):
         prefix_cache=bool(scfg.get("PREFIX", True)),
         prefix_min=int(scfg.get("PREFIX_MIN", 32)),
         suffix_buckets=tuple(scfg.get("SUFFIX_BUCKETS") or (32, 64, 128)),
-        max_prefixes=int(scfg.get("MAX_PREFIXES", 2)),
+        max_prefixes=(int(scfg["MAX_PREFIXES"])
+                      if scfg.get("MAX_PREFIXES") else None),
         admit_groups=(None if scfg.get("ADMIT_GROUPS", 1) in (None, 0)
                       else int(scfg.get("ADMIT_GROUPS", 1))))
     return gen, eng

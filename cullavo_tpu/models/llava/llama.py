@@ -139,11 +139,13 @@ def _wwin_ok(T: int, S: int, hd: int) -> bool:
     env = os.environ.get("CULLAVO_WWIN", "")
     if env == "0":
         return False
-    # width cap: the kernel is built (and chip-validated) for speculative
-    # windows (W ≈ spec_k, ≤ ~16); prefix-cache suffix prefills reuse the
-    # same stale-cache T>1 path with W of 32-256, which stays on the XLA
-    # branch unless CULLAVO_WWIN_MAXW raises the cap
-    if T > int(os.environ.get("CULLAVO_WWIN_MAXW", 16)):
+    # width cap: chip-validated for speculative windows (W ≈ spec_k) and for
+    # prefix-cache suffix prefills up to W=64 (same-day A/B on the
+    # 3-questions-per-image serving corpus: 7.99 vs 7.37 req/s over the XLA
+    # window path — the [.., W, S] probabilities stay in VMEM).  Wider
+    # windows (the 128 suffix bucket) stay on the XLA branch until measured;
+    # CULLAVO_WWIN_MAXW overrides either way.
+    if T > int(os.environ.get("CULLAVO_WWIN_MAXW", 64)):
         return False
     if env == "1":
         return True

@@ -98,7 +98,8 @@ class ServingEngine:
                  lora: Optional[dict] = None, lora_scaling: float = 0.0,
                  spec_k: Optional[int] = None,
                  prefix_cache: bool = True, prefix_min: int = 32,
-                 suffix_buckets=(32, 64, 128), max_prefixes: int = 2,
+                 suffix_buckets=(32, 64, 128),
+                 max_prefixes: Optional[int] = None,
                  admit_groups: Optional[int] = 1):
         self.params = params
         self.cfg = cfg
@@ -155,7 +156,13 @@ class ServingEngine:
         self.prefix_cache = bool(prefix_cache)
         self.prefix_min = int(prefix_min)       # min shared head worth reusing
         self.suffix_buckets = tuple(sorted(int(b) for b in suffix_buckets))
-        self.max_prefixes = int(max_prefixes)
+        # registry capacity must cover the distinct keys a full admission
+        # drain registers before their repeats re-plan (one full group can
+        # register prefill_chunk NEW images) — a cap of 2 measured near-zero
+        # hits on a 3-questions-per-image stream (registered entries were
+        # LRU-evicted by the next group before their repeats admitted)
+        self.max_prefixes = (int(max_prefixes) if max_prefixes is not None
+                             else max(4, self.num_slots // 2))
         self._prefix_reg: collections.OrderedDict = collections.OrderedDict()
         self._req_keys: dict = {}               # req_id -> registry key
         # scheduler stats (exposed via /stats and the serve bench)

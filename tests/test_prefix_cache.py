@@ -291,3 +291,56 @@ def test_engine_prefix_off_and_pacing(model):
                                                     max_len), r.req_id
     assert len(eng._prefix_reg) == 0
     assert eng.counters["prefix_hits"] == 0
+
+
+def test_prefix_suffix_wwin_kernel_matches_xla(model, monkeypatch):
+    """The suffix window through the wwin flash-decode kernel (interpret
+    mode on CPU) must produce the same decode stream as the XLA stale
+    window path — the default-on configuration for suffix widths ≤ 64."""
+    cfg, params = model
+    rng = np.random.default_rng(4)
+    head = rng.integers(4, VOCAB - 2, size=(100,)).tolist()
+    tail = rng.integers(4, VOCAB - 2, size=(20,)).tolist()
+    P, W = 100, 24
+    max_len = 256                  # 128-multiple: the kernel's S contract
+    rows = [head + tail]
+
+    pfx_state = _full_state(cfg, params, [head], None, max_len)
+    prefix = extract_prefix_state(pfx_state, 0)
+    sfx = np.zeros((1, W), np.int32)
+    smask = np.zeros((1, W), np.int32)
+    sfx[0, :len(tail)] = tail
+    smask[0, :len(tail)] = 1
+
+    # the env gate is read at TRACE time and jit caches ignore env vars —
+    # clear the traced-program cache around each mode and COUNT kernel
+    # invocations so the wwin run is provably not a stale-cache replay
+    import cullavo_tpu.ops.wwin_decode as ww
+
+    monkeypatch.setenv("CULLAVO_WWIN", "0")
+    generate_prefill_prefix.clear_cache()
+    st_xla = generate_prefill_prefix(params, cfg, prefix, jnp.asarray(sfx),
+                                     None, jnp.asarray(smask), P,
+                                     compute_dtype=jnp.float32)
+    toks_xla = _decode(cfg, params, st_xla)
+
+    calls = {"n": 0}
+    orig = ww.wwin_decode_smajor
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ww, "wwin_decode_smajor", counted)
+    monkeypatch.setenv("CULLAVO_WWIN", "1")
+    monkeypatch.setenv("CULLAVO_WWIN_MAXW", "64")
+    generate_prefill_prefix.clear_cache()
+    st_win = generate_prefill_prefix(params, cfg, prefix, jnp.asarray(sfx),
+                                     None, jnp.asarray(smask), P,
+                                     compute_dtype=jnp.float32)
+    toks_win = _decode(cfg, params, st_win)
+    assert calls["n"] > 0, "wwin kernel unused despite CULLAVO_WWIN=1"
+    np.testing.assert_array_equal(toks_win, toks_xla)
+
+    ref_state = _full_state(cfg, params, rows, None, max_len)
+    np.testing.assert_array_equal(toks_xla, _decode(cfg, params, ref_state))
