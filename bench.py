@@ -369,7 +369,7 @@ def main():
             # knee; serving_knee_req_s = highest sustained offered rate.
             # BENCH_SERVE_SWEEP="" skips; reps default 5 (r4: 3 reps left a
             # 31% band on a degraded-tunnel day).
-            sweep_env = os.environ.get("BENCH_SERVE_SWEEP", "3,4.5,6")
+            sweep_env = os.environ.get("BENCH_SERVE_SWEEP", "4,6,8")
             serving = measure_serving(
                 params, cfg,
                 synth_requests(cfg, int(os.environ.get("BENCH_SERVE_N", 48))),
@@ -393,7 +393,7 @@ def main():
                         slots=int(os.environ.get("BENCH_SERVE_SLOTS", 16)),
                         kv_quant=os.environ.get("BENCH_SERVE_KV", "int8")
                         or None,
-                        reps=int(os.environ.get("BENCH_SERVE_REPS", 5)),
+                        reps=3,   # secondary A/B — bounded bench wall time
                         spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K", 4))
                         or None, prefix_cache=pc)
             del params
@@ -441,6 +441,7 @@ def main():
         sw = serving.get("open_loop_sweep")
         if sw:
             line["serving_knee_req_s"] = sw["max_sustainable_req_s"]
+            line["serving_max_achieved_req_s"] = sw["max_achieved_req_s"]
             line["serving_sweep"] = [
                 {"offered": p["offered_req_s"], "achieved": p["achieved_req_s"],
                  "ttft_p95_s": (p["latency"].get("ttft") or {}).get("p95"),

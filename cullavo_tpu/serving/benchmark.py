@@ -94,12 +94,18 @@ def measure_serving(params, cfg, reqs, *, slots: int = 12, quantum: int = 8,
         last_counters.update(eng.counters)
         return res, eng.latency()
 
-    # compile + warm.  Staged submits walk the power-of-two prefill-chunk
-    # ladder (1, 2, full) so open-loop passes — where single arrivals admit
-    # as 1-row chunks — never hit a fresh 7B compile mid-measurement.
+    # compile + warm.  Staged submits walk EVERY power-of-two prefill-chunk
+    # size (1, 2, 4, ... chunk) so open-loop passes — where arrivals admit
+    # as small chunks — never hit a fresh 7B compile mid-measurement (one
+    # un-warmed size measured TTFT p95 = 77 s at rate 6).
     warm = make_engine()
     done = 0
-    for cut in (1, min(3, len(reqs)), len(reqs)):
+    cuts, k = [], 1
+    while k <= chunk:
+        cuts.append(done + k if cuts == [] else cuts[-1] + k)
+        k *= 2
+    for cut in cuts + [len(reqs)]:
+        cut = min(cut, len(reqs))
         for r in reqs[done:cut]:
             warm.submit(r)
         done = max(done, cut)
@@ -168,21 +174,38 @@ def measure_open_loop(make_engine, reqs, rate_req_s: float,
             "latency": eng.latency()}
 
 
-def sweep_open_loop(make_engine, reqs, rates, sustain_frac: float = 0.95) -> dict:
+def sweep_open_loop(make_engine, reqs, rates) -> dict:
     """Open-loop offered-rate sweep (VERDICT r4 Weak #1: one saturated point
-    measures queue drain, not steady state).  Runs ``measure_open_loop`` at
-    each offered rate and reports the KNEE: ``max_sustainable_req_s`` = the
-    highest offered rate whose achieved throughput stays ≥ ``sustain_frac``
-    of offered (points above it are saturated — their E2E grows with the
-    queue for the whole window)."""
+    measures queue drain, not steady state).
+
+    The KNEE criterion is queueing stability, not achieved/offered: with a
+    finite request window, achieved = n/(arrival span + drain) sits below
+    offered at EVERY rate (measured ~86% across 2..6 req/s on an engine
+    whose closed-loop capacity was 6.7), so a 95%-of-offered test never
+    passes.  Instead a point is ``sustained`` when its TTFT p95 stays under
+    a bound self-calibrated from the sweep's LOWEST rate (the unloaded
+    reference): ``max(3x base, base + 1 s)`` — a growing queue pushes TTFT
+    p95 to many seconds within the window (a saturated r4 point measured
+    4.26 s; a mid-run compile measured 77 s).
+
+    Caveat: with a finite stream the window may end before instability at
+    rates just above capacity shows up (a 16-slot pool absorbs a 48-request
+    burst), so read the knee TOGETHER with ``max_achieved_req_s`` — the
+    realized ceiling — and the closed-loop number."""
     points = []
-    knee = 0.0
     for r in sorted(rates):
         p = measure_open_loop(make_engine, reqs, float(r))
-        p["sustained"] = p["achieved_req_s"] >= sustain_frac * p["offered_req_s"]
+        points.append(p)
+    base = (points[0]["latency"].get("ttft") or {}).get("p95") or 0.5
+    bound = max(3.0 * base, base + 1.0)
+    knee = 0.0
+    for p in points:
+        ttft95 = (p["latency"].get("ttft") or {}).get("p95") or float("inf")
+        p["sustained"] = ttft95 <= bound
         if p["sustained"]:
             knee = max(knee, p["offered_req_s"])
-        points.append(p)
     return {"points": points,
             "max_sustainable_req_s": round(knee, 3),
-            "sustain_frac": sustain_frac}
+            "max_achieved_req_s": round(
+                max(p["achieved_req_s"] for p in points), 3),
+            "ttft_p95_bound_s": round(bound, 3)}
