@@ -10,15 +10,31 @@ step2_pre JSON-row merge pattern) and ``sync_global_devices`` barriers.
 """
 import pytest
 
-from cullavo_tpu.parallel.multihost_dryrun import launch
+from cullavo_tpu.parallel.multihost_dryrun import launch_all
 
 
 @pytest.mark.slow
 def test_two_process_rendezvous_dp_step_and_gather():
-    result = launch(2, local_devices=4)
+    # 2 local devices per rank; phases run as separate launches so the xdec
+    # phase's upstream XLA:CPU+Gloo intermittent collective hang (STATUS
+    # round 5) cannot take the always-stable base proof down with it
+    result = launch_all(2, local_devices=2, xdec_timeout_s=1200)
     assert result["n_procs"] == 2
-    assert result["devices"] == 8
-    assert result["local_devices"] == 4
+    assert result["devices"] == 4
+    assert result["local_devices"] == 2
     # the DP step ran twice; deterministic seeds -> loss decreases
     assert result["loss1"] < result["loss0"] < 20.0
     assert result["gathered"] == 4
+    if result["xdec_status"] != "ok":
+        # characterized upstream flake: the identical program/step both
+        # passed (loss agreed across ranks) and hung on different runs;
+        # genuine failures (assertions, crashes) raise instead of xfailing
+        pytest.xfail(f"xdec cross-process phase: {result['xdec_status']} "
+                     "(upstream XLA:CPU Gloo instability, jaxlib 0.9.0 — "
+                     "STATUS round 5)")
+    # the X-Decoder joint 40-term objective crossed the process boundary on
+    # a non-trivial (data=2 x fsdp=2) mesh: per-rank losses agreed (asserted
+    # inside the rank driver) and the step was finite
+    assert result["xdec_mesh"] == [2, 2, 1]
+    assert result["xdec_terms"] >= 40
+    assert 0.0 < result["xdec_loss0"]
