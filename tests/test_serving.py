@@ -362,12 +362,15 @@ def test_engine_derates_slots_to_hbm_budget(model, monkeypatch):
     weights = sum(getattr(v, "nbytes", 0) for v in jax.tree.leaves(params))
 
     # budget sized for exactly 2 slots after the 8% margin
+    # (prefix_cache off so the prefix-registry reservation — max_prefixes
+    # pool rows, also part of the fit since round 5 — doesn't shift the
+    # arithmetic this test pins)
     monkeypatch.setenv("CULLAVO_SERVE_HBM_GB",
                        str((weights + 2.5 * per_slot) / 0.92 / 1e9))
     eng = ServingEngine(params, cfg, gen, num_slots=4,
                         max_len=buckets[-1] + 8, prompt_buckets=buckets,
                         prefill_chunk=1, quantum=2,
-                        compute_dtype=jnp.float32)
+                        compute_dtype=jnp.float32, prefix_cache=False)
     assert eng.num_slots == 2 and len(eng.free) == 2
     for i in range(3):
         eng.submit(_request(cfg, rng, i, 3, 4))
@@ -380,4 +383,5 @@ def test_engine_derates_slots_to_hbm_budget(model, monkeypatch):
     with pytest.raises(ValueError, match="decode pool cannot fit"):
         ServingEngine(params, cfg, gen, num_slots=4,
                       max_len=buckets[-1] + 8, prompt_buckets=buckets,
-                      prefill_chunk=1, quantum=2, compute_dtype=jnp.float32)
+                      prefill_chunk=1, quantum=2, compute_dtype=jnp.float32,
+                      prefix_cache=False)
