@@ -200,7 +200,9 @@ class ServingEngine:
     def _pool_bytes_per_slot(self) -> int:
         """HBM bytes one decode-pool row costs at the (possibly spec-rounded)
         cache length: k+v planes, plus the int8 mode's bf16 scale planes
-        ([L, S, B, KV] — llama.alloc cache layout)."""
+        ([L, S, B, KV] — llama.alloc cache layout).  The unquantized cache
+        stores ``compute_dtype`` elements (4 bytes under float32 engines —
+        a hardcoded 2 would under-count the pool 2x and defeat the fit)."""
         t = self.cfg.text
         kv_elems = (2 * t.num_hidden_layers * self.max_len
                     * t.num_key_value_heads * t.head_dim)
@@ -208,7 +210,7 @@ class ServingEngine:
             scale_elems = (2 * t.num_hidden_layers * self.max_len
                            * t.num_key_value_heads)
             return kv_elems + scale_elems * 2
-        return kv_elems * 2
+        return kv_elems * jnp.dtype(self.compute_dtype).itemsize
 
     def _fit_slots_to_hbm(self) -> None:
         """Derate ``num_slots`` (with a warning) when the decode pool cannot
@@ -255,8 +257,7 @@ class ServingEngine:
                   f"{avail/1e9:.2f} GB fit next to {weights/1e9:.2f} GB of "
                   f"weights in the {budget/1e9:.1f} GB budget",
                   file=sys.stderr)
-            self.num_slots = fit
-            self.free = list(range(fit))
+            self.num_slots = fit    # the constructor builds self.free next
 
     # -- submission ---------------------------------------------------------
     def submit(self, req: Request) -> int:
@@ -319,6 +320,14 @@ class ServingEngine:
                 n = min(len(stored), len(ids), len(ids) - 1)  # ≥1-token suffix
                 eq = stored[:n] == ids[:n]
                 lcp = int(n if eq.all() else np.argmin(eq))
+                # the reuse point must NOT split an image-token run: the
+                # suffix forward ranks its image slots from 0
+                # (merge_image_features), so a cut inside the run would hand
+                # the trailing image tokens the WRONG features — silent
+                # output corruption.  A cut at either boundary is exact
+                # (run fully in the prefix, or fully in the suffix).
+                img = np.nonzero(ids == self.cfg.image_token_id)[0]
+                run = (int(img[0]), int(img[-1]) + 1) if img.size else None
                 for wb in self.suffix_buckets:
                     # the reuse point may sit BELOW the LCP: the layout
                     # [0, P + wb) plus the decode budget must fit the pool
@@ -327,6 +336,8 @@ class ServingEngine:
                     # (P, wb) admission group (identical prefix tokens make
                     # any P ≤ LCP token-exact)
                     p = min(lcp, self.max_len - wb - req.max_new_tokens)
+                    if run and run[0] < p < run[1]:
+                        p = run[0]
                     if p >= 64:
                         p = (p // 32) * 32
                     if p >= self.prefix_min and len(ids) - p <= wb:
@@ -381,7 +392,7 @@ class ServingEngine:
         # pending request's plan, bounded by the free slots
         lead = self._plan(self.pending[0])
         group, rest = [], collections.deque()
-        group_keys = set()
+        group_key_ids: dict = {}
         while self.pending and len(group) < min(self.prefill_chunk,
                                                 len(self.free)):
             r = self.pending.popleft()
@@ -392,12 +403,22 @@ class ServingEngine:
                 # defer same-key requests out of a full-prefill group: this
                 # chunk REGISTERS its keys, so the deferred ones re-plan as
                 # prefix hits next group instead of paying a second full
-                # prefill
+                # prefill.  Only when deferral would actually BUY a hit —
+                # text-only requests all share the (None, adapter) key, and
+                # deferring unrelated prompts (tiny LCP, no reuse possible)
+                # would degrade admission to one row per group.
                 key = self._req_key(r)
-                if key in group_keys:
-                    rest.append(r)
-                    continue
-                group_keys.add(key)
+                earlier = group_key_ids.get(key)
+                if earlier is not None:
+                    ids_r = np.asarray(r.input_ids)
+                    n = min(len(earlier), len(ids_r))
+                    eq = earlier[:n] == ids_r[:n]
+                    lcp = int(n if eq.all() else np.argmin(eq))
+                    if lcp >= self.prefix_min:
+                        rest.append(r)
+                        continue
+                else:
+                    group_key_ids[key] = np.asarray(r.input_ids)
             group.append(r)
         # skipped (different-plan) requests keep their arrival order
         while rest:

@@ -35,10 +35,6 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_SUMMARY = re.compile(
-    r"(?:(?P<failed>\d+) failed)?(?:, )?(?P<passed>\d+) passed"
-    r"(?:, (?P<skipped>\d+) skipped)?")
-
 
 def _parse_counts(out: str) -> dict:
     """Pull pass/fail/skip counts out of the pytest summary line."""
@@ -81,16 +77,20 @@ def run_file(path: str, pytest_args: list, timeout: int) -> dict:
         rec["time_s"] = round(time.perf_counter() - t0, 1)
         rec["returncode"] = rc
         rec.update(_parse_counts(out))
+        if rc == 5:
+            # pytest: no tests collected (e.g. a -k filter deselecting the
+            # whole file) — not a failure, not a crash
+            rec["ok"] = True
+            return rec
         crashed = rc not in (0, 1) or (rc == 1 and rec["failed"] == 0
                                        and rec["passed"] == 0)
-        if rc == 0 or (rc == 1 and rec["failed"] > 0) or attempt == 1:
+        if not crashed or attempt == 1:
             rec["ok"] = rc == 0
             if not rec["ok"]:
                 # keep the tail for diagnosis without bloating the artifact
                 rec["tail"] = out.splitlines()[-25:]
             return rec
-        if crashed:
-            rec["retried"] = True
+        rec["retried"] = True
     rec["ok"] = False
     return rec
 

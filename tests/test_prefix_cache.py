@@ -344,3 +344,73 @@ def test_prefix_suffix_wwin_kernel_matches_xla(model, monkeypatch):
 
     ref_state = _full_state(cfg, params, rows, None, max_len)
     np.testing.assert_array_equal(toks_xla, _decode(cfg, params, ref_state))
+
+
+def test_engine_prefix_never_splits_image_run(model):
+    """A tight pool cache can force the reuse point BELOW the LCP; it must
+    never land inside the image-token run (the suffix forward ranks image
+    slots from 0 — a split would feed the trailing image tokens the wrong
+    features and silently corrupt the stream).  The plan clamps to the run
+    start instead; streams stay exactly offline-equal."""
+    cfg, params = model
+    from cullavo_tpu.serving import ServingEngine
+
+    rng = np.random.default_rng(21)
+    n_img = cfg.num_image_tokens
+    sys_head = rng.integers(4, VOCAB - 2, size=(6,)).tolist()
+    head = sys_head + [cfg.image_token_id] * n_img   # image run = [6, 6+n_img)
+    pix = rng.normal(size=(3, cfg.vision.image_size,
+                           cfg.vision.image_size)).astype(np.float32)
+    max_new = 4
+    reqs = [_engine_request(cfg, rng, 0, head, 5, max_new, pix),
+            _engine_request(cfg, rng, 1, head, 3, max_new, pix)]
+    bucket = len(head) + 8
+    wb = 16
+    # cache sized so the raw reuse cap = max_len - wb - max_new lands INSIDE
+    # the image run (between 6 and 6 + n_img)
+    max_len = wb + max_new + 6 + n_img // 2
+    assert 6 < max_len - wb - max_new < 6 + n_img
+    gen = GenerationConfig(do_sample=False, eos_token_id=-1)
+    eng = ServingEngine(params, cfg, gen, num_slots=2, max_len=max_len,
+                        prompt_buckets=(bucket,), prefill_chunk=1, quantum=2,
+                        compute_dtype=jnp.float32,
+                        prefix_cache=True, prefix_min=4,
+                        suffix_buckets=(wb,), max_prefixes=2)
+    for r in reqs:
+        eng.submit(r)
+    results = eng.run()
+    for r in reqs:
+        assert results[r.req_id] == _offline_stream(cfg, params, r, bucket,
+                                                    max_len), r.req_id
+    # the second request DID reuse (P clamped to the run start, not full)
+    assert eng.counters["prefix_hits"] == 1
+
+
+def test_engine_text_only_requests_do_not_serialize_admission(model):
+    """All text-only requests share the (None, adapter) registry key; the
+    same-key deferral must NOT push unrelated prompts (tiny LCP — no reuse
+    possible) out of full-prefill groups, or admission degrades to one row
+    per group."""
+    cfg, params = model
+    from cullavo_tpu.serving import ServingEngine
+
+    rng = np.random.default_rng(22)
+    reqs = [_engine_request(cfg, rng, i,
+                            rng.integers(4, VOCAB - 2, size=(40,)).tolist(),
+                            3, 4, None)
+            for i in range(4)]
+    bucket = 48
+    gen = GenerationConfig(do_sample=False, eos_token_id=-1)
+    eng = ServingEngine(params, cfg, gen, num_slots=4, max_len=bucket + 8,
+                        prompt_buckets=(bucket,), prefill_chunk=4, quantum=2,
+                        compute_dtype=jnp.float32,
+                        prefix_cache=True, prefix_min=32)
+    for r in reqs:
+        eng.submit(r)
+    results = eng.run()
+    for r in reqs:
+        assert results[r.req_id] == _offline_stream(cfg, params, r, bucket,
+                                                    eng.max_len), r.req_id
+    # one 4-row prefill group (pow2), not four 1-row groups
+    assert eng.counters["prefill_rows"] == 4
+    assert eng.counters["prefix_hits"] == 0
